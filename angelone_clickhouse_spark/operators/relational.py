@@ -1,0 +1,219 @@
+"""General relational operator coverage over the star schema.
+
+The reference outsources all relational execution to ClickHouse
+(SURVEY.md §3.3) — its query surface never exceeds filter + group-by +
+sort/limit. A drop-in engine still needs the full relational core, so
+these queries exercise, with oracles, the operator classes SURVEY.md
+§2.3 commits to: multi-way equi-joins (broadcast for dims, shuffle for
+fact-fact), hash aggregation with partial/final phases, top-k
+(TakeOrderedAndProject), window ranking, union/distinct, and
+semi/anti joins.
+
+Scale notes:
+- ``revenue_by_nation`` joins the lineitem fact to orders (fact-fact:
+  sort-merge/shuffled-hash under AQE) then to customer/nation/region
+  dims — customer is borderline at real TPC-H scale; nation/region are
+  always broadcast. At 100 TB the orders⋈lineitem join wants both
+  sides bucketed by orderkey; the declarative plan is unchanged.
+- ``top_customers`` aggregates BEFORE joining the customer dim, so the
+  join input is |customers| rows, not |orders| rows.
+- all ORDER BY ... LIMIT k carry a unique tiebreak on a key column so
+  the result set is deterministic under floating-point revenue ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from angelone_clickhouse_spark.sources.tables import load_table
+
+SHIP_CUTOFF = "1999-06-01"
+REGION = "ASIA"
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped revenue rollup: lineitem⋈orders⋈customer⋈nation⋈region."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == REGION)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 10 customers by order revenue; aggregate-then-join keeps the
+    dimension join input small."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def union_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT of customer and supplier nation keys (set-op parity;
+    the reference's per-exchange union is main.go:287-294)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no urgent order (every customer has
+    *some* order in the synthetic data, so the anti-join filters the
+    probe side to keep the result non-trivial)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: each customer's top-3 orders by price (row_number
+    with a unique orderkey tiebreak)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "top_customers": top_customers,
+    "union_nationkeys": union_nationkeys,
+    "customers_without_orders": customers_without_orders,
+    "customer_order_ranks": customer_order_ranks,
+}
+
+ORACLES = {
+    "pricing_summary": f"""
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "revenue_by_nation": f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)                                          AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{REGION}'
+GROUP BY n_name
+""",
+    "top_customers": """
+SELECT c_custkey, c_name, c_mktsegment, revenue, n_orders
+FROM (
+  SELECT o_custkey,
+         round(sum(o_totalprice), 2) AS revenue,
+         count(*)                    AS n_orders
+  FROM orders
+  GROUP BY o_custkey
+) r
+JOIN customer ON r.o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+""",
+    "union_nationkeys": """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    "customers_without_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+    "customer_order_ranks": """
+SELECT o_custkey, o_orderkey, o_totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS INTEGER) AS rank
+  FROM orders
+) ranked
+WHERE rank <= 3
+""",
+}

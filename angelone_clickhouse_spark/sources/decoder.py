@@ -1,0 +1,220 @@
+"""Binary tick-frame decoder — the reference's core operator (SURVEY O6).
+
+Reference behavior (parser/binary.go:47-76): fixed-offset little-endian
+decode; 25-byte NUL-trimmed token; tail fields only when
+subscription_mode >= 2; decode errors silently yield zero-valued fields
+(latent defect D5). Engine semantics (SURVEY §3.4 D5): truncated frames
+yield NULL fields plus ``is_corrupt = true`` so the error counter the
+reference exposes (market_data_errors_total, main.go:363) is a simple
+filter-count, and zero is never conflated with "missing".
+
+Two implementations, tested equal:
+
+- :func:`decode_frames` — Arrow-batched pandas UDF. One
+  ``np.frombuffer`` per field over the whole batch; no per-row Python.
+  This is the 100 TB path: decode is embarrassingly parallel, so a
+  vectorized UDF scales linearly with executors and the Arrow transfer
+  is the only overhead.
+- :func:`le_long` / :func:`decode_frames_native` — pure column
+  expressions (hex -> byte-swap -> base-16 conv), fully whole-stage
+  codegen'd, no Python at all. Covers the integer fields; IEEE-754
+  doubles (total_buy/sell_quantity) have no bits-to-double builtin, so
+  the native path reinterprets them via the same long decode in a
+  pandas fallback only when those columns are selected. Kept as the
+  reference plan for JVM-only deployments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from angelone_clickhouse_spark.sources.frames import FULL_LEN, HEADER_LEN
+
+WIRE_SCHEMA = StructType(
+    [
+        StructField("subscription_mode", IntegerType()),
+        StructField("exchange_type", IntegerType()),
+        StructField("token", StringType()),
+        StructField("sequence_number", LongType()),
+        StructField("exchange_timestamp", LongType()),
+        StructField("last_traded_price", LongType()),
+        StructField("last_traded_quantity", LongType()),
+        StructField("average_traded_price", LongType()),
+        StructField("volume_trade", LongType()),
+        StructField("total_buy_quantity", DoubleType()),
+        StructField("total_sell_quantity", DoubleType()),
+        StructField("open_price_of_the_day", LongType()),
+        StructField("high_price_of_the_day", LongType()),
+        StructField("low_price_of_the_day", LongType()),
+        StructField("closed_price", LongType()),
+        StructField("is_corrupt", BooleanType()),
+    ]
+)
+
+# (name, offset, numpy dtype) for the fixed-layout fields.
+_HEADER_NUM = [
+    ("sequence_number", 27, "<i8"),
+    ("exchange_timestamp", 35, "<i8"),
+    ("last_traded_price", 43, "<i8"),
+]
+_TAIL_NUM = [
+    ("last_traded_quantity", 51, "<i8"),
+    ("average_traded_price", 59, "<i8"),
+    ("volume_trade", 67, "<i8"),
+    ("total_buy_quantity", 75, "<f8"),
+    ("total_sell_quantity", 83, "<f8"),
+    ("open_price_of_the_day", 91, "<i8"),
+    ("high_price_of_the_day", 99, "<i8"),
+    ("low_price_of_the_day", 107, "<i8"),
+    ("closed_price", 115, "<i8"),
+]
+
+
+@pandas_udf(WIRE_SCHEMA)
+def _decode_udf(frames: pd.Series) -> pd.DataFrame:
+    n = len(frames)
+    out: dict[str, object] = {}
+    lengths = frames.map(lambda b: 0 if b is None else len(b)).to_numpy()
+    has_header = lengths >= HEADER_LEN
+    has_tail = lengths >= FULL_LEN
+
+    modes = np.zeros(n, dtype=np.int64)
+    exch = np.zeros(n, dtype=np.int64)
+    tokens = np.empty(n, dtype=object)
+    num_cols = {name: np.zeros(n, dtype=dt) for name, _, dt in _HEADER_NUM + _TAIL_NUM}
+
+    for i, buf in enumerate(frames):
+        if buf is None or len(buf) < HEADER_LEN:
+            continue
+        modes[i] = buf[0]
+        exch[i] = buf[1]
+        tokens[i] = buf[2:27].split(b"\x00", 1)[0].decode("ascii", "replace")
+        for name, off, dt in _HEADER_NUM:
+            num_cols[name][i] = np.frombuffer(buf, dtype=dt, count=1, offset=off)[0]
+        if len(buf) >= FULL_LEN:
+            for name, off, dt in _TAIL_NUM:
+                num_cols[name][i] = np.frombuffer(buf, dtype=dt, count=1, offset=off)[0]
+
+    def masked(arr, mask):
+        s = pd.Series(arr)
+        return s.where(pd.Series(mask))
+
+    out["subscription_mode"] = masked(modes, has_header)
+    out["exchange_type"] = masked(exch, has_header)
+    out["token"] = pd.Series(tokens).where(pd.Series(has_header))
+    for name, _, _ in _HEADER_NUM:
+        out[name] = masked(num_cols[name], has_header)
+    # Tail fields are defined only for mode >= 2 frames that carry them;
+    # a mode>=2 frame shorter than FULL_LEN is corrupt (reference would
+    # silently zero-fill, parser/binary.go:52-75 — we null instead).
+    tail_ok = has_tail & (modes >= 2)
+    for name, _, _ in _TAIL_NUM:
+        out[name] = masked(num_cols[name], tail_ok)
+    # corrupt = too short for its declared mode (or no header at all)
+    corrupt = (~has_header) | ((modes >= 2) & ~has_tail)
+    out["is_corrupt"] = pd.Series(corrupt)
+    return pd.DataFrame(out)
+
+
+def decode_frames(df: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Decode a binary frame column into the full wire schema (one
+    output column per wire field + is_corrupt)."""
+    decoded = df.withColumn("_w", _decode_udf(F.col(frame_col)))
+    return decoded.select(
+        *[F.col(f"_w.{f.name}").alias(f.name) for f in WIRE_SCHEMA.fields]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-column (whole-stage-codegen) integer decode — no Python anywhere.
+# ---------------------------------------------------------------------------
+def le_long(bin_col: Column, offset: int) -> Column:
+    """Little-endian int64 at 1-based byte ``offset`` of a binary column,
+    as pure SQL expressions: slice 8 bytes -> hex -> reverse byte pairs
+    -> base-16 to decimal -> two's-complement fix -> long."""
+    hx = F.hex(F.substring(bin_col, offset, 8))  # 16 hex chars, byte order as stored
+    swapped = F.concat(
+        *[F.substring(hx, i, 2) for i in (15, 13, 11, 9, 7, 5, 3, 1)]
+    )
+    unsigned = F.conv(swapped, 16, 10).cast("decimal(20,0)")
+    signed = F.when(
+        unsigned > F.lit(9223372036854775807).cast("decimal(20,0)"),
+        (unsigned - F.lit("18446744073709551616").cast("decimal(21,0)")),
+    ).otherwise(unsigned)
+    return signed.cast("long")
+
+
+def decode_frames_native(df: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """JVM-only decode of the integer/string wire fields (header + int
+    tail). Stays inside whole-stage codegen; reference plan for
+    deployments that must avoid Python workers entirely."""
+    b = F.col(frame_col)
+    ok = F.length(b) >= HEADER_LEN
+    mode = F.when(ok, F.conv(F.hex(F.substring(b, 1, 1)), 16, 10).cast("int"))
+    full = F.length(b) >= FULL_LEN
+    tail_ok = full & (mode >= 2)
+
+    def hdr(c: Column) -> Column:
+        return F.when(ok, c)
+
+    def tail(c: Column) -> Column:
+        return F.when(tail_ok, c)
+
+    return df.select(
+        mode.alias("subscription_mode"),
+        hdr(F.conv(F.hex(F.substring(b, 2, 1)), 16, 10).cast("int")).alias(
+            "exchange_type"
+        ),
+        hdr(
+            F.regexp_replace(
+                F.decode(F.substring(b, 3, 25), "UTF-8"), "\x00.*$", ""
+            )
+        ).alias("token"),
+        hdr(le_long(b, 28)).alias("sequence_number"),
+        hdr(le_long(b, 36)).alias("exchange_timestamp"),
+        hdr(le_long(b, 44)).alias("last_traded_price"),
+        tail(le_long(b, 52)).alias("last_traded_quantity"),
+        tail(le_long(b, 60)).alias("average_traded_price"),
+        tail(le_long(b, 68)).alias("volume_trade"),
+        tail(le_long(b, 92)).alias("open_price_of_the_day"),
+        tail(le_long(b, 100)).alias("high_price_of_the_day"),
+        tail(le_long(b, 108)).alias("low_price_of_the_day"),
+        tail(le_long(b, 116)).alias("closed_price"),
+        (~ok | ((mode >= 2) & ~full)).alias("is_corrupt"),
+    )
+
+
+def wire_to_ticks(decoded: DataFrame, with_ingest_ts: bool = False) -> DataFrame:
+    """Wire record -> storage tick row (reference main.go:314-322 +
+    :137-146, db/clickhouse.go:17-25): paise -> rupees (/100, reference
+    parser/binary.go:27-45), volume cast to double, event-time kept from
+    the frame (deliberate deviation D1 — the reference stamps
+    time.Now() and discards the exchange timestamp)."""
+    paise = lambda c: (F.col(c) / F.lit(100.0))
+    out = decoded.filter(~F.col("is_corrupt")).select(
+        F.col("token"),
+        F.timestamp_millis(F.col("exchange_timestamp")).alias("ts"),
+        F.col("sequence_number"),
+        paise("last_traded_price").alias("last_traded_price"),
+        paise("open_price_of_the_day").alias("open_price"),
+        paise("high_price_of_the_day").alias("high_price"),
+        paise("low_price_of_the_day").alias("low_price"),
+        paise("closed_price").alias("close_price"),
+        F.col("volume_trade").cast("double").alias("volume"),
+    )
+    if with_ingest_ts:
+        out = out.withColumn("ingest_ts", F.current_timestamp())
+    return out

@@ -1,0 +1,154 @@
+"""Binary tick-frame encoder + deterministic frame generator.
+
+The reference consumes a fixed-layout little-endian binary tick format
+from the AngelOne WebSocket (reference parser/binary.go:47-76). Since
+the live feed obviously isn't reproducible, the engine ships an
+*encoder* for the same layout: it manufactures deterministic frame
+streams (seeded random walk over the reference's own token universe,
+config/tokens.json) used by decoder unit tests, the streaming-ingest
+replay tests, and the ingest throughput benchmark.
+
+Frame layout (FIXTURES.md B1; offsets match parser/binary.go:47-76):
+
+  off  0: subscription_mode  uint8   (1=LTP 2=QUOTE 3=SNAP_QUOTE 4=DEPTH)
+  off  1: exchange_type      uint8
+  off  2: token              25s     ASCII, NUL padded
+  off 27: sequence_number    int64
+  off 35: exchange_timestamp int64   epoch millis
+  off 43: last_traded_price  int64   paise (x100)
+  -- only when mode >= 2 (parser/binary.go:63-73):
+  off 51: last_traded_quantity int64
+  off 59: average_traded_price int64
+  off 67: volume_trade         int64
+  off 75: total_buy_quantity   float64
+  off 83: total_sell_quantity  float64
+  off 91: open_price_of_the_day  int64
+  off 99: high_price_of_the_day  int64
+  off107: low_price_of_the_day   int64
+  off115: closed_price           int64
+
+All values little-endian. Mode-1 frames are 51 bytes, mode>=2 frames
+123 bytes.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+HEADER_FMT = "<BB25sqqq"  # mode, exchange, token, seq, exch_ts, ltp
+TAIL_FMT = "<qqqddqqqq"
+HEADER_LEN = struct.calcsize(HEADER_FMT)  # 51
+FULL_LEN = HEADER_LEN + struct.calcsize(TAIL_FMT)  # 123
+
+# The reference's own token universe (config/tokens.json:1-33).
+TOKEN_UNIVERSE = [
+    ("RELIANCE", "2885", 1),
+    ("INFY", "1594", 1),
+    ("TCS", "11536", 1),
+    ("SBIN", "3045", 1),
+    ("HDFCBANK", "3787", 1),
+    ("NIFTY25JAN23200PE", "43607", 2),
+]
+
+EPOCH_2024_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+
+def encode_frame(
+    mode: int,
+    exchange_type: int,
+    token: str,
+    sequence_number: int,
+    exchange_timestamp_ms: int,
+    ltp_paise: int,
+    ltq: int = 0,
+    atp_paise: int = 0,
+    volume: int = 0,
+    total_buy_qty: float = 0.0,
+    total_sell_qty: float = 0.0,
+    open_paise: int = 0,
+    high_paise: int = 0,
+    low_paise: int = 0,
+    close_paise: int = 0,
+) -> bytes:
+    head = struct.pack(
+        HEADER_FMT,
+        mode,
+        exchange_type,
+        token.encode("ascii"),
+        sequence_number,
+        exchange_timestamp_ms,
+        ltp_paise,
+    )
+    if mode < 2:
+        return head
+    return head + struct.pack(
+        TAIL_FMT,
+        ltq,
+        atp_paise,
+        volume,
+        total_buy_qty,
+        total_sell_qty,
+        open_paise,
+        high_paise,
+        low_paise,
+        close_paise,
+    )
+
+
+def generate_frames(
+    n: int,
+    seed: int = 42,
+    duplicate_every: int = 0,
+    corrupt_every: int = 0,
+    start_ms: int = EPOCH_2024_MS,
+) -> list[bytes]:
+    """Deterministic frame stream: per-token price random walks, mixed
+    mode-1/mode-3 frames, optional duplicated sequence numbers (dedup
+    tests) and truncated frames (corrupt-path tests)."""
+    rng = random.Random(seed)
+    state = {tok: rng.randint(10_000, 500_000) for _, tok, _ in TOKEN_UNIVERSE}
+    frames: list[bytes] = []
+    ts = start_ms
+    for i in range(n):
+        symbol, token, exch = TOKEN_UNIVERSE[i % len(TOKEN_UNIVERSE)]
+        ts += rng.randint(1, 500)
+        px = max(100, state[token] + rng.randint(-200, 200))
+        state[token] = px
+        mode = 1 if rng.random() < 0.3 else 3
+        frame = encode_frame(
+            mode=mode,
+            exchange_type=exch,
+            token=token,
+            sequence_number=i,
+            exchange_timestamp_ms=ts,
+            ltp_paise=px,
+            ltq=rng.randint(1, 1000),
+            atp_paise=px + rng.randint(-50, 50),
+            volume=rng.randint(1, 100_000),
+            total_buy_qty=float(rng.randint(0, 10_000)),
+            total_sell_qty=float(rng.randint(0, 10_000)),
+            open_paise=px + rng.randint(-500, 500),
+            high_paise=px + rng.randint(0, 600),
+            low_paise=px - rng.randint(0, 600),
+            close_paise=px + rng.randint(-500, 500),
+        )
+        if corrupt_every and i % corrupt_every == corrupt_every - 1:
+            frame = frame[: rng.randint(1, len(frame) - 1)]
+        frames.append(frame)
+        if duplicate_every and i % duplicate_every == duplicate_every - 1:
+            frames.append(frame)
+    return frames
+
+
+def frames_df(spark, frames: list[bytes]):
+    """Frames as a DataFrame with a single binary 'frame' column — the
+    Spark-native stand-in for the WebSocket byte stream (SURVEY §2.1 O2)."""
+    return spark.createDataFrame([(f,) for f in frames], "frame binary")
+
+
+def write_frames_parquet(spark, frames: list[bytes], path: str, n_files: int = 4):
+    """Persist a frame stream as parquet for file-based streaming replay
+    (each micro-batch picks up whole files — deterministic, unlike a
+    socket)."""
+    frames_df(spark, frames).repartition(n_files).write.mode("overwrite").parquet(path)

@@ -1,0 +1,109 @@
+"""Streaming semantics tests per SURVEY §5.2(3): deterministic replay
+(availableNow) of a generated frame file; stream result must equal the
+batch computation on the same data."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.sources.decoder import decode_frames, wire_to_ticks
+from angelone_clickhouse_spark.sources.frames import (
+    frames_df,
+    generate_frames,
+    write_frames_parquet,
+)
+from angelone_clickhouse_spark.streaming.bars import minute_bars
+from angelone_clickhouse_spark.streaming.ingest import (
+    corrupt_frame_count,
+    decode_tick_stream,
+    ingest_to_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def frames():
+    return generate_frames(2000, seed=42, duplicate_every=10, corrupt_every=100)
+
+
+@pytest.fixture(scope="module")
+def frames_dir(spark, frames, tmp_path_factory):
+    d = tmp_path_factory.mktemp("frames")
+    write_frames_parquet(spark, frames, str(d / "in"), n_files=4)
+    return str(d / "in")
+
+
+def _batch_ticks(spark, frames):
+    return wire_to_ticks(decode_frames(frames_df(spark, frames))).dropDuplicates(
+        ["token", "sequence_number"]
+    )
+
+
+def test_ingest_stream_equals_batch(spark, frames, frames_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest_to_parquet(spark, frames_dir, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).drop("date")
+    expected = _batch_ticks(spark, frames)
+    assert got.count() == expected.count()
+    cols = sorted(got.columns)
+    assert cols == sorted(expected.columns)
+    sg = sorted(map(tuple, got.select(*cols).collect()), key=repr)
+    se = sorted(map(tuple, expected.select(*cols).collect()), key=repr)
+    assert sg == se
+    # duplicates dropped: sequence numbers unique per token
+    n_keys = got.select("token", "sequence_number").distinct().count()
+    assert n_keys == got.count()
+    # sink is date-partitioned
+    files = spark.read.parquet(out).inputFiles()
+    assert any("date=" in f for f in files)
+
+
+def test_ingest_is_idempotent_on_restart(spark, frames_dir, tmp_path):
+    """Re-running with the same checkpoint must not duplicate output."""
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    q = ingest_to_parquet(spark, frames_dir, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    q2 = ingest_to_parquet(spark, frames_dir, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_minute_bars_stream_equals_batch(spark, frames, frames_dir, tmp_path):
+    ticks_stream = decode_tick_stream(
+        __import__(
+            "angelone_clickhouse_spark.streaming.ingest", fromlist=["read_frame_stream"]
+        ).read_frame_stream(spark, frames_dir)
+    )
+    bars_q = (
+        minute_bars(ticks_stream, watermark=None)
+        .writeStream.format("memory")
+        .queryName("bars_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    bars_q.awaitTermination(120)
+    got = spark.table("bars_test")
+    expected = minute_bars(_batch_ticks(spark, frames))
+    cols = sorted(got.columns)
+    assert cols == sorted(expected.columns)
+    sg = sorted(map(tuple, got.select(*cols).collect()), key=repr)
+    se = sorted(map(tuple, expected.select(*cols).collect()), key=repr)
+    assert sg == se
+    # OHLC sanity on one bar
+    row = got.orderBy("bar_ts", "token").first()
+    assert row.low <= row.high
+
+
+def test_corrupt_counter(spark, frames):
+    r = corrupt_frame_count(frames_df(spark, frames)).collect()[0]
+    assert r.n_frames == len(frames)
+    # every corrupt index (i%100==99) is also a duplicated index
+    # (i%10==9), so each of the 20 corrupt frames appears twice
+    assert r.n_corrupt == 40
