@@ -1,0 +1,340 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+North-star extension ops (BASELINE.json: "dedup"): the reference has no
+dedup at all — it re-inserts duplicate WebSocket frames (SURVEY §2.3
+streaming-dedup row). This module provides the standard LLM-training-
+data dedup ladder:
+
+- exact (content-hash group-by)                      — oracle-checked
+- n-gram Jaccard (3-word shingles, exact pairwise)   — oracle-checked
+- MinHash + LSH (banded signatures -> candidates -> verify) — rows-only
+- SimHash (64-bit, banded hamming candidates)        — rows-only
+- embedding cosine near-dup (exact pairwise)         — oracle-checked
+
+Scale notes (100 TB):
+- exact dedup is one shuffle on a 16-byte hash — always fine.
+- exact pairwise Jaccard/cosine are O(n²) verification baselines; at
+  scale you run the MinHash-LSH / SimHash paths, whose shuffles are
+  bounded by (band key -> bucket) sizes, and only verify within
+  buckets. That is exactly how they are implemented here — the
+  pairwise ops exist to oracle-check the LSH ops' candidate quality
+  (tests/test_dedup.py asserts LSH recall over the planted near-dups).
+- all shingle/signature work uses built-in higher-order array
+  functions (JVM, codegen) — no Python in any dedup path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.45
+N_MINHASH = 16
+# 8 bands x 2 rows: P(candidate) = 1-(1-j^2)^8 — ~0.90 at j=0.5 and
+# ~0.9997 at j=0.8, so planted near-dups are essentially never missed.
+N_BANDS = 8
+
+
+# --- exact dedup ------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: one row per distinct text, keeping the lowest
+    doc_id (the canonical survivor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- shingling (shared by jaccard + minhash) --------------------------------
+def _shingles(docs: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct 3-word shingles, all JVM-side."""
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = w.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("shingles"),
+    )
+    return sh.select("doc_id", F.explode("shingles").alias("shingle"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard >= threshold. The self-join on
+    shingle only materializes pairs that share at least one shingle, so
+    the candidate space is sparse, not n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """doc_id -> n_hashes-wide MinHash signature. Permutation i is
+    xxhash64(i, shingle) — deterministic, JVM-side, no Python."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate generation + exact-signature similarity.
+
+    rows-only driver check; tests assert recall against the exact
+    Jaccard op on the planted near-duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{bi * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_key"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with estimated similarity = matching signature rows
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = (
+        F.aggregate(
+            F.array(
+                *[
+                    (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int")
+                    for i in range(N_MINHASH)
+                ]
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(N_MINHASH))
+    )
+    return (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc, entirely with built-in array functions:
+    bit b of the hash = sign of sum over words of (+1 if word-hash bit b
+    else -1)."""
+    w = docs.select(
+        "doc_id", F.expr("transform(split(text, ' '), x -> xxhash64(x))").alias("hs")
+    )
+    # For each bit: count of words with bit set minus half of total.
+    bit_cols = [
+        (
+            F.aggregate(
+                "hs",
+                F.lit(0),
+                lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(1).cast("int"),
+            )
+            * 2
+            > F.size("hs")
+        ).cast("long")
+        for b in range(64)
+    ]
+    packed = bit_cols[0]
+    for b in range(1, 64):
+        packed = packed.bitwiseOR(F.shiftleft(bit_cols[b], b))
+    return w.select("doc_id", packed.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: band the 64 bits into 4 x 16-bit
+    chunks; pairs agreeing on >= 1 chunk are candidates, verified by
+    full hamming distance <= 8. rows-only driver check."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash_docs(docs).cache()
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(0xFFFF)
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+def _with_norm(e: DataFrame) -> DataFrame:
+    v = F.expr("transform(embedding, x -> cast(x as double))")
+    dot_self = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return e.select("vec_id", v.alias("v"), F.sqrt(dot_self).alias("nrm"))
+
+
+def _cosine(a_v, b_v, a_n, b_n):
+    dot = F.aggregate(
+        F.zip_with(a_v, b_v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (a_n * b_n)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine >= threshold over the embeddings table.
+    Elements cast to double before any arithmetic so Spark and DuckDB
+    produce bit-identical sums."""
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        _cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")), 6
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": """
+SELECT md5(text)    AS text_hash,
+       min(doc_id)  AS keep_doc_id,
+       count(*)     AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    "dedup_ngram_jaccard": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (ca.n + cb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE round(n_common * 1.0 / (ca.n + cb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+""",
+    "dedup_embedding": f"""
+WITH e AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a,
+       b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {COSINE_THRESHOLD}
+""",
+}

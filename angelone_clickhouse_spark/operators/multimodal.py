@@ -1,0 +1,164 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+North-star requirement ("multimodal columns"): image/audio/video
+content as ``binary`` columns flowing through the same DataFrame
+plans as everything else. The container ships no codec libraries, so
+the *decode* step is stubbed behind a deterministic fake (clearly
+marked below); the Spark-side plumbing — binary columns, schemas,
+Arrow batch shapes, ``mapInPandas`` partition-parallel feature
+extraction — is real and tested.
+
+``multimodal_meta`` is oracle-checked end-to-end (binary construction,
+byte length, content hashing are engine-visible in DuckDB too);
+``multimodal_features`` exercises the mapInPandas decode path and gets
+the rows-only driver check.
+
+Scale notes: media blobs dominate row size, so the media table is the
+one place row-group sizing matters more than row count —
+``spark.sql.files.maxPartitionBytes`` bounds a task's input, and
+feature extraction is mapInPandas (no shuffle, no driver collect);
+derived features land in a narrow table joined back by content hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from angelone_clickhouse_spark.sources.tables import load_table
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media table: the documents' text bytes stand in
+    for opaque payloads (deterministic, schema-faithful: binary content
+    + typed metadata)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, MEDIA_TYPES[0])
+        .when(F.col("doc_id") % 3 == 1, MEDIA_TYPES[1])
+        .otherwise(MEDIA_TYPES[2])
+    )
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").cast("long").alias("declared_size"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, oracle-checked: payload sizes + content
+    hashes rolled up per media type."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.count_distinct(F.md5("content")).alias("n_distinct_payloads"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def _decode_stub(media_type: str, content: bytes) -> tuple[int, int, int]:
+    """STUB decode: the real implementation would call Pillow/ffmpeg
+    here (not available in this container). Deterministic fake keyed on
+    content so tests are stable; raises for unknown media types exactly
+    as a real decoder would.
+    """
+    if media_type not in MEDIA_TYPES:
+        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    h = int.from_bytes(content[:8].ljust(8, b"\0"), "little")
+    width = 64 + (h % 1024)
+    height = 64 + ((h >> 10) % 1024)
+    n_frames = 1 if media_type == "image" else 1 + (h >> 20) % 300
+    return width, height, n_frames
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Partition-parallel 'decode' + feature extraction via mapInPandas:
+    Arrow batches in, Arrow batches out, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(mt, bytes(c)) for mt, c in zip(pdf["media_type"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [len(bytes(c)) for c in pdf["content"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction rollup (rows-only driver check; value-level
+    assertions live in tests/test_multimodal.py)."""
+    feats = extract_features(media_table(spark, sf_dir))
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+        F.max("n_frames").alias("max_frames"),
+        F.sum("byte_len").alias("total_bytes"),
+    )
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES = {
+    "multimodal_meta": """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         encode(text) AS content,
+         md5(text)    AS content_md5  -- md5 of the UTF-8 bytes
+  FROM documents
+)
+SELECT media_type,
+       count(*)                                    AS n_items,
+       CAST(sum(octet_length(content)) AS BIGINT)  AS total_bytes,
+       count(DISTINCT content_md5)                 AS n_distinct_payloads,
+       min(doc_id)                                 AS first_doc_id
+FROM m
+GROUP BY media_type
+""",
+}

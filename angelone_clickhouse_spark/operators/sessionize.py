@@ -1,0 +1,145 @@
+"""Event-stream relational ops: sessionization and JSON extraction.
+
+The ``events`` table is the stream-shaped fixture (FIXTURES.md). These
+are the classic clickstream ops a general analytics engine owes its
+users; both are window-function / JSON-function compositions with full
+DuckDB oracles.
+
+Scale notes: sessionization is one shuffle on user_id (the window
+partition key); the cumulative-sum session id needs no iteration —
+lag + conditional sum is a single window pass. Skewed users would want
+AQE skew handling or a salt on the *aggregation* that follows, never
+on the window itself (session boundaries must see the full user
+history in order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from angelone_clickhouse_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is
+    idle > 30 minutes. Returns one row per session."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_break = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    with_sid = with_break.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (props is a JSON string) rolled up per
+    event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
+        )
+    )
+
+
+def event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first-touch funnel: for each event type, how many users
+    have it as their first event (min_by over the user's history)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_event_type")
+    )
+    return first.groupBy("first_event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+QUERIES = {
+    "sessionize_events": sessionize_events,
+    "json_extract_events": json_extract_events,
+    "event_type_funnel": event_type_funnel,
+}
+
+ORACLES = {
+    "sessionize_events": f"""
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second',
+                                CAST(lag(ts) OVER w AS TIMESTAMP),
+                                CAST(ts AS TIMESTAMP))
+                      > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT *,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_seq
+  FROM ordered
+)
+SELECT user_id, session_seq,
+       min(ts)                 AS session_start,
+       max(ts)                 AS session_end,
+       count(*)                AS n_events,
+       round(sum("value"), 2)  AS total_value
+FROM sid
+GROUP BY user_id, session_seq
+""",
+    "json_extract_events": """
+WITH t AS (
+  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       count(*)                                  AS n_events,
+       round(avg(k), 4)                          AS avg_k,
+       max(k)                                    AS max_k,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM t
+GROUP BY event_type
+""",
+    "event_type_funnel": """
+SELECT first_event_type, count(*) AS n_users
+FROM (
+  SELECT user_id, event_type AS first_event_type
+  FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+  ) ranked
+  WHERE rn = 1
+) f
+GROUP BY first_event_type
+""",
+}

@@ -1,0 +1,166 @@
+"""Similarity search over the ``embeddings`` table (north star:
+"similarity search").
+
+- ``ann_topk_cosine``: exact brute-force top-k cosine for a query set —
+  the correctness baseline, oracle-checked. Ranking is over the cosine
+  ROUNDED to 6 decimals with a vec_id tiebreak so Spark and DuckDB
+  produce the identical top-k under floating-point noise.
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH: vectors
+  hash to sign-pattern buckets, candidates come only from the query's
+  bucket (multi-probe over all hyperplane subsets is a natural
+  extension), and only candidates are scored. rows-only driver check;
+  tests/test_similarity.py measures recall against the exact op.
+
+Scale notes: brute force is O(|Q| x |N|) — fine for |Q| small even at
+100 TB (it is one broadcast of the query set + a map-side score +
+per-partition top-k then global k-merge; no shuffle of the corpus).
+The LSH variant bounds the scored set per query; its hyperplanes are
+deterministic functions of (plane index, dimension index) hashes so
+every executor derives the same projections with no driver-side
+randomness to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from angelone_clickhouse_spark.sources.tables import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 5
+N_PLANES = 4  # 16 buckets; tune up with corpus size (buckets ~ 2^planes)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> cast(x as double))")
+    dot_self = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return e.select("vec_id", "label", v.alias("v"), F.sqrt(dot_self).alias("nrm"))
+
+
+def _cos(av, bv, an, bn):
+    dot = F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (an * bn)
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k: query vectors broadcast against the corpus."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _bucket(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Random-hyperplane bucket id: bit p = sign(v . h_p), where
+    h_p[d] = (xxhash64(p, d) mod 2001 - 1000)/1000 — deterministic
+    pseudo-random planes derivable on any executor."""
+    plane_dot = lambda p: F.aggregate(
+        F.zip_with(
+            "v",
+            F.expr(
+                f"transform(sequence(0, size(v) - 1), "
+                f"d -> (cast(pmod(xxhash64({p}, d), 2001) as double) - 1000.0) / 1000.0)"
+            ),
+            lambda x, h: x * h,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bucket = bucket.bitwiseOR(
+            F.shiftleft((plane_dot(p) > 0).cast("long"), p)
+        )
+    return vecs.withColumn("bucket", bucket)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k: score only corpus vectors in the query's
+    bucket. rows-only driver check; recall measured in tests."""
+    vecs = _bucket(_vectors(spark, sf_dir))
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        vecs.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+QUERIES = {
+    "ann_topk_cosine": ann_topk_cosine,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLES = {
+    "ann_topk_cosine": f"""
+WITH e AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id,
+         n.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS cos_sim
+  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+) r
+WHERE rank <= {TOP_K}
+""",
+}

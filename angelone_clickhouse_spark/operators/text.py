@@ -1,0 +1,183 @@
+"""Text analysis over the ``documents`` table (north star: "text
+analysis"): token statistics, quality scoring, corpus rollups,
+language-ID, and winnowing fingerprints.
+
+Everything except language-ID is built-in column/higher-order
+functions (JVM, codegen). Language-ID is an Arrow-batched pandas UDF —
+a character-trigram profile scorer (the classic n-gram heuristic; cf.
+Cavnar & Trenkle 1994) with deterministic, code-declared profiles, so
+it needs no model artifact.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from angelone_clickhouse_spark.sources.tables import load_table
+
+STOPWORDS = ("a", "the", "of", "and", "in", "to")
+_STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (whitespace tokenization — the
+    documents fixture is single-space word soup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+        F.length("text").alias("text_len"),
+        F.round(
+            (F.length("text") - F.size(w) + 1) / F.size(w), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: stopword ratio, type-token ratio, length
+    gate — the standard cheap pre-filters of an LLM data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), x -> x IN {_STOP_SQL})"))
+    ttr = F.size(F.array_distinct(w)) / n
+    stop_ratio = n_stop / n
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        (
+            (n >= 10)
+            & (stop_ratio <= 0.5)
+            & (ttr >= 0.2)
+        ).alias("passes_quality"),
+    )
+
+
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup by (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+# --- language ID (pandas UDF) ----------------------------------------------
+# Tiny code-declared trigram profiles; deterministic and dependency-free.
+_LANG_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ent"],
+    "es": ["que", "ión", "los", "ent", "ado"],
+    "fr": ["les", "ent", "ion", "que", "des"],
+    "de": ["der", "ein", "ich", "sch", "und"],
+    "zh": [],  # CJK handled by codepoint-range check below
+}
+
+
+@pandas_udf(StringType())
+def _langid_udf(texts: pd.Series) -> pd.Series:
+    def predict(t: str) -> str:
+        if t is None or not t:
+            return "und"
+        cjk = sum(1 for ch in t[:200] if "一" <= ch <= "鿿")
+        if cjk > len(t[:200]) * 0.2:
+            return "zh"
+        low = t.lower()
+        scores = {
+            lang: sum(low.count(tri) for tri in tris)
+            for lang, tris in _LANG_PROFILES.items()
+            if tris
+        }
+        best = max(scores, key=lambda k: (scores[k], k))
+        return best if scores[best] > 0 else "und"
+
+    return texts.map(predict)
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram language ID vs the labeled lang column.
+    rows-only driver check (the heuristic itself is the op under test;
+    tests assert determinism and coverage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("doc_id", "lang", _langid_udf("text").alias("pred_lang"))
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    rolling window minimum over shingle hashes, built entirely from
+    higher-order array functions. rows-only driver check."""
+    docs = load_table(spark, sf_dir, "documents")
+    win = 4
+    hashed = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(split(text,' ')) - 3), "
+            "i -> xxhash64(concat_ws(' ', split(text,' ')[i], "
+            "split(text,' ')[i+1], split(text,' ')[i+2])))"
+        ).alias("hs"),
+    ).filter(F.size("hs") >= win)
+    fp = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size(hs) - {win}), "
+            f"i -> array_min(slice(hs, i + 1, {win})))"
+        )
+    )
+    return hashed.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.size("hs").alias("n_shingles"),
+    )
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_stats": text_lang_stats,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": """
+SELECT doc_id,
+       len(string_split(text, ' '))                          AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))           AS n_distinct_tokens,
+       length(text)                                          AS text_len,
+       round(
+         (length(text) - len(string_split(text, ' ')) + 1)
+         * 1.0 / len(string_split(text, ' ')), 6)            AS avg_token_len
+FROM documents
+""",
+    "text_quality": f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       round(len(list_filter(ws, x -> x IN {_STOP_SQL})) * 1.0 / n, 6)
+         AS stopword_ratio,
+       round(len(list_distinct(ws)) * 1.0 / n, 6) AS type_token_ratio,
+       (n >= 10
+        AND len(list_filter(ws, x -> x IN {_STOP_SQL})) * 1.0 / n <= 0.5
+        AND len(list_distinct(ws)) * 1.0 / n >= 0.2) AS passes_quality
+FROM t
+""",
+    "text_lang_stats": """
+SELECT lang, source,
+       count(*)                          AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)      AS total_chars,
+       round(avg(n_chars), 4)            AS avg_chars
+FROM documents
+GROUP BY lang, source
+""",
+}

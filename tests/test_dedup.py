@@ -1,0 +1,82 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    simhash_docs,
+)
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    out = dedup_exact(spark, sf_dir)
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == 500  # every doc accounted for exactly once
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("_tmp")
+    from angelone_clickhouse_spark.operators import dedup as d
+
+    groups = (
+        df.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_n = sorted(g.n for g in groups)
+    assert by_n == [1, 2]
+    dup_group = [g for g in groups if g.n == 2][0]
+    assert dup_group.keep == 1
+
+
+def test_minhash_lsh_recall_on_planted_near_dups(spark, sf_dir):
+    """Every high-Jaccard pair (the planted near-duplicates) must be
+    recovered by the banded-LSH candidates."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r.jaccard >= 0.8  # strongly-similar pairs: LSH must not miss these
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    lsh = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    missed = exact - lsh
+    assert not missed, f"LSH missed strong near-dups: {missed}"
+
+
+def test_simhash_identical_docs_have_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "spark scan join merge batch"), (2, "spark scan join merge batch"),
+         (3, "completely different words entirely")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in simhash_docs(df).collect()}
+    assert sh[1] == sh[2]
+    assert bin(sh[1] ^ sh[3]).count("1") > 0
+
+
+def test_simhash_pairs_include_planted_near_dups(spark, sf_dir):
+    """SimHash recall over the planted near-dups. The fixture's tiny
+    vocabulary makes a few majority bits unstable (word-count noise can
+    flip many bits at once on word-soup text), so assert a recall floor
+    rather than full containment."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    sim = {(r.doc_a, r.doc_b) for r in dedup_simhash(spark, sf_dir).collect()}
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.8, f"simhash recall {recall:.2f}, missed {exact - sim}"
+
+
+def test_jaccard_threshold_respected(spark, sf_dir):
+    out = dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert all(r.jaccard >= JACCARD_THRESHOLD for r in out)
+    assert all(r.doc_a < r.doc_b for r in out)

@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+from angelone_clickhouse_spark.operators.similarity import (
+    TOP_K,
+    ann_lsh_topk,
+    ann_topk_cosine,
+)
+
+
+def test_exact_topk_shape(spark, sf_dir):
+    rows = ann_topk_cosine(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, TOP_K + 1))
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_results_are_subset_quality(spark, sf_dir):
+    """LSH neighbors must carry correct cosine values (same scoring
+    path) and respect the rank contract; recall vs exact is reported,
+    not asserted hard (it is an approximation)."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ann_topk_cosine(spark, sf_dir).collect()
+    }
+    lsh = ann_lsh_topk(spark, sf_dir).collect()
+    assert lsh, "LSH should return candidates at this corpus size"
+    for r in lsh:
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+    hits = sum(1 for r in lsh if (r.query_id, r.neighbor_id) in exact)
+    recall = hits / len(exact)
+    # same-bucket neighbors are biased toward high cosine; any overlap
+    # at 500 vectors/16 buckets shows the bucketing works
+    assert recall > 0.1
