@@ -61,7 +61,7 @@ def _max_ts_bound(t: DataFrame, days: int) -> DataFrame:
 
 # --- Q1: latest tick for one token (db/clickhouse.go:122-152) ---------------
 def q1_latest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = ticks(spark, sf_dir)
+    t = ticks(spark, sf_dir, tokens=(Q1_TOKEN,))
     return (
         t.filter(F.col("token") == Q1_TOKEN)
         .orderBy(F.desc("ts"), F.desc("sequence_number"))
@@ -72,7 +72,7 @@ def q1_latest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q2: daily stats per token (db/clickhouse.go:155-187) -------------------
 def q2_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = ticks(spark, sf_dir)
+    t = ticks(spark, sf_dir, tokens=(Q1_TOKEN,))
     return (
         t.filter(F.col("token") == Q1_TOKEN)
         .groupBy(F.col("token"), F.to_date("ts").alias("date"))
@@ -89,7 +89,7 @@ def q2_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q3: multi-token recency check (db/clickhouse.go:190-221) ---------------
 def q3_recency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = ticks(spark, sf_dir)
+    t = ticks(spark, sf_dir, tokens=TOKEN_SET)
     return (
         t.filter(F.col("token").isin(*TOKEN_SET))
         .groupBy("token")
@@ -102,7 +102,7 @@ def q3_recency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q4: latest N prices for a token set (README.md:219-227) ----------------
 def q4_latest_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = ticks(spark, sf_dir)
+    t = ticks(spark, sf_dir, tokens=TOKEN_SET)
     return (
         t.filter(F.col("token").isin(*TOKEN_SET))
         .orderBy(F.desc("ts"), F.desc("sequence_number"))
@@ -152,7 +152,7 @@ def q6_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q7: select-star sample (README.md:135) ---------------------------------
 def q7_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = ticks(spark, sf_dir)
+    t = ticks(spark, sf_dir, tokens=(Q7_TOKEN,))
     return (
         t.filter(F.col("token") == Q7_TOKEN)
         .orderBy("sequence_number")

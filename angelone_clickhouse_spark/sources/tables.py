@@ -56,7 +56,11 @@ def register_tables(spark: SparkSession, sf_dir: str | None = None) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def ticks(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+def ticks(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    tokens: tuple[str, ...] | None = None,
+) -> DataFrame:
     """The canonical tick table, derived deterministically from ``events``.
 
     Schema mirrors the reference sink table (db/clickhouse.go:17-25)
@@ -65,8 +69,17 @@ def ticks(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     last_traded_price, open_price, high_price, low_price, close_price,
     volume. OHLC spreads are deterministic functions of (value,
     event_id) so that min/max/first/last aggregates have real work to do.
+
+    ``tokens``: optional token filter applied as an *integer* predicate
+    on the underlying user_id column. A predicate on the derived string
+    column (``cast(user_id as string) = '7'``) cannot cross the cast,
+    so it never reaches the parquet scan; pre-filtering on the source
+    column gets PushedFilters row-group skipping — the derivation is
+    injective, so semantics are identical.
     """
     ev = load_table(spark, sf_dir, "events")
+    if tokens:
+        ev = ev.filter(F.col("user_id").isin([int(t) for t in tokens]))
     return ev.select(
         F.col("user_id").cast("string").alias("token"),
         F.col("ts"),
