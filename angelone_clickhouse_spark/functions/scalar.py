@@ -1,0 +1,109 @@
+"""Scalar/aggregate function parity (SURVEY.md §2.2 function inventory).
+
+The reference's query surface uses a specific scalar vocabulary:
+toDate, today(), now(), INTERVAL arithmetic, round, min/max/sum/avg/
+count(*), first_value/last_value, IN lists, ORDER BY/LIMIT, division,
+NUL-trim, and time formatting (citations in SURVEY §2.2). Most are
+exercised by Q1-Q8; this module pins down the remainder — string trim,
+time formatting, string concat/case/substring, coalesce/nullif,
+conditional CASE, modulo/abs/floor/ceil — in one oracle-checked query
+each engine must reproduce value-for-value. (Format *patterns* differ
+per dialect — Spark uses JDK patterns, DuckDB strftime — but the
+produced values must be identical.)
+
+``distinct_tokens`` mirrors the ops metric the reference documents
+(README.md:261-265, unique-token monitoring): exact distinct with an
+oracle, plus HyperLogLog ``approx_count_distinct`` (rows-only — sketch
+internals are engine-specific) with a relative-error pytest gate. At
+100 TB the approx variant is the one you run: fixed memory, one pass,
+mergeable across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per tick (token '3'), every remaining scalar-function
+    class applied to real columns."""
+    t = ticks(spark, sf_dir, tokens=("3",))
+    return (
+        t.filter(F.col("token") == "3")
+        .select(
+            "sequence_number",
+            F.date_format("ts", "yyyy-MM-dd HH:mm").alias("ts_minute_str"),
+            F.date_format("ts", "HH").cast("int").alias("hour_of_day"),
+            F.rtrim(F.concat(F.col("token"), F.lit("  "))).alias("token_trimmed"),
+            F.upper(F.concat_ws("-", F.col("token"), F.lit("x"))).alias("tag"),
+            F.substring(F.concat(F.lit("TOK"), F.col("token")), 1, 4).alias("prefix4"),
+            F.coalesce(F.nullif(F.col("token"), F.lit("3")), F.lit("self")).alias(
+                "nullif_demo"
+            ),
+            F.when(F.col("last_traded_price") >= 50, "high")
+            .otherwise("low")
+            .alias("price_band"),
+            (F.col("sequence_number") % 10).alias("seq_mod"),
+            F.abs(F.col("open_price") - F.col("close_price")).alias("oc_spread"),
+            F.floor(F.col("last_traded_price")).cast("long").alias("price_floor"),
+            F.ceil(F.col("volume") / 100).cast("long").alias("volume_centile"),
+            F.length(F.col("token")).alias("token_len"),
+        )
+    )
+
+
+def distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = ticks(spark, sf_dir)
+    return t.agg(
+        F.count_distinct("token").alias("n_tokens_exact"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+def distinct_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch — the 100 TB cardinality path (fixed memory,
+    mergeable). rows-only driver check; the relative-error gate lives in
+    tests/test_functions.py."""
+    t = ticks(spark, sf_dir)
+    return t.agg(
+        F.approx_count_distinct("token", rsd=0.02).alias("n_tokens_approx"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+QUERIES = {
+    "scalar_functions": scalar_functions,
+    "distinct_tokens": distinct_tokens,
+    "distinct_tokens_approx": distinct_tokens_approx,
+}
+
+ORACLES = {
+    "scalar_functions": TICKS_ORACLE_CTE
+    + """
+SELECT sequence_number,
+       strftime(ts, '%Y-%m-%d %H:%M')                       AS ts_minute_str,
+       CAST(strftime(ts, '%H') AS INTEGER)                  AS hour_of_day,
+       rtrim(token || '  ')                                 AS token_trimmed,
+       upper(concat_ws('-', token, 'x'))                    AS tag,
+       substring('TOK' || token, 1, 4)                      AS prefix4,
+       coalesce(nullif(token, '3'), 'self')                 AS nullif_demo,
+       CASE WHEN last_traded_price >= 50 THEN 'high'
+            ELSE 'low' END                                  AS price_band,
+       sequence_number % 10                                 AS seq_mod,
+       abs(open_price - close_price)                        AS oc_spread,
+       CAST(floor(last_traded_price) AS BIGINT)             AS price_floor,
+       CAST(ceil(volume / 100) AS BIGINT)                   AS volume_centile,
+       CAST(length(token) AS INTEGER)                       AS token_len
+FROM ticks
+WHERE token = '3'
+""",
+    "distinct_tokens": TICKS_ORACLE_CTE
+    + """
+SELECT count(DISTINCT token) AS n_tokens_exact,
+       count(*)              AS n_ticks
+FROM ticks
+""",
+}

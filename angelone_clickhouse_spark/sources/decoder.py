@@ -109,7 +109,13 @@ def _decode_udf(frames: pd.Series) -> pd.DataFrame:
                 num_cols[name][i] = np.frombuffer(buf, dtype=dt, count=1, offset=off)[0]
 
     def masked(arr, mask):
+        # int64 columns must use the nullable Int64 extension dtype:
+        # plain .where() would coerce to float64 to hold NaN, silently
+        # corrupting values above 2^53 for the OTHER rows in the batch
         s = pd.Series(arr)
+        if s.dtype.kind in "iu":
+            s = s.astype("Int64")
+            return s.where(pd.Series(mask), other=pd.NA)
         return s.where(pd.Series(mask))
 
     out["subscription_mode"] = masked(modes, has_header)
