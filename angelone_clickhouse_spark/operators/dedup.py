@@ -69,26 +69,69 @@ def _shingles(docs: DataFrame) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise 3-gram Jaccard >= threshold. The self-join on
-    shingle only materializes pairs that share at least one shingle, so
-    the candidate space is sparse, not n²."""
+    """Exact pairwise 3-gram Jaccard >= threshold, with PPJoin-style
+    prefix filtering (Xiao et al., WWW'08).
+
+    Candidate generation joins only each document's PREFIX shingles
+    instead of all of them: order every doc's shingle set by a global
+    pseudo-random total order (xxhash64, then the string as tiebreak);
+    jac(A,B) >= t implies |A∩B| >= t·|A|, so the first common shingle
+    in that order falls within the first |A| - ceil(t·|A|) + 1 shingles
+    of A (and likewise B) — a pair missed by the prefix-prefix join
+    provably cannot reach the threshold. At t=0.5 each join side
+    halves, shrinking the dominant shuffle ~4x with identical output
+    (verification computes the true intersection on the full sets).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sets = w.select(
+        "doc_id",
+        F.expr(
+            "array_sort(transform(array_distinct("
+            "  transform(sequence(0, size(w) - 3), "
+            "            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            "), s -> struct(xxhash64(s) AS h, s AS s)))"
+        ).alias("sorted_sh"),
+    ).select(
+        "doc_id",
+        F.expr("transform(sorted_sh, x -> x.s)").alias("shingles"),
+        F.size("sorted_sh").alias("n_shingles"),
+    )
+    prefix_len = F.col("n_shingles") - F.ceil(
+        F.col("n_shingles") * F.lit(JACCARD_THRESHOLD)
+    ).cast("int") + 1
+    pref = sets.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.col("shingles"), F.lit(1), prefix_len)
+        ).alias("shingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .distinct()
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    jac = (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("nb"),
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
@@ -98,7 +141,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "jaccard"
     )
 

@@ -127,6 +127,18 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: the existence-check mirror of the anti-join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
 def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window ranking: each customer's top-3 orders by price (row_number
     with a unique orderkey tiebreak)."""
@@ -147,6 +159,7 @@ QUERIES = {
     "top_customers": top_customers,
     "union_nationkeys": union_nationkeys,
     "customers_without_orders": customers_without_orders,
+    "customers_with_urgent_orders": customers_with_urgent_orders,
     "customer_order_ranks": customer_order_ranks,
 }
 
@@ -200,6 +213,14 @@ SELECT s_nationkey AS nationkey FROM supplier
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
 WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+    "customers_with_urgent_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 )

@@ -59,14 +59,20 @@ def ingest_to_parquet(
     checkpoint_dir: str,
     available_now: bool = True,
     processing_time: str = "5 seconds",
+    max_files_per_trigger: int | None = None,
 ):
     """Run the ingest pipeline into a date-partitioned Parquet dataset.
 
     availableNow=True drains the input deterministically (tests, replay,
     backfill); otherwise a 5s processingTime trigger mirrors the
     reference's FLUSH_INTERVAL (config/config.go:54).
+    ``max_files_per_trigger`` bounds each epoch (source-side
+    backpressure — the no-drop replacement for the reference's
+    drop-on-full channel, SURVEY D7).
     """
-    ticks = decode_tick_stream(read_frame_stream(spark, frames_dir))
+    ticks = decode_tick_stream(
+        read_frame_stream(spark, frames_dir, max_files_per_trigger)
+    )
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
         (
@@ -86,6 +92,25 @@ def ingest_to_parquet(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def subscription_filter(
+    decoded: DataFrame,
+    tokens: list[str],
+    min_mode: int | None = None,
+) -> DataFrame:
+    """Subscription control (reference O3): the reference subscribes
+    per-exchange token lists at a given mode (main.go:287-304,
+    angel/types.go:13-27) and the feed sends only those. With a
+    simulated full feed, subscription = a predicate on the decoded
+    stream: token membership + minimum subscription mode. A small
+    token list stays a literal IN-list (pushed into the scan when
+    applied pre-decode on keyed sources); a large one would become a
+    broadcast semi-join."""
+    out = decoded.filter(F.col("token").isin(tokens))
+    if min_mode is not None:
+        out = out.filter(F.col("subscription_mode") >= min_mode)
+    return out
 
 
 def corrupt_frame_count(frames: DataFrame) -> DataFrame:

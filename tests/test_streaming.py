@@ -107,3 +107,14 @@ def test_corrupt_counter(spark, frames):
     # every corrupt index (i%100==99) is also a duplicated index
     # (i%10==9), so each of the 20 corrupt frames appears twice
     assert r.n_corrupt == 40
+
+
+def test_subscription_filter(spark, frames):
+    from angelone_clickhouse_spark.sources.decoder import decode_frames
+    from angelone_clickhouse_spark.streaming.ingest import subscription_filter
+
+    decoded = decode_frames(frames_df(spark, frames))
+    sub = subscription_filter(decoded, ["2885", "1594"], min_mode=2)
+    rows = sub.select("token", "subscription_mode").distinct().collect()
+    assert {r.token for r in rows} == {"2885", "1594"}
+    assert all(r.subscription_mode >= 2 for r in rows)
