@@ -74,10 +74,26 @@ def distinct_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per token (OLAP staple; Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share linear
+    interpolation semantics). At 100 TB switch to
+    ``percentile_approx`` (KLL-sketch-style, mergeable, fixed memory)
+    exactly as distinct_tokens -> distinct_tokens_approx."""
+    t = ticks(spark, sf_dir)
+    return t.groupBy("token").agg(
+        F.round(F.expr("percentile(last_traded_price, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(last_traded_price, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(last_traded_price, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
 QUERIES = {
     "scalar_functions": scalar_functions,
     "distinct_tokens": distinct_tokens,
     "distinct_tokens_approx": distinct_tokens_approx,
+    "price_percentiles": price_percentiles,
 }
 
 ORACLES = {
@@ -105,5 +121,15 @@ WHERE token = '3'
 SELECT count(DISTINCT token) AS n_tokens_exact,
        count(*)              AS n_ticks
 FROM ticks
+""",
+    "price_percentiles": TICKS_ORACLE_CTE
+    + """
+SELECT token,
+       round(quantile_cont(last_traded_price, 0.5), 6)   AS p50,
+       round(quantile_cont(last_traded_price, 0.95), 6)  AS p95,
+       round(quantile_cont(last_traded_price, 0.99), 6)  AS p99,
+       count(*)                                          AS n_ticks
+FROM ticks
+GROUP BY token
 """,
 }

@@ -103,14 +103,26 @@ def _bucket(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed top-k: score only corpus vectors in the query's
-    bucket. rows-only driver check; recall measured in tests."""
+    """LSH-bucketed top-k with multi-probe: score corpus vectors in the
+    query's bucket OR any bucket one hyperplane-flip away (vectors near
+    a hyperplane land on either side with near-equal probability, so
+    probing hamming-1 buckets recovers most of the recall a single
+    probe loses). Probe set = N_PLANES+1 buckets of 2^N_PLANES.
+    rows-only driver check; recall measured in tests."""
     vecs = _bucket(_vectors(spark, sf_dir))
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        F.col("bucket").alias("qbucket"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(N_PLANES)
+                ],
+            )
+        ).alias("qbucket"),
     )
     scored = (
         vecs.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
