@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angelone_clickhouse_spark.functions.exact import avg_fixed
 from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks
 
 # Reference hard-codes token "2885" (main.go:254) and token lists
@@ -168,7 +169,7 @@ def q8_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tick_count"),
         F.min("last_traded_price").alias("min_price"),
         F.max("last_traded_price").alias("max_price"),
-        F.round(F.avg("last_traded_price"), 4).alias("avg_price"),
+        avg_fixed("last_traded_price", "avg_price"),
         F.round(F.sum("volume"), 2).alias("total_volume"),
         F.max("ts").alias("last_tick"),
     )
@@ -267,7 +268,7 @@ SELECT token,
        count(*)                             AS tick_count,
        min(last_traded_price)               AS min_price,
        max(last_traded_price)               AS max_price,
-       round(avg(last_traded_price), 4)     AS avg_price,
+       CAST((sum(CAST(round((last_traded_price) * 100) AS BIGINT)) + count(*) // 2) // count(*) AS DOUBLE) / 100 AS avg_price,
        round(sum(volume), 2)                AS total_volume,
        max(ts)                              AS last_tick
 FROM ticks

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from angelone_clickhouse_spark.functions.exact import avg_fixed
 from angelone_clickhouse_spark.sources.tables import load_table
 
 SHIP_CUTOFF = "1999-06-01"
@@ -53,9 +54,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            avg_fixed("l_quantity", "avg_qty"),
+            avg_fixed("l_extendedprice", "avg_price"),
+            avg_fixed("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -153,8 +154,53 @@ def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): per-nation, per-region subtotal,
+    and grand-total rows in one pass (partial aggregates reused across
+    grouping sets — one shuffle, not three)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.grouping_id().cast("int").alias("level"),
+        )
+    )
+
+
+EVENT_TYPES = ("click", "purchase", "error", "signup", "view")
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, one row per user. Pivot values
+    are DECLARED (not discovered) — at scale an unbounded pivot is a
+    driver-side distinct scan; a declared list keeps it one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "revenue_rollup": revenue_rollup,
+    "event_type_pivot": event_type_pivot,
     "revenue_by_nation": revenue_by_nation,
     "top_customers": top_customers,
     "union_nationkeys": union_nationkeys,
@@ -164,6 +210,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "revenue_rollup": """
+SELECT r_name,
+       n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)                                          AS n_lineitems,
+       CAST(grouping(r_name) * 2 + grouping(n_name) AS INTEGER) AS level
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    "event_type_pivot": """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+""",
     "pricing_summary": f"""
 SELECT l_returnflag,
        l_linestatus,
@@ -171,9 +240,9 @@ SELECT l_returnflag,
        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
+       CAST((sum(CAST(round((l_quantity) * 100) AS BIGINT)) + count(*) // 2) // count(*) AS DOUBLE) / 100 AS avg_qty,
+       CAST((sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) + count(*) // 2) // count(*) AS DOUBLE) / 100 AS avg_price,
+       CAST((sum(CAST(round((l_discount) * 100) AS BIGINT)) + count(*) // 2) // count(*) AS DOUBLE) / 100 AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from angelone_clickhouse_spark.functions.exact import avg_fixed
 from angelone_clickhouse_spark.sources.tables import load_table
 
 SESSION_GAP_MIN = 30
@@ -61,7 +62,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            avg_fixed("k", "avg_k"),
             F.max("k").alias("max_k"),
             F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
         )
@@ -121,7 +122,7 @@ WITH t AS (
 )
 SELECT event_type,
        count(*)                                  AS n_events,
-       round(avg(k), 4)                          AS avg_k,
+       CAST((sum(CAST(round((k) * 100) AS BIGINT)) + count(*) // 2) // count(*) AS DOUBLE) / 100 AS avg_k,
        max(k)                                    AS max_k,
        CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
 FROM t

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from angelone_clickhouse_spark.functions.exact import avg_fixed
 from angelone_clickhouse_spark.sources.tables import load_table
 
 STOPWORDS = ("a", "the", "of", "and", "in", "to")
@@ -66,7 +67,7 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        avg_fixed("n_chars", "avg_chars"),
     )
 
 
@@ -176,7 +177,7 @@ FROM t
 SELECT lang, source,
        count(*)                          AS n_docs,
        CAST(sum(n_chars) AS BIGINT)      AS total_chars,
-       round(avg(n_chars), 4)            AS avg_chars
+       CAST((sum(CAST(round((n_chars) * 100) AS BIGINT)) + count(*) // 2) // count(*) AS DOUBLE) / 100 AS avg_chars
 FROM documents
 GROUP BY lang, source
 """,
