@@ -57,6 +57,41 @@ def avg_fixed(col: str | Column, alias: str) -> Column:
     return (avg_cents / F.lit(float(SCALE))).alias(alias)
 
 
+def sum_fixed_round2(col: Column, grid_scale: int, alias: str) -> Column:
+    """Half-up-to-2-decimals sum of a column whose values lie on the
+    10^-grid_scale grid (e.g. price*(1-disc) is exact at 4 decimals,
+    price*(1-disc)*(1+tax) at 6). ``round(sum(x), 2)`` is unsafe here:
+    the sum can land exactly on a .005 half where engines diverge (see
+    module docstring). Summing exact 10^-g units in integers and
+    rounding with integer arithmetic is reproducible by construction.
+
+    Overflow headroom: the long sum holds ~9e18 grid units; at g=6
+    that is ~9e12 in value per group — beyond that swap in
+    DecimalType(38,0), same formula."""
+    mult = 10**grid_scale
+    units = F.round(col * mult).cast("long")
+    s = F.sum(units)
+    d = 10 ** (grid_scale - 2)
+    if d > 1:
+        # decimal, not double, for the integer division: a g=6 sum can
+        # exceed 2^53 grid units, where double floor(x/d) goes wrong
+        cents = F.floor(
+            (s.cast("decimal(38,0)") + F.lit(d // 2)) / F.lit(d)
+        ).cast("long")
+    else:
+        cents = s
+    return (cents / F.lit(100.0)).alias(alias)
+
+
+def sum_fixed_round2_sql(expr: str, grid_scale: int, alias: str) -> str:
+    mult = 10**grid_scale
+    d = 10 ** (grid_scale - 2)
+    s = f"sum(CAST(round(({expr}) * {mult}) AS BIGINT))"
+    if d > 1:
+        s = f"(({s} + {d // 2}) // {d})"
+    return f"CAST({s} AS DOUBLE) / 100 AS {alias}"
+
+
 def avg_fixed_sql(expr: str, alias: str) -> str:
     """The DuckDB spelling of avg_fixed (pure integer arithmetic)."""
     return (

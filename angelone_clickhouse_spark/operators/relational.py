@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from angelone_clickhouse_spark.functions.exact import avg_fixed
+from angelone_clickhouse_spark.functions.exact import avg_fixed, sum_fixed_round2
 from angelone_clickhouse_spark.sources.tables import load_table
 
 SHIP_CUTOFF = "1999-06-01"
@@ -43,17 +43,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            sum_fixed_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                4, "sum_disc_price",
+            ),
+            sum_fixed_round2(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6, "sum_charge",
+            ),
             avg_fixed("l_quantity", "avg_qty"),
             avg_fixed("l_extendedprice", "avg_price"),
             avg_fixed("l_discount", "avg_disc"),
@@ -77,9 +76,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == REGION)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            sum_fixed_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+            ),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -172,9 +171,9 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            sum_fixed_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+            ),
             F.count(F.lit(1)).alias("n_lineitems"),
             F.grouping_id().cast("int").alias("level"),
         )
@@ -213,7 +212,7 @@ ORACLES = {
     "revenue_rollup": """
 SELECT r_name,
        n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) + 50) // 100) AS DOUBLE) / 100 AS revenue,
        count(*)                                          AS n_lineitems,
        CAST(grouping(r_name) * 2 + grouping(n_name) AS INTEGER) AS level
 FROM lineitem
@@ -238,8 +237,8 @@ SELECT l_returnflag,
        l_linestatus,
        round(sum(l_quantity), 2)                                        AS sum_qty,
        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       CAST(((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) + 50) // 100) AS DOUBLE) / 100 AS sum_disc_price,
+       CAST(((sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) + 5000) // 10000) AS DOUBLE) / 100 AS sum_charge,
        CAST((sum(CAST(round((l_quantity) * 100) AS BIGINT)) + count(*) // 2) // count(*) AS DOUBLE) / 100 AS avg_qty,
        CAST((sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) + count(*) // 2) // count(*) AS DOUBLE) / 100 AS avg_price,
        CAST((sum(CAST(round((l_discount) * 100) AS BIGINT)) + count(*) // 2) // count(*) AS DOUBLE) / 100 AS avg_disc,
@@ -250,7 +249,7 @@ GROUP BY l_returnflag, l_linestatus
 """,
     "revenue_by_nation": f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(((sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) + 50) // 100) AS DOUBLE) / 100 AS revenue,
        count(*)                                          AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

@@ -70,3 +70,25 @@ def test_sql_view_surface(spark, sf_dir):
         "GROUP BY token ORDER BY mx DESC LIMIT 3"
     ).collect()
     assert len(top) == 3
+
+
+def test_sink_partition_pruning(spark, tmp_path):
+    """A date filter on the tick sink must scan only that date's
+    partition directory (the MergeTree ORDER BY analogue: partition
+    pruning + row-group skipping)."""
+    d = str(tmp_path)
+    frames = generate_frames(2000, seed=21)
+    # spread frames over two days by shifting half a day of millis
+    from angelone_clickhouse_spark.sources.frames import EPOCH_2024_MS
+    half = generate_frames(1000, seed=22, start_ms=EPOCH_2024_MS + 86_400_000)
+    write_frames_parquet(spark, frames + half, f"{d}/in", n_files=4)
+    q = ingest_to_parquet(spark, f"{d}/in", f"{d}/out", f"{d}/ckpt", available_now=True)
+    q.awaitTermination(120)
+    df = spark.read.parquet(f"{d}/out")
+    dates = sorted(r.date for r in df.select("date").distinct().collect())
+    assert len(dates) == 2
+    pruned = df.filter(F.col("date") == str(dates[1]))
+    # inputFiles() is pre-pruning; input_file_name() reflects the files
+    # the executed (pruned) scan actually touched
+    files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    assert files and all(f"date={dates[1]}" in f for f in files)
