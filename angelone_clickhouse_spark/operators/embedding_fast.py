@@ -54,9 +54,12 @@ def _corpus_blocks(spark: SparkSession, sf_dir: str):
     return [spark.sparkContext.broadcast((ids, m))]
 
 
-def dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same semantics as dedup.dedup_embedding (pairs with rounded
-    cosine >= threshold, a < b) as blocked matmul."""
+def candidate_pairs_fast(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Blocked-matmul pairs with numpy cosine >= threshold (a < b).
+    With threshold lowered by an ε larger than float-summation noise,
+    this is a SOUND pruner for the exact op (dedup.dedup_embedding)."""
     blocks = _corpus_blocks(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
@@ -67,10 +70,9 @@ def dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             a /= np.linalg.norm(a, axis=1, keepdims=True)
             for blk in blocks:
                 b_ids, b = blk.value
-                cos = a @ b.T  # (batch, corpus)
-                cos = np.round(cos, 6)
+                cos = np.round(a @ b.T, 6)  # (batch, corpus)
                 ai, bi = np.nonzero(
-                    (cos >= COSINE_THRESHOLD) & (a_ids[:, None] < b_ids[None, :])
+                    (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
                 )
                 if len(ai):
                     yield pd.DataFrame(
@@ -82,6 +84,13 @@ def dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
 
     return emb.mapInPandas(run, schema=PAIR_SCHEMA)
+
+
+def dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with numpy-rounded cosine >= threshold — the pure
+    vectorized variant (rows-only; cosines can differ from the
+    sequential-sum oracle in the last float bits)."""
+    return candidate_pairs_fast(spark, sf_dir, COSINE_THRESHOLD)
 
 
 def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
