@@ -52,7 +52,9 @@ def avg_fixed(col: str | Column, alias: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     cents = F.round(c * SCALE).cast("long")
     s = F.sum(cents)
-    n = F.count(F.lit(1))
+    # count of non-null inputs, so nullable columns average over the
+    # present values (standard AVG), not over every row
+    n = F.count(cents)
     avg_cents = F.floor((s + F.floor(n / 2)) / n)
     return (avg_cents / F.lit(float(SCALE))).alias(alias)
 
@@ -93,10 +95,12 @@ def sum_fixed_round2_sql(expr: str, grid_scale: int, alias: str) -> str:
 
 
 def avg_fixed_sql(expr: str, alias: str) -> str:
-    """The DuckDB spelling of avg_fixed (pure integer arithmetic)."""
+    """The DuckDB spelling of avg_fixed (pure integer arithmetic);
+    count((expr)) matches avg_fixed's non-null count."""
     return (
-        f"CAST((sum(CAST(round(({expr}) * 100) AS BIGINT)) + count(*) // 2) "
-        f"// count(*) AS DOUBLE) / 100 AS {alias}"
+        f"CAST((sum(CAST(round(({expr}) * 100) AS BIGINT)) "
+        f"+ count(({expr})) // 2) "
+        f"// count(({expr})) AS DOUBLE) / 100 AS {alias}"
     )
 
 

@@ -109,7 +109,11 @@ def tokens_by_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim.join(F.broadcast(emap), "exchange")
         .groupBy("exchange_type")
         .agg(
-            F.sort_array(F.collect_list("token")).alias("tokens"),
+            # joined to one string: the driver's canonicalization sorts
+            # columns with pandas, which cannot hash list cells
+            F.array_join(
+                F.sort_array(F.collect_list("token")), ","
+            ).alias("tokens"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
@@ -145,8 +149,8 @@ WHERE NOT EXISTS (
     "tokens_by_exchange": _DIM_CTE
     + """
 SELECT m.exchange_type,
-       list_sort(list(d.token))  AS tokens,
-       count(*)                  AS n_tokens
+       array_to_string(list_sort(list(d.token)), ',')  AS tokens,
+       count(*)                                        AS n_tokens
 FROM token_dim d
 JOIN exchange_map m ON d.exchange = m.exchange
 GROUP BY m.exchange_type

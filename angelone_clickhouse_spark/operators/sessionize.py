@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from angelone_clickhouse_spark.functions.exact import avg_fixed
+from angelone_clickhouse_spark.functions.exact import (
+    avg_fixed,
+    avg_fixed_sql,
+    sum_fixed,
+    sum_fixed_sql,
+)
 from angelone_clickhouse_spark.sources.tables import load_table
 
 SESSION_GAP_MIN = 30
@@ -47,7 +52,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact integer-cents sum — round(sum(double)) diverges
+            # cross-engine (functions/exact.py module docstring)
+            sum_fixed("value", "total_value"),
         )
     )
 
@@ -87,6 +94,8 @@ QUERIES = {
     "event_type_funnel": event_type_funnel,
 }
 
+_TOTAL_VALUE_SQL = sum_fixed_sql('"value"', "total_value")
+
 ORACLES = {
     "sessionize_events": f"""
 WITH ordered AS (
@@ -112,17 +121,17 @@ SELECT user_id, session_seq,
        min(ts)                 AS session_start,
        max(ts)                 AS session_end,
        count(*)                AS n_events,
-       round(sum("value"), 2)  AS total_value
+       {_TOTAL_VALUE_SQL}
 FROM sid
 GROUP BY user_id, session_seq
 """,
-    "json_extract_events": """
+    "json_extract_events": f"""
 WITH t AS (
   SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
 )
 SELECT event_type,
        count(*)                                  AS n_events,
-       CAST((sum(CAST(round((k) * 100) AS BIGINT)) + count(*) // 2) // count(*) AS DOUBLE) / 100 AS avg_k,
+       {avg_fixed_sql("k", "avg_k")},
        max(k)                                    AS max_k,
        CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
 FROM t
