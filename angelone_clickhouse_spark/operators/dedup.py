@@ -344,9 +344,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         _cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
     )
+    # candidates are the small side — never broadcast the corpus;
+    # AQE turns these into broadcast joins of `cand` when it is tiny
     return (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
     )

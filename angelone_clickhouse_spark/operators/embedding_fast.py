@@ -4,14 +4,25 @@ The exact JVM ops in dedup.py / similarity.py evaluate the cosine as
 interpreted higher-order expressions (zip_with + aggregate): correct,
 oracle-checkable bit-for-bit against DuckDB, but ~lambda-per-element.
 At scale you want BLAS: this module computes the same pairwise /
-top-k cosines as blocked matrix products inside ``mapInPandas``.
+top-k cosines as blocked matrix products — with NO driver-side
+materialization of the corpus.
 
-Blocking scheme: one side of the product is the partition's Arrow
-batch (rows), the other is a broadcast block of the corpus. Locally
-the corpus fits in one broadcast ((n, 64) float64); on a 100 TB
-corpus you iterate broadcast-sized column blocks — the partition-side
-loop below is already written against a list of blocks, so the only
-change is feeding it more than one.
+Blocking scheme (all-pairs): assign each vector to a block by
+``vec_id % n_blocks``; replicate each row to every (block_i, block_j)
+grid cell it participates in (A-side for cells in its row of the
+upper-triangular grid, B-side for cells in its column), then
+``groupBy(bi, bj).applyInPandas`` computes one NumPy matmul per cell.
+A pair of vectors meets in exactly one cell, so no global dedup pass
+is needed. Shuffle volume is n·n_blocks rows — the standard
+O(n·sqrt(P)) replication of distributed blocked all-pairs — and every
+stage is executor-side; the driver never sees a vector.
+
+Top-k: the small QUERY set (bounded, |Q| = N_QUERIES) is collected
+and broadcast — the corpus streams through ``mapInPandas`` computing
+per-batch partial top-k, merged globally by a window rank over the
+(partitions × |Q| × k)-row partial result. Broadcast-the-small-side /
+stream-the-big-side is the 100 TB shape; the previous revision did
+the inverse (corpus collect to the driver) and is gone.
 
 Driver checks are rows-only (float summation order differs from
 DuckDB's sequential sum at the last bits); equivalence with the exact
@@ -22,12 +33,14 @@ tests/test_embedding_fast.py. Measured at sf0.1: exact JVM pairwise
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from angelone_clickhouse_spark.operators.dedup import COSINE_THRESHOLD
 from angelone_clickhouse_spark.operators.similarity import N_QUERIES, TOP_K
@@ -36,54 +49,69 @@ from angelone_clickhouse_spark.sources.tables import load_table
 PAIR_SCHEMA = "vec_a long, vec_b long, cos_sim double"
 TOPK_SCHEMA = "query_id long, neighbor_id long, cos_sim double, rank int"
 
+# Rows per matmul block. Sized so a (BLOCK_ROWS, dim) float64 block and
+# its (BLOCK_ROWS, BLOCK_ROWS) cosine matrix fit comfortably in an
+# executor's task memory (1024² doubles = 8 MiB); at a real 100 TB
+# corpus raise it toward ~16-64k rows to amortize per-cell overhead.
+BLOCK_ROWS = 1024
 
-def _corpus_blocks(spark: SparkSession, sf_dir: str):
-    """Broadcast the (ids, unit-normalized matrix) corpus block(s).
 
-    One block here; at real scale: chunk by vec_id ranges and return a
-    list of broadcasts — the consumers below already iterate blocks.
-    """
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    m = np.array([r.embedding for r in rows], dtype=np.float64)
+def _unit_rows(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    m = np.array(list(pdf["embedding"]), dtype=np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
-    return [spark.sparkContext.broadcast((ids, m))]
+    return ids, m
 
 
 def candidate_pairs_fast(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
-    """Blocked-matmul pairs with numpy cosine >= threshold (a < b).
-    With threshold lowered by an ε larger than float-summation noise,
-    this is a SOUND pruner for the exact op (dedup.dedup_embedding)."""
-    blocks = _corpus_blocks(spark, sf_dir)
+    """Blocked-matmul pairs with numpy cosine >= threshold (vec_a <
+    vec_b). With threshold lowered by an ε larger than float-summation
+    noise, this is a SOUND pruner for the exact op
+    (dedup.dedup_embedding)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_blocks = max(1, math.ceil(emb.count() / BLOCK_ROWS))
+    blk = (F.col("vec_id") % n_blocks).cast("int")
+    # A-side of cell (bi, bj): its own block row, every column >= it.
+    a_rep = emb.select(
+        "vec_id",
+        "embedding",
+        blk.alias("bi"),
+        F.explode(F.sequence(blk, F.lit(n_blocks - 1))).alias("bj"),
+        F.lit(0).alias("side"),
+    )
+    # B-side of cell (bi, bj): its own block column, every row <= it.
+    b_rep = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), blk)).alias("bi"),
+        blk.alias("bj"),
+        F.lit(1).alias("side"),
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            for blk in blocks:
-                b_ids, b = blk.value
-                cos = np.round(a @ b.T, 6)  # (batch, corpus)
-                ai, bi = np.nonzero(
-                    (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
-                )
-                if len(ai):
-                    yield pd.DataFrame(
-                        {
-                            "vec_a": a_ids[ai],
-                            "vec_b": b_ids[bi],
-                            "cos_sim": cos[ai, bi],
-                        }
-                    )
+    def cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        a_ids, a = _unit_rows(pdf[pdf["side"] == 0])
+        b_ids, b = _unit_rows(pdf[pdf["side"] == 1])
+        cos = np.round(a @ b.T, 6)  # (a_block, b_block)
+        mask = cos >= threshold
+        if bi == bj:
+            # diagonal cell: both sides hold the same block — keep the
+            # strict upper triangle so each pair is emitted once
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ai, bix = np.nonzero(mask)
+        va, vb = a_ids[ai], b_ids[bix]
+        # off-diagonal ids are from disjoint blocks but not ordered;
+        # normalize so vec_a < vec_b always
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_sim": cos[ai, bix]})
 
-    return emb.mapInPandas(run, schema=PAIR_SCHEMA)
+    return (
+        a_rep.unionByName(b_rep)
+        .groupBy("bi", "bj")
+        .applyInPandas(cell, schema=PAIR_SCHEMA)
+    )
 
 
 def dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,52 +123,46 @@ def dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as similarity.ann_topk_cosine (exact top-k for
-    query vectors, rounded-cosine ordering, neighbor_id tiebreak) as a
-    single matmul per partition block."""
-    blocks = _corpus_blocks(spark, sf_dir)
-    queries = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
+    query vectors, rounded-cosine ordering, neighbor_id tiebreak):
+    the bounded query set broadcasts, the corpus streams through a
+    per-batch matmul + partial top-k, and a window rank merges the
+    partials. No corpus shuffle, no corpus materialization."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # bounded collect: N_QUERIES rows, the broadcast small side
+    q_ids, q = _unit_rows(
+        emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
     )
+    qb = spark.sparkContext.broadcast((q_ids, q))
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q = qb.value
         for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            # partial top-k per block, merged at the end (k-merge —
-            # exactly what more blocks would need)
-            parts = []
-            for blk in blocks:
-                b_ids, b = blk.value
-                cos = np.round(q @ b.T, 6)
-                for row, qid in enumerate(q_ids):
-                    mask = b_ids != qid
-                    cand_ids = b_ids[mask]
-                    cand_cos = cos[row][mask]
-                    # top-k by (-cos, id): stable deterministic order
-                    order = np.lexsort((cand_ids, -cand_cos))[:TOP_K]
-                    parts.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": qid,
-                                "neighbor_id": cand_ids[order],
-                                "cos_sim": cand_cos[order],
-                            }
-                        )
-                    )
-            merged = pd.concat(parts, ignore_index=True)
-            merged = merged.sort_values(
-                ["query_id", "cos_sim", "neighbor_id"],
-                ascending=[True, False, True],
-            )
-            merged["rank"] = merged.groupby("query_id").cumcount() + 1
-            merged = merged[merged["rank"] <= TOP_K]
-            merged["rank"] = merged["rank"].astype("int32")
-            yield merged
+            c_ids, c = _unit_rows(pdf)
+            cos = np.round(q @ c.T, 6)  # (|Q|, batch)
+            for row, qid in enumerate(q_ids):
+                mask = c_ids != qid
+                cand_ids = c_ids[mask]
+                cand_cos = cos[row][mask]
+                # partial top-k by (-cos, id); k-merge happens globally
+                order = np.lexsort((cand_ids, -cand_cos))[:TOP_K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[order],
+                        "cos_sim": cand_cos[order],
+                        "rank": np.zeros(len(order), dtype=np.int32),
+                    }
+                )
 
-    return queries.mapInPandas(run, schema=TOPK_SCHEMA)
+    partial = emb.mapInPandas(score, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 QUERIES = {

@@ -1,11 +1,15 @@
 from __future__ import annotations
 
+import pyspark.sql
+import pytest
+
+from angelone_clickhouse_spark.operators import embedding_fast
 from angelone_clickhouse_spark.operators.dedup import dedup_embedding
 from angelone_clickhouse_spark.operators.embedding_fast import (
     ann_topk_fast,
     dedup_embedding_fast,
 )
-from angelone_clickhouse_spark.operators.similarity import ann_topk_cosine
+from angelone_clickhouse_spark.operators.similarity import N_QUERIES, ann_topk_cosine
 
 
 def test_fast_pairs_equal_exact(spark, sf_dir):
@@ -33,6 +37,54 @@ def test_fast_topk_equal_exact(spark, sf_dir):
     assert [t[:3] for t in exact] == [t[:3] for t in fast]
     for a, b in zip(exact, fast):
         assert abs(a[3] - b[3]) <= 1e-6
+
+
+def test_fast_pairs_multiblock_equal_singleblock(spark, sf_dir, monkeypatch):
+    """The blocked all-pairs grid must emit every pair exactly once
+    regardless of block count: force >1 block and compare with the
+    single-block result."""
+    one = sorted(
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dedup_embedding_fast(spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(embedding_fast, "BLOCK_ROWS", 64)  # 500 rows -> 8 blocks
+    many = sorted(
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dedup_embedding_fast(spark, sf_dir).collect()
+    )
+    assert one == many
+
+
+def test_no_unbounded_driver_materialization(spark, sf_dir, monkeypatch):
+    """The embedding fast paths must never materialize the corpus on
+    the driver (the 100 TB scale contract): every internal collect /
+    toPandas while BUILDING the plans must be bounded by the query-set
+    size. The final .collect() of results happens after restore."""
+    seen: list[int] = []
+    real_collect = pyspark.sql.DataFrame.collect
+    real_topandas = pyspark.sql.DataFrame.toPandas
+
+    def spy_collect(self):
+        out = real_collect(self)
+        seen.append(len(out))
+        return out
+
+    def spy_topandas(self):
+        out = real_topandas(self)
+        seen.append(len(out))
+        return out
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", spy_collect)
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", spy_topandas)
+    plans = [
+        dedup_embedding_fast(spark, sf_dir),
+        ann_topk_fast(spark, sf_dir),
+        dedup_embedding(spark, sf_dir),
+    ]
+    assert max(seen, default=0) <= N_QUERIES
+    monkeypatch.undo()
+    for df in plans:
+        assert df.count() > 0
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
