@@ -59,6 +59,30 @@ def avg_fixed(col: str | Column, alias: str) -> Column:
     return (avg_cents / F.lit(float(SCALE))).alias(alias)
 
 
+def avg_fixed_g(col: str | Column, grid_scale: int, alias: str) -> Column:
+    """avg_fixed generalized to a 10^-grid_scale output grid: exact
+    integer-unit sum, half-up integer division by the non-null count.
+    Input values must be exactly representable on the grid (e.g.
+    paise-valued prices at grid_scale=4: round(price*10000) recovers
+    paise*100 exactly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    mult = 10**grid_scale
+    units = F.round(c * mult).cast("long")
+    s = F.sum(units)
+    n = F.count(units)
+    avg_units = F.floor((s + F.floor(n / 2)) / n)
+    return (avg_units / F.lit(float(mult))).alias(alias)
+
+
+def avg_fixed_g_sql(expr: str, grid_scale: int, alias: str) -> str:
+    mult = 10**grid_scale
+    return (
+        f"CAST((sum(CAST(round(({expr}) * {mult}) AS BIGINT)) "
+        f"+ count(({expr})) // 2) "
+        f"// count(({expr})) AS DOUBLE) / {mult} AS {alias}"
+    )
+
+
 def sum_fixed_round2(col: Column, grid_scale: int, alias: str) -> Column:
     """Half-up-to-2-decimals sum of a column whose values lie on the
     10^-grid_scale grid (e.g. price*(1-disc) is exact at 4 decimals,

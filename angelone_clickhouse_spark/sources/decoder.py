@@ -184,9 +184,12 @@ def decode_frames_native(df: DataFrame, frame_col: str = "frame") -> DataFrame:
         hdr(F.conv(F.hex(F.substring(b, 2, 1)), 16, 10).cast("int")).alias(
             "exchange_type"
         ),
+        # first-NUL truncation, identical to the pandas path's
+        # split(b"\x00")[0] — a regex '.' would stop at a newline in
+        # garbage padding and leave residue after the first NUL
         hdr(
-            F.regexp_replace(
-                F.decode(F.substring(b, 3, 25), "UTF-8"), "\x00.*$", ""
+            F.substring_index(
+                F.decode(F.substring(b, 3, 25), "UTF-8"), "\x00", 1
             )
         ).alias("token"),
         hdr(le_long(b, 28)).alias("sequence_number"),

@@ -96,19 +96,28 @@ def encode_frame(
     )
 
 
-def generate_frames(
+def generate_frames_and_truth(
     n: int,
     seed: int = 42,
     duplicate_every: int = 0,
     corrupt_every: int = 0,
     start_ms: int = EPOCH_2024_MS,
-) -> list[bytes]:
-    """Deterministic frame stream: per-token price random walks, mixed
-    mode-1/mode-3 frames, optional duplicated sequence numbers (dedup
-    tests) and truncated frames (corrupt-path tests)."""
+) -> tuple[list[bytes], list[dict]]:
+    """Deterministic frame stream plus its ground truth: per-token price
+    random walks, mixed mode-1/mode-3 frames, optional duplicated
+    sequence numbers (dedup tests) and truncated frames (corrupt-path
+    tests).
+
+    The truth list holds one record per emitted frame (duplicates
+    included) with every PRE-ENCODING field value and the frame's final
+    byte length — enough for a DuckDB oracle to replicate the decoder's
+    mode-conditional and corrupt-frame semantics bit-for-bit. Tail
+    fields are None for mode-1 frames because the encoder never puts
+    them on the wire."""
     rng = random.Random(seed)
     state = {tok: rng.randint(10_000, 500_000) for _, tok, _ in TOKEN_UNIVERSE}
     frames: list[bytes] = []
+    truth: list[dict] = []
     ts = start_ms
     for i in range(n):
         symbol, token, exch = TOKEN_UNIVERSE[i % len(TOKEN_UNIVERSE)]
@@ -116,7 +125,7 @@ def generate_frames(
         px = max(100, state[token] + rng.randint(-200, 200))
         state[token] = px
         mode = 1 if rng.random() < 0.3 else 3
-        frame = encode_frame(
+        rec = dict(
             mode=mode,
             exchange_type=exch,
             token=token,
@@ -133,12 +142,73 @@ def generate_frames(
             low_paise=px - rng.randint(0, 600),
             close_paise=px + rng.randint(-500, 500),
         )
+        frame = encode_frame(
+            mode=rec["mode"],
+            exchange_type=rec["exchange_type"],
+            token=rec["token"],
+            sequence_number=rec["sequence_number"],
+            exchange_timestamp_ms=rec["exchange_timestamp_ms"],
+            ltp_paise=rec["ltp_paise"],
+            ltq=rec["ltq"],
+            atp_paise=rec["atp_paise"],
+            volume=rec["volume"],
+            total_buy_qty=rec["total_buy_qty"],
+            total_sell_qty=rec["total_sell_qty"],
+            open_paise=rec["open_paise"],
+            high_paise=rec["high_paise"],
+            low_paise=rec["low_paise"],
+            close_paise=rec["close_paise"],
+        )
         if corrupt_every and i % corrupt_every == corrupt_every - 1:
             frame = frame[: rng.randint(1, len(frame) - 1)]
+        if rec["mode"] < 2:
+            # not on the wire for LTP frames (parser/binary.go:63-73)
+            for k in (
+                "ltq", "atp_paise", "volume", "total_buy_qty",
+                "total_sell_qty", "open_paise", "high_paise",
+                "low_paise", "close_paise",
+            ):
+                rec[k] = None
+        rec["frame_len"] = len(frame)
         frames.append(frame)
+        truth.append(rec)
         if duplicate_every and i % duplicate_every == duplicate_every - 1:
             frames.append(frame)
-    return frames
+            truth.append(dict(rec))
+    return frames, truth
+
+
+def generate_frames(
+    n: int,
+    seed: int = 42,
+    duplicate_every: int = 0,
+    corrupt_every: int = 0,
+    start_ms: int = EPOCH_2024_MS,
+) -> list[bytes]:
+    return generate_frames_and_truth(
+        n, seed, duplicate_every, corrupt_every, start_ms
+    )[0]
+
+
+def write_truth_sidecar(path: str, truth: list[dict]) -> str:
+    """Persist a truth-record list as a parquet sidecar DuckDB can read
+    (oracle input for the decode-path differential). Deterministic
+    content; cheap enough to regenerate at import."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df = pd.DataFrame(truth)
+    for col in df.columns:
+        if col in ("token",):
+            continue
+        if col in ("total_buy_qty", "total_sell_qty"):
+            df[col] = df[col].astype("float64")
+        else:
+            df[col] = df[col].astype("Int64")
+    df.to_parquet(path, index=False)
+    return path
 
 
 def frames_df(spark, frames: list[bytes]):

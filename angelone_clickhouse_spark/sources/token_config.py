@@ -67,14 +67,30 @@ def enriched_token_config(spark: SparkSession, path: str | None = None) -> DataF
     return cfg.join(F.broadcast(exchange_type_df(spark)), "exchange")
 
 
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+ENRICHED_TRUTH_PATH = os.path.join(
+    _REPO_ROOT, ".oracle_sidecar", "decode_enriched_truth.parquet"
+)
+_ENRICHED_PARAMS = dict(n=2000, seed=42)
+
+
 def decode_ticks_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated wire frames decoded then enriched with the token
     config — the reference's full startup dataflow (O2/O6 + O10/O11)
-    as one plan. rows-only driver check."""
+    as one plan. Oracle-checked against the generator's truth sidecar
+    joined to the same config universe."""
+    from angelone_clickhouse_spark.functions.exact import avg_fixed_g
     from angelone_clickhouse_spark.sources.decoder import decode_frames, wire_to_ticks
-    from angelone_clickhouse_spark.sources.frames import frames_df, generate_frames
+    from angelone_clickhouse_spark.sources.frames import (
+        frames_df,
+        generate_frames_and_truth,
+        write_truth_sidecar,
+    )
 
-    frames = generate_frames(2000, seed=42)
+    frames, truth = generate_frames_and_truth(**_ENRICHED_PARAMS)
+    write_truth_sidecar(ENRICHED_TRUTH_PATH, truth)
     ticks = wire_to_ticks(decode_frames(frames_df(spark, frames)))
     cfg = enriched_token_config(spark)
     return (
@@ -82,10 +98,56 @@ def decode_ticks_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("symbol", "exchange", "exchange_type")
         .agg(
             F.count(F.lit(1)).alias("n_ticks"),
-            F.round(F.avg("last_traded_price"), 4).alias("avg_price"),
+            # exact half-up avg on the 1e-4 grid (price is paise/100, so
+            # price*10000 is exactly paise*100) — round(avg(double), 4)
+            # diverges cross-engine at decimal halves
+            avg_fixed_g("last_traded_price", 4, "avg_price"),
         )
     )
 
 
+def _config_values_sql() -> str:
+    import json
+
+    with open(DEFAULT_CONFIG_PATH) as f:
+        cfg = json.load(f)
+    rows = ", ".join(
+        f"('{r['symbol']}', '{r['token']}', '{r['exchange']}')" for r in cfg
+    )
+    emap = ", ".join(
+        f"('{name}', {code})" for name, code in EXCHANGE_TYPE_MAP.items()
+    )
+    return (
+        f"cfg AS (SELECT * FROM (VALUES {rows}) "
+        f"AS c(symbol, token, exchange)),\n"
+        f"emap AS (SELECT * FROM (VALUES {emap}) "
+        f"AS m(exchange, exchange_type))"
+    )
+
+
 QUERIES = {"decode_ticks_enriched": decode_ticks_enriched}
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    # frames have no duplicates/corruption here, so every truth row is
+    # a valid tick; avg is the exact integer spelling of avg_fixed_g
+    # over paise*100 units
+    "decode_ticks_enriched": f"""
+WITH {_config_values_sql()}
+SELECT c.symbol, c.exchange, m.exchange_type,
+       count(*) AS n_ticks,
+       CAST((sum(t.ltp_paise) * 100 + count(*) // 2) // count(*)
+            AS DOUBLE) / 10000 AS avg_price
+FROM read_parquet('{ENRICHED_TRUTH_PATH}') t
+JOIN cfg c ON t.token = c.token
+JOIN emap m ON c.exchange = m.exchange
+GROUP BY c.symbol, c.exchange, m.exchange_type
+""",
+}
+
+# keep the sidecar in sync at import so the oracle is valid no matter
+# whether the driver runs the SQL or the Spark plan first
+from angelone_clickhouse_spark.sources.frames import (  # noqa: E402
+    generate_frames_and_truth as _gft,
+    write_truth_sidecar as _wts,
+)
+
+_wts(ENRICHED_TRUTH_PATH, _gft(**_ENRICHED_PARAMS)[1])

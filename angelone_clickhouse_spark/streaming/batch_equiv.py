@@ -4,20 +4,46 @@
 the canonical tick table so DuckDB can oracle-check it (date_trunc is
 the batch spelling of a 1-minute tumbling window). ``decode_ticks``
 exercises encoder -> pandas-UDF decoder -> storage projection -> exact
-dedup on a deterministic generated frame stream; no DuckDB-visible
-input exists for it, so the driver records the weaker rows-only check —
-the full value-level assertions live in tests/test_decoder.py and
-tests/test_streaming.py.
+dedup on a deterministic generated frame stream; the frame generator
+persists its PRE-ENCODING field values as a parquet sidecar
+(frames.write_truth_sidecar), so DuckDB aggregates the ground truth
+while Spark aggregates the decoded wire bytes — a true end-to-end
+differential of the reference's core operator (parser/binary.go:47-76)
+including mode-conditional tails, NUL-trimmed tokens, duplicate frames
+and truncated-frame rejection.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angelone_clickhouse_spark.functions.exact import sum_fixed
 from angelone_clickhouse_spark.sources.decoder import decode_frames, wire_to_ticks
-from angelone_clickhouse_spark.sources.frames import frames_df, generate_frames
+from angelone_clickhouse_spark.sources.frames import (
+    frames_df,
+    generate_frames_and_truth,
+    write_truth_sidecar,
+)
 from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+DECODE_TRUTH_PATH = os.path.join(
+    _REPO_ROOT, ".oracle_sidecar", "decode_ticks_truth.parquet"
+)
+_DECODE_PARAMS = dict(n=3000, seed=42, duplicate_every=10, corrupt_every=50)
+
+
+def _decode_inputs() -> list[bytes]:
+    """Frames for decode_ticks, with the truth sidecar kept in sync so
+    the DuckDB oracle always aggregates exactly what was encoded."""
+    frames, truth = generate_frames_and_truth(**_DECODE_PARAMS)
+    write_truth_sidecar(DECODE_TRUTH_PATH, truth)
+    return frames
 
 
 def minute_bars_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,13 +65,15 @@ def minute_bars_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decode_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated wire frames (with duplicates and truncations) through
-    the full decode path, aggregated per token."""
-    frames = generate_frames(3000, seed=42, duplicate_every=10, corrupt_every=50)
+    the full decode path, aggregated per token. Oracle-checked against
+    the generator's truth sidecar."""
+    frames = _decode_inputs()
     decoded = wire_to_ticks(decode_frames(frames_df(spark, frames)))
     deduped = decoded.dropDuplicates(["token", "sequence_number"])
     return deduped.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_ticks"),
-        F.round(F.sum("last_traded_price"), 2).alias("sum_ltp"),
+        # exact paise sum: round(sum(double)) diverges cross-engine
+        sum_fixed("last_traded_price", "sum_ltp"),
         F.round(F.sum("volume"), 2).alias("total_volume"),
         F.max("ts").alias("last_ts"),
     )
@@ -70,4 +98,31 @@ SELECT date_trunc('minute', ts)               AS bar_ts,
 FROM ticks
 GROUP BY date_trunc('minute', ts), token
 """,
+    # Decode differential: DuckDB aggregates the generator's
+    # pre-encoding truth; Spark aggregates the decoded wire bytes.
+    # Valid = long enough for its declared mode (decoder is_corrupt
+    # semantics); DISTINCT collapses duplicated frames exactly like
+    # dropDuplicates on (token, sequence_number) because duplicates
+    # are byte-identical.
+    "decode_ticks": f"""
+WITH valid AS (
+  SELECT DISTINCT token, sequence_number, exchange_timestamp_ms,
+                  ltp_paise, volume
+  FROM read_parquet('{DECODE_TRUTH_PATH}')
+  WHERE frame_len >= 51 AND NOT (mode >= 2 AND frame_len < 123)
+)
+SELECT token,
+       count(*)                                  AS n_ticks,
+       CAST(sum(ltp_paise) AS DOUBLE) / 100      AS sum_ltp,
+       round(CAST(sum(volume) AS DOUBLE), 2)     AS total_volume,
+       max(epoch_ms(exchange_timestamp_ms))      AS last_ts
+FROM valid
+GROUP BY token
+""",
 }
+
+# keep the sidecar in sync at import so the oracle is valid no matter
+# whether the driver runs the SQL or the Spark plan first
+write_truth_sidecar(
+    DECODE_TRUTH_PATH, generate_frames_and_truth(**_DECODE_PARAMS)[1]
+)
