@@ -87,12 +87,3 @@ def test_no_unbounded_driver_materialization(spark, sf_dir, monkeypatch):
         assert df.count() > 0
 
 
-def test_approx_distinct_within_rsd(spark, sf_dir):
-    from angelone_clickhouse_spark.functions.scalar import (
-        distinct_tokens,
-        distinct_tokens_approx,
-    )
-
-    exact = distinct_tokens(spark, sf_dir).collect()[0].n_tokens_exact
-    approx = distinct_tokens_approx(spark, sf_dir).collect()[0].n_tokens_approx
-    assert abs(approx - exact) / exact <= 0.1
