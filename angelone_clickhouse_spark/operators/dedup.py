@@ -54,15 +54,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- shingling (shared by jaccard + minhash) --------------------------------
 def _shingles(docs: DataFrame) -> DataFrame:
-    """doc_id -> exploded distinct 3-word shingles, all JVM-side."""
+    """doc_id -> exploded distinct 3-word shingles, all JVM-side.
+
+    Docs under 3 words yield an EMPTY shingle set: unguarded
+    sequence(0, size(w)-3) would count DOWN (e.g. [0,-1]) and
+    fabricate bogus shingles via null-skipping concat_ws (and error
+    under ANSI mode) — and the DuckDB oracle's generate_series yields
+    none, so the guard is also what keeps the engines aligned."""
     w = docs.select("doc_id", F.split("text", " ").alias("w"))
     sh = w.select(
         "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(0, size(w) - 3), "
-                "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-            )
+        F.expr(
+            "CASE WHEN size(w) >= 3 THEN array_distinct("
+            "  transform(sequence(0, size(w) - 3), "
+            "            i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END"
         ).alias("shingles"),
     )
     return sh.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -86,11 +92,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select("doc_id", F.split("text", " ").alias("w"))
     sets = w.select(
         "doc_id",
+        # same short-doc guard as _shingles: <3 words -> empty set
         F.expr(
+            "CASE WHEN size(w) >= 3 THEN "
             "array_sort(transform(array_distinct("
             "  transform(sequence(0, size(w) - 3), "
             "            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
             "), s -> struct(xxhash64(s) AS h, s AS s)))"
+            " ELSE CAST(array() AS ARRAY<STRUCT<h: BIGINT, s: STRING>>) END"
         ).alias("sorted_sh"),
     ).select(
         "doc_id",

@@ -111,24 +111,35 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+FP_WINDOW = 4
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     rolling window minimum over shingle hashes, built entirely from
-    higher-order array functions. rows-only driver check."""
+    higher-order array functions.
+
+    The shingle hash is the md5 HEX STRING, minimized
+    lexicographically: both engines implement md5 identically and
+    ASCII-hex string order is engine-independent, which makes the
+    whole op DuckDB-oracle-checkable (xxhash64 exists only in Spark).
+    Short docs (<3 words) yield no shingles — the guard prevents a
+    descending sequence() fabricating bogus shingles."""
     docs = load_table(spark, sf_dir, "documents")
-    win = 4
     hashed = docs.select(
         "doc_id",
         F.expr(
+            "CASE WHEN size(split(text,' ')) >= 3 THEN "
             "transform(sequence(0, size(split(text,' ')) - 3), "
-            "i -> xxhash64(concat_ws(' ', split(text,' ')[i], "
+            "i -> md5(concat_ws(' ', split(text,' ')[i], "
             "split(text,' ')[i+1], split(text,' ')[i+2])))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END"
         ).alias("hs"),
-    ).filter(F.size("hs") >= win)
+    ).filter(F.size("hs") >= FP_WINDOW)
     fp = F.array_distinct(
         F.expr(
-            f"transform(sequence(0, size(hs) - {win}), "
-            f"i -> array_min(slice(hs, i + 1, {win})))"
+            f"transform(sequence(0, size(hs) - {FP_WINDOW}), "
+            f"i -> array_min(slice(hs, i + 1, {FP_WINDOW})))"
         )
     )
     return hashed.select(
@@ -180,5 +191,23 @@ SELECT lang, source,
        CAST((sum(CAST(round((n_chars) * 100) AS BIGINT)) + count(*) // 2) // count(*) AS DOUBLE) / 100 AS avg_chars
 FROM documents
 GROUP BY lang, source
+""",
+    "text_fingerprint": f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(generate_series(1, len(ws) - 2),
+                          i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         ELSE [] END AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+)
+SELECT doc_id,
+       CAST(len(list_distinct(list_transform(
+              generate_series(1, len(hs) - {FP_WINDOW - 1}),
+              i -> list_aggregate(hs[i:i+{FP_WINDOW - 1}], 'min'))))
+            AS INTEGER)                       AS n_fingerprints,
+       CAST(len(hs) AS INTEGER)               AS n_shingles
+FROM sh
+WHERE len(hs) >= {FP_WINDOW}
 """,
 }

@@ -45,10 +45,21 @@ def read_frame_stream(
 
 
 def decode_tick_stream(frames: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """frames -> deduped tick rows (streaming or batch DataFrame)."""
+    """frames -> deduped tick rows (streaming or batch DataFrame).
+
+    Streaming dedup uses ``dropDuplicatesWithinWatermark``: plain
+    dropDuplicates on a subset WITHOUT the event-time column would keep
+    its keys forever (the watermark only evicts state whose key
+    includes the event-time), growing state unboundedly on a
+    long-running stream. Duplicate frames are byte-identical (same ts),
+    so within-watermark semantics equal exact dedup as long as a
+    duplicate arrives inside the watermark delay — true by construction
+    for the reference's retransmits."""
     ticks = wire_to_ticks(decode_frames(frames))
     if ticks.isStreaming:
-        ticks = ticks.withWatermark("ts", watermark)
+        return ticks.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["token", "sequence_number"]
+        )
     return ticks.dropDuplicates(["token", "sequence_number"])
 
 
