@@ -9,17 +9,83 @@ within files to preserve the MergeTree-style clustering
 (db/clickhouse.go:26-27 analogue) that row-group min/max skipping
 relies on.
 
+Crash safety: all intermediate state lives under ``<sink>/_staging``
+— underscore-prefixed paths are invisible to Spark/Hadoop file
+listing, so readers never see half-swapped data. The swap itself is
+journaled: a ``date=X.commit`` marker is written (after the staged
+rows are verified against the live partition) BEFORE any rename, and
+:func:`recover_compaction` replays or rolls back interrupted swaps
+from the journal on the next maintenance run. A reader that lists the
+sink during the (two-rename) swap window of one date sees that date
+missing — never duplicated or partial — and the journal guarantees
+the partition reappears.
+
+This is the local-filesystem variant (POSIX atomic renames). On an
+object store you'd stage to the same hidden prefix but flip a
+manifest/catalog pointer instead of renaming; the verify-then-commit
+journal structure is identical.
+
 Run it as the off-line maintenance job (the reference has no analogue —
-ClickHouse merges parts server-side; this IS our merge)."""
+ClickHouse merges parts server-side; this IS our merge). Compact only
+CLOSED dates while ingest appends to today's partition: the rewrite
+of one date never touches another.
+"""
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024
+_STAGING = "_staging"
+
+
+def _staging_dir(sink_dir: str) -> str:
+    return os.path.join(sink_dir, _STAGING)
+
+
+def _partition_dates(sink_dir: str) -> list[str]:
+    """Partition values from the directory layout — no Spark job, no
+    full-sink scan (a distinct() over 100 TB to learn ~365 dates is
+    the wrong plan; the listing IS the partition index)."""
+    return sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(sink_dir)
+        if d.startswith("date=") and os.path.isdir(os.path.join(sink_dir, d))
+    )
+
+
+def recover_compaction(sink_dir: str) -> list[str]:
+    """Replay or roll back swaps interrupted by a crash. Returns the
+    dates touched. Idempotent; call before compacting (and safe to
+    call any time)."""
+    stage = _staging_dir(sink_dir)
+    if not os.path.isdir(stage):
+        return []
+    touched = []
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".commit"):
+            continue
+        date = name[len("date=") : -len(".commit")]
+        live = os.path.join(sink_dir, f"date={date}")
+        tmp = os.path.join(stage, f"date={date}.tmp")
+        bak = os.path.join(stage, f"date={date}.old")
+        if not os.path.isdir(live):
+            # crashed between the two renames: finish the swap
+            if os.path.isdir(tmp):
+                os.rename(tmp, live)
+            elif os.path.isdir(bak):
+                os.rename(bak, live)  # tmp lost -> restore original
+        # live exists: swap completed (or never started) — clear debris
+        for leftover in (tmp, bak):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+        os.remove(os.path.join(stage, name))
+        touched.append(date)
+    return touched
 
 
 def compact_tick_sink(
@@ -31,15 +97,15 @@ def compact_tick_sink(
     """Rewrite each (or the given) date partition of a tick sink into
     size-targeted, timestamp-sorted files. Returns {date: n_files_after}.
 
-    Partition-at-a-time: the rewrite of one date never touches another,
-    so it can run while ingest appends to *today's* partition (compact
-    only closed dates in production)."""
-    df = spark.read.parquet(sink_dir)
-    part_dates = (
-        dates
-        if dates is not None
-        else [str(r.date) for r in df.select("date").distinct().collect()]
-    )
+    Per date: stage (hidden) -> verify row count -> journal commit ->
+    swap (two renames) -> clean. A failure at any point is repaired by
+    :func:`recover_compaction`; the staged data is only trusted after
+    the count verification, so a torn write can never replace good
+    data."""
+    recover_compaction(sink_dir)
+    stage = _staging_dir(sink_dir)
+    os.makedirs(stage, exist_ok=True)
+    part_dates = dates if dates is not None else _partition_dates(sink_dir)
     out: dict[str, int] = {}
     for d in part_dates:
         part_path = os.path.join(sink_dir, f"date={d}")
@@ -50,20 +116,33 @@ def compact_tick_sink(
             if f.endswith(".parquet")
         )
         n_files = max(1, round(total_bytes / target_file_bytes))
-        tmp = part_path + ".compact.tmp"
+        tmp = os.path.join(stage, f"date={d}.tmp")
         (
             part.repartition(n_files)
             .sortWithinPartitions("ts")
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        # atomic-ish swap (rename) — on object stores use a manifest
-        # commit instead
-        bak = part_path + ".old"
+        # verify BEFORE touching the live partition
+        live_rows = part.count()
+        staged_rows = spark.read.parquet(tmp).count()
+        if staged_rows != live_rows:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compaction verify failed for date={d}: "
+                f"staged {staged_rows} != live {live_rows}"
+            )
+        # journal the intent, then swap; recover_compaction can finish
+        # or undo this from any crash point
+        commit = os.path.join(stage, f"date={d}.commit")
+        with open(commit, "w") as f:
+            json.dump({"date": d, "rows": staged_rows, "files": n_files}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        bak = os.path.join(stage, f"date={d}.old")
         os.rename(part_path, bak)
         os.rename(tmp, part_path)
-        import shutil
-
         shutil.rmtree(bak)
+        os.remove(commit)
         out[d] = n_files
     return out

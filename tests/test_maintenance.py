@@ -37,6 +37,83 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
     assert all(n == 1 for n in result.values())  # tiny data -> 1 file/partition
 
 
+def _ingest_two_dates(spark, d):
+    from angelone_clickhouse_spark.sources.frames import EPOCH_2024_MS
+
+    frames = generate_frames(1500, seed=31)
+    later = generate_frames(800, seed=32, start_ms=EPOCH_2024_MS + 86_400_000)
+    write_frames_parquet(spark, frames + later, f"{d}/in", n_files=6)
+    q = ingest_to_parquet(spark, f"{d}/in", f"{d}/out", f"{d}/ckpt", available_now=True)
+    q.awaitTermination(120)
+    return f"{d}/out"
+
+
+def test_compaction_with_concurrent_append(spark, tmp_path):
+    """Compacting a closed date must not disturb rows appended to a
+    different (open) partition mid-maintenance."""
+    import os
+
+    sink = _ingest_two_dates(spark, str(tmp_path))
+    dates = sorted(
+        p.split("=")[1] for p in os.listdir(sink) if p.startswith("date=")
+    )
+    assert len(dates) == 2
+    closed, open_date = dates
+    before = spark.read.parquet(sink)
+    before_rows = sorted(map(tuple, before.collect()), key=repr)
+    # simulated concurrent append: new rows land in the open partition
+    # while the closed one is being compacted
+    extra = before.filter(f"date = '{open_date}'").limit(50).drop("date")
+    extra.write.mode("append").parquet(f"{sink}/date={open_date}")
+    result = compact_tick_sink(spark, sink, target_file_bytes=10**9, dates=[closed])
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(sink).collect()), key=repr
+    )
+    assert len(after_rows) == len(before_rows) + 50
+    assert result == {closed: 1}
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A swap interrupted between the two renames (live partition
+    missing, verified tmp staged, commit journal present) must be
+    completed by recover_compaction; stale debris with a live
+    partition must be rolled back."""
+    import json
+    import os
+    import shutil
+
+    from angelone_clickhouse_spark.streaming.compaction import recover_compaction
+
+    sink = _ingest_two_dates(spark, str(tmp_path))
+    dates = sorted(
+        p.split("=")[1] for p in os.listdir(sink) if p.startswith("date=")
+    )
+    d0 = dates[0]
+    live = f"{sink}/date={d0}"
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(live).collect()), key=repr
+    )
+    stage = f"{sink}/_staging"
+    os.makedirs(stage, exist_ok=True)
+    # simulate the crash window: live renamed away, tmp fully staged
+    shutil.copytree(live, f"{stage}/date={d0}.tmp")
+    os.rename(live, f"{stage}/date={d0}.old")
+    with open(f"{stage}/date={d0}.commit", "w") as f:
+        json.dump({"date": d0, "rows": len(before_rows)}, f)
+    assert not os.path.isdir(live)
+    assert recover_compaction(sink) == [d0]
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(live).collect()), key=repr
+    )
+    assert after_rows == before_rows
+    assert not os.listdir(stage)  # all debris cleared
+    # idempotent; a fresh compaction over the recovered sink works
+    compact_tick_sink(spark, sink, target_file_bytes=10**9)
+    assert sorted(
+        map(tuple, spark.read.parquet(live).collect()), key=repr
+    ) == before_rows
+
+
 def test_salted_sum_equals_direct(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     direct = {
