@@ -211,10 +211,20 @@ def write_truth_sidecar(path: str, truth: list[dict]) -> str:
     return path
 
 
-def frames_df(spark, frames: list[bytes]):
+def frames_df(spark, frames: list[bytes], rows_per_partition: int = 500):
     """Frames as a DataFrame with a single binary 'frame' column — the
-    Spark-native stand-in for the WebSocket byte stream (SURVEY §2.1 O2)."""
-    return spark.createDataFrame([(f,) for f in frames], "frame binary")
+    Spark-native stand-in for the WebSocket byte stream (SURVEY §2.1 O2).
+
+    Partition count is sized to the data (~rows_per_partition each,
+    capped at the default parallelism): a local relation otherwise
+    fans out to one task per core, and for a few thousand frames the
+    32-way pandas-UDF task/worker overhead dwarfs the decode itself."""
+    df = spark.createDataFrame([(f,) for f in frames], "frame binary")
+    target = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        (len(frames) + rows_per_partition - 1) // rows_per_partition,
+    ))
+    return df.coalesce(target)
 
 
 def write_frames_parquet(spark, frames: list[bytes], path: str, n_files: int = 4):

@@ -66,17 +66,24 @@ def main() -> None:
             spark, generate_frames(n_frames, seed=42), f"{d}/in", n_files=int(CPUS)
         )
         src = spark.read.parquet(f"{d}/in")
-        # warm the Python-worker pool: the first pandas-UDF execution
-        # pays ~30s of worker spawn on local[32], which is session
-        # startup cost, not pipeline throughput
-        wire_to_ticks(decode_frames(src.limit(1000))).count()
-        best = float("inf")
+        # warm the FULL Python-worker pool with an untimed complete
+        # pass: a limit() warm-up collapses to one partition and warms
+        # one worker, leaving the timed runs to pay the other ~31
+        # worker spawns (~20-30s on local[32]) — that is session
+        # startup cost, not pipeline throughput. Same plan, noop sink.
+        warm_t0 = time.time()
+        wire_to_ticks(decode_frames(src)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        ingest_warm = time.time() - warm_t0
+        runs = []
         for i in range(2):
             t0 = time.time()
             wire_to_ticks(decode_frames(src)).write.mode("overwrite").parquet(
                 f"{d}/out{i}"
             )
-            best = min(best, time.time() - t0)
+            runs.append(time.time() - t0)
+    best = min(runs)
     ingest_rps = round(n_frames / best, 1)
 
     result = {
@@ -89,6 +96,10 @@ def main() -> None:
         "warmup_sec": round(warmup, 3),
         "ingest_rows_per_sec": ingest_rps,
         "ingest_n_frames": n_frames,
+        # reconciliation fields: if warm ~= best the pool never warmed
+        # and the rows/s figure is startup-bound, not throughput
+        "ingest_warm_pass_sec": round(ingest_warm, 3),
+        "ingest_run_secs": [round(r, 3) for r in runs],
     }
     if failures:
         result["failures"] = failures
