@@ -232,12 +232,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash ----------------------------------------------------------------
+SIMHASH_BITS = 60  # 15 hex chars of md5: cross-engine-identical word hash
+SIMHASH_CHUNKS = 4  # 4 x 15-bit bands
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+_CHUNK_MASK = (1 << _CHUNK_BITS) - 1
+
+
 def simhash_docs(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc, entirely with built-in array functions:
-    bit b of the hash = sign of sum over words of (+1 if word-hash bit b
-    else -1)."""
+    """60-bit SimHash per doc, entirely with built-in array functions:
+    bit b of the hash = sign of sum over words of (+1 if word-hash bit
+    b else -1). The word hash is the first 15 hex chars of md5 parsed
+    as an integer — unlike xxhash64 it is computable identically in
+    DuckDB, which makes the whole op oracle-checkable."""
     w = docs.select(
-        "doc_id", F.expr("transform(split(text, ' '), x -> xxhash64(x))").alias("hs")
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), "
+            "x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"
+        ).alias("hs"),
     )
     # For each bit: count of words with bit set minus half of total.
     bit_cols = [
@@ -250,18 +262,19 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
             * 2
             > F.size("hs")
         ).cast("long")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     packed = bit_cols[0]
-    for b in range(1, 64):
+    for b in range(1, SIMHASH_BITS):
         packed = packed.bitwiseOR(F.shiftleft(bit_cols[b], b))
     return w.select("doc_id", packed.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: band the 64 bits into 4 x 16-bit
+    """SimHash near-dup candidates: band the 60 bits into 4 x 15-bit
     chunks; pairs agreeing on >= 1 chunk are candidates, verified by
-    full hamming distance <= 8. rows-only driver check."""
+    full hamming distance <= 8. Oracle-checked in DuckDB (same md5
+    word hash, same banding, bit_count over xor)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = simhash_docs(docs).cache()
     chunks = sh.select(
@@ -272,11 +285,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", c * 16)
-                        .bitwiseAND(0xFFFF)
+                        F.shiftrightunsigned("simhash", c * _CHUNK_BITS)
+                        .bitwiseAND(_CHUNK_MASK)
                         .alias("chunk_val"),
                     )
-                    for c in range(4)
+                    for c in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("ck"),
@@ -410,5 +423,43 @@ SELECT a.vec_id AS vec_a,
        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {COSINE_THRESHOLD}
+""",
+    # Same 60-bit md5 word hash, same majority-bit packing, same 4x15
+    # banding and hamming<=8 verification as the Spark op.
+    "dedup_simhash": f"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        x -> ('0x' || substring(md5(x), 1, 15))::BIGINT) AS hs
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN 2 * list_aggregate(
+                      list_transform(hs, h -> (h >> b) & 1), 'sum')
+                   > len(hs)
+              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM w, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS t(b)
+),
+sim AS (
+  SELECT doc_id, CAST(sum(bit << b) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk,
+         (simhash >> (c * {_CHUNK_BITS})) & {_CHUNK_MASK} AS chunk_val
+  FROM sim, UNNEST(generate_series(0, {SIMHASH_CHUNKS - 1})) AS t(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sim_a, b.simhash AS sim_b
+  FROM chunks a
+  JOIN chunks b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 8
 """,
 }

@@ -15,8 +15,10 @@ shuffle on ``key`` for a shuffle on ``(key, salt)`` + a tiny merge of
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.sources.tables import load_table
 
 
 def salted_group_sum(
@@ -52,3 +54,42 @@ def salted_group_sum(
                 "(sum_/count_/total_/n_/min_/max_)"
             )
     return partial.groupBy(key).agg(*merges)
+
+
+def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible demo of the salted path: per-user event stats
+    through the two-phase aggregate, oracle-checked against a plain
+    GROUP BY (salting must be invisible in the result). The value sum
+    runs in integer cents through BOTH phases so the partial merge is
+    exact — merging cent-grid DOUBLES would reintroduce float noise."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = salted_group_sum(
+        ev,
+        "user_id",
+        n_salts=16,
+        n_events=F.count(F.lit(1)),
+        sum_value_cents=F.sum(cents),
+        max_value=F.max("value"),
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.col("sum_value_cents") / F.lit(100.0)).alias("total_value"),
+        "max_value",
+    )
+
+
+QUERIES = {"salted_user_stats": salted_user_stats}
+
+ORACLES = {
+    "salted_user_stats": """
+SELECT user_id,
+       count(*)                                                   AS n_events,
+       CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS DOUBLE) / 100
+                                                                  AS total_value,
+       max("value")                                               AS max_value
+FROM events
+GROUP BY user_id
+""",
+}
