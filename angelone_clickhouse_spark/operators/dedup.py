@@ -157,11 +157,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH ----------------------------------------------------------
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """doc_id -> n_hashes-wide MinHash signature. Permutation i is
-    xxhash64(i, shingle) — deterministic, JVM-side, no Python."""
+    """doc_id -> n_hashes-wide MinHash signature. Permutation i is the
+    first 15 md5 hex chars of 'i:shingle' as a 60-bit integer —
+    deterministic, JVM-side, no Python, and computable identically in
+    DuckDB (which has no xxhash64), so the whole LSH op is
+    oracle-checkable."""
     sh = _shingles(docs)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(
+            F.expr(
+                f"cast(conv(substring(md5(concat('{i}:', shingle)), 1, 15), "
+                f"16, 10) as bigint)"
+            )
+        ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -170,8 +178,10 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH candidate generation + exact-signature similarity.
 
-    rows-only driver check; tests assert recall against the exact
-    Jaccard op on the planted near-duplicates."""
+    Oracle-checked: signatures, band keys (md5 of the band's signature
+    values) and the estimated similarity are all reproducible in
+    DuckDB. Tests additionally assert recall against the exact Jaccard
+    op on the planted near-duplicates."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     rows_per_band = N_MINHASH // N_BANDS
@@ -182,11 +192,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{bi * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(
+                                        f"h{bi * rows_per_band + r}"
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("band_key"),
                     )
                     for bi in range(N_BANDS)
@@ -424,6 +439,7 @@ SELECT a.vec_id AS vec_a,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {COSINE_THRESHOLD}
 """,
+    "dedup_minhash_lsh": None,  # filled below (generated SQL)
     # Same 60-bit md5 word hash, same majority-bit packing, same 4x15
     # banding and hamming<=8 verification as the Spark op.
     "dedup_simhash": f"""
@@ -463,3 +479,57 @@ FROM cand
 WHERE bit_count(xor(sim_a, sim_b)) <= 8
 """,
 }
+
+
+def _minhash_oracle_sql() -> str:
+    """Generated DuckDB spelling of dedup_minhash_lsh: identical md5
+    permutation hashes, md5 band keys, and match-fraction estimate."""
+    rows_per_band = N_MINHASH // N_BANDS
+    sig_cols = ",\n         ".join(
+        f"min(('0x' || substring(md5('{i}:' || s), 1, 15))::BIGINT) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key"
+        " FROM sig".format(
+            b=bi,
+            cols=", ".join(
+                f"h{bi * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(({matches}) / {float(N_MINHASH)}, 4) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE round(({matches}) / {float(N_MINHASH)}, 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+ORACLES["dedup_minhash_lsh"] = _minhash_oracle_sql()

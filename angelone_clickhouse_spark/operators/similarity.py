@@ -80,14 +80,19 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bucket(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """Random-hyperplane bucket id: bit p = sign(v . h_p), where
-    h_p[d] = (xxhash64(p, d) mod 2001 - 1000)/1000 — deterministic
-    pseudo-random planes derivable on any executor."""
+    h_p[d] = (md5_60('p_d') mod 2001 - 1000)/1000 — deterministic
+    pseudo-random planes derivable on any executor AND in DuckDB (the
+    md5-hex-prefix integer is the engine's cross-engine hash; xxhash64
+    exists only in Spark), making the whole LSH plan oracle-checkable."""
     plane_dot = lambda p: F.aggregate(
         F.zip_with(
             "v",
             F.expr(
                 f"transform(sequence(0, size(v) - 1), "
-                f"d -> (cast(pmod(xxhash64({p}, d), 2001) as double) - 1000.0) / 1000.0)"
+                f"d -> (cast("
+                f"cast(conv(substring(md5(concat('{p}_', cast(d as string))), "
+                f"1, 15), 16, 10) as bigint) % 2001 as double) - 1000.0) "
+                f"/ 1000.0)"
             ),
             lambda x, h: x * h,
         ),
@@ -176,3 +181,59 @@ FROM (
 WHERE rank <= {TOP_K}
 """,
 }
+
+
+def _lsh_oracle_sql() -> str:
+    """Generated DuckDB spelling of ann_lsh_topk: identical md5-derived
+    hyperplanes, sign-pattern buckets, hamming-1 multi-probe, and
+    rounded-cosine ranking."""
+
+    def plane(p: int) -> str:
+        return (
+            f"list_transform(generate_series(0, len(v) - 1), "
+            f"d -> ((('0x' || substring(md5('{p}_' || d), 1, 15))::BIGINT "
+            f"% 2001 - 1000) / 1000.0))"
+        )
+
+    bucket = " | ".join(
+        f"(CASE WHEN list_dot_product(v, {plane(p)}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(N_PLANES)]
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, nrm, ({bucket}) AS bucket FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, probe
+  FROM b, UNNEST([{probes}]) AS t(probe)
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cos_sim
+  FROM q JOIN b n ON n.bucket = q.probe
+  WHERE n.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+) r
+WHERE rank <= {TOP_K}
+"""
+
+
+ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
