@@ -104,11 +104,71 @@ def _langid_udf(texts: pd.Series) -> pd.Series:
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic n-gram language ID vs the labeled lang column.
-    rows-only driver check (the heuristic itself is the op under test;
-    tests assert determinism and coverage)."""
+    The Arrow-batched pandas UDF is the operator; the DuckDB oracle
+    re-derives the identical heuristic in SQL (trigram occurrence
+    counts via replace-length arithmetic, CJK codepoint-range check,
+    max-by-(score, lang) tie-break), giving the Python path a true
+    value-level differential."""
     docs = load_table(spark, sf_dir, "documents")
     pred = docs.select("doc_id", "lang", _langid_udf("text").alias("pred_lang"))
     return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _langid_oracle_sql() -> str:
+    """SQL spelling of _langid_udf.predict. Occurrence count of a
+    trigram = (len - len(replace(low, tri, ''))) / 3 — replace removes
+    non-overlapping matches left-to-right exactly like str.count."""
+
+    def score(lang: str) -> str:
+        terms = " + ".join(
+            f"(length(low) - length(replace(low, '{tri}', ''))) // 3"
+            for tri in _LANG_PROFILES[lang]
+        )
+        return f"({terms}) AS s_{lang}"
+
+    langs_desc = sorted(
+        (lang for lang, tris in _LANG_PROFILES.items() if tris), reverse=True
+    )
+    # max by (score, lang): scan langs in DESCENDING name order with >=
+    # so ties resolve to the lexicographically greatest language,
+    # matching python's max(scores, key=lambda k: (scores[k], k))
+    best_cases = []
+    for i, lang in enumerate(langs_desc[:-1]):
+        others = langs_desc[i + 1 :]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in others)
+        best_cases.append(f"WHEN {cond} THEN '{lang}'")
+    best_lang = (
+        "CASE " + " ".join(best_cases) + f" ELSE '{langs_desc[-1]}' END"
+    )
+    best_score = f"greatest({', '.join('s_' + L for L in langs_desc)})"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN text IS NULL OR text = '' THEN NULL
+              ELSE lower(text) END AS low,
+         length(regexp_replace(substring(text, 1, 200),
+                               '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g'))
+           AS cjk,
+         length(substring(text, 1, 200)) AS head_len
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, low, cjk, head_len,
+         {", ".join(score(L) for L in langs_desc)}
+  FROM scored
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN low IS NULL THEN 'und'
+              WHEN cjk > head_len * 0.2 THEN 'zh'
+              WHEN {best_score} > 0 THEN {best_lang}
+              ELSE 'und' END AS pred_lang
+  FROM s
+)
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM pred
+GROUP BY lang, pred_lang
+"""
 
 
 FP_WINDOW = 4
@@ -211,3 +271,5 @@ FROM sh
 WHERE len(hs) >= {FP_WINDOW}
 """,
 }
+
+ORACLES["text_langid"] = _langid_oracle_sql()
