@@ -246,6 +246,68 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- near-dup clustering (connected components) -----------------------------
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors until fixpoint. Returns
+    (doc_id, cluster_id = min doc_id of the component).
+
+    Scale notes: each round is one join + one aggregate (shuffles on
+    doc_id); rounds needed = graph diameter, and near-dup graphs are
+    shallow (clusters of copies, diameter ~2-3). For adversarial deep
+    graphs at 100 TB you would switch to the large-star/small-star
+    algorithm (Kiveris et al., SoCC'14) whose round count is
+    O(log^2 n) independent of diameter — same join/agg building
+    blocks. The driver-side loop only inspects a convergence COUNT
+    per round, never data."""
+    both = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    labels = both.select("u").distinct().select(
+        "u", F.col("u").alias("label")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            both.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+            .select(F.col("e.u").alias("u"), F.col("l.label").alias("label"))
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the exact
+    n-gram Jaccard pair graph, with per-cluster size — the step a real
+    dedup pipeline runs after pair generation to pick one survivor per
+    group of mutual near-duplicates."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 SIMHASH_BITS = 60  # 15 hex chars of md5: cross-engine-identical word hash
 SIMHASH_CHUNKS = 4  # 4 x 15-bit bands
@@ -397,6 +459,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
@@ -533,3 +596,30 @@ WHERE round(({matches}) / {float(N_MINHASH)}, 4) >= {JACCARD_THRESHOLD}
 
 
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle_sql()
+
+# Connected components as a recursive transitive closure (fine at
+# oracle scale; the Spark side is the iterative/scalable algorithm —
+# two different algorithms must agree).
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLES["dedup_ngram_jaccard"]})
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT doc_id, comp.cluster_id, cluster_size
+FROM comp JOIN sizes USING (cluster_id)
+"""

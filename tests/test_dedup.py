@@ -76,6 +76,19 @@ def test_simhash_pairs_include_planted_near_dups(spark, sf_dir):
     assert recall >= 0.8, f"simhash recall {recall:.2f}, missed {exact - sim}"
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain requires multi-round propagation (label 1 must
+    travel 4 hops); islands stay separate."""
+    from angelone_clickhouse_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_jaccard_threshold_respected(spark, sf_dir):
     out = dedup_ngram_jaccard(spark, sf_dir).collect()
     assert all(r.jaccard >= JACCARD_THRESHOLD for r in out)
