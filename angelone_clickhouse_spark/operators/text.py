@@ -186,13 +186,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Short docs (<3 words) yield no shingles — the guard prevents a
     descending sequence() fabricating bogus shingles."""
     docs = load_table(spark, sf_dir, "documents")
+    # split ONCE into a materialized column: a split() inside the
+    # transform lambda re-tokenizes the document per shingle index
+    # (O(words^2) — measured ~2x query cost at sf0.1)
     hashed = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
         "doc_id",
         F.expr(
-            "CASE WHEN size(split(text,' ')) >= 3 THEN "
-            "transform(sequence(0, size(split(text,' ')) - 3), "
-            "i -> md5(concat_ws(' ', split(text,' ')[i], "
-            "split(text,' ')[i+1], split(text,' ')[i+2])))"
+            "CASE WHEN size(w) >= 3 THEN "
+            "transform(sequence(0, size(w) - 3), "
+            "i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2])))"
             " ELSE CAST(array() AS ARRAY<STRING>) END"
         ).alias("hs"),
     ).filter(F.size("hs") >= FP_WINDOW)

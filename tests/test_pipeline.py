@@ -1,0 +1,137 @@
+"""Value-level tests for the training-data pipeline operators
+(operators/pipeline.py) beyond the DuckDB oracle differential:
+invariants the oracle can't see (packing feasibility, stratum rates,
+decontamination ground truth from planted duplicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.operators.pipeline import (
+    BENCH_MOD,
+    PACK_BUDGET,
+    SAMPLE_PCT,
+    SAMPLE_PCT_DEFAULT,
+    decontaminate_ngrams,
+    quality_quantile_gate,
+    sample_stratified,
+    sequence_pack,
+)
+
+
+def test_decontaminate_flags_planted_duplicates(spark, sf_dir):
+    """The documents fixture plants exact duplicates; any training doc
+    whose duplicate landed in the benchmark subset MUST be flagged,
+    and every flagged doc must not itself be a benchmark doc."""
+    hits = decontaminate_ngrams(spark, sf_dir).collect()
+    flagged = {r.doc_id for r in hits}
+    assert all(d % BENCH_MOD != 0 for d in flagged)
+    assert all(r.n_hit_ngrams >= 1 for r in hits)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup_texts = (
+        docs.groupBy("text")
+        .agg(
+            F.collect_set("doc_id").alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .collect()
+    )
+    for row in dup_texts:
+        bench_ids = [d for d in row.ids if d % BENCH_MOD == 0]
+        train_ids = [d for d in row.ids if d % BENCH_MOD != 0]
+        if bench_ids and train_ids:
+            # a full duplicate of a benchmark doc shares every gram
+            for d in train_ids:
+                assert d in flagged, f"doc {d} duplicates benchmark {bench_ids}"
+
+
+def test_sample_stratified_rates(spark, sf_dir):
+    """Each stratum's sampled share must track its configured rate
+    (binomial tolerance), and the selection must be a deterministic
+    function of doc_id (same rows on rerun)."""
+    s1 = sample_stratified(spark, sf_dir)
+    rows = s1.collect()
+    assert rows, "sample must be non-empty"
+    assert {r.doc_id for r in rows} == {
+        r.doc_id for r in sample_stratified(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    kept = {}
+    for r in rows:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+        pct = SAMPLE_PCT.get(r.lang, SAMPLE_PCT_DEFAULT)
+        assert r.bucket < pct
+    for lang, total in totals.items():
+        pct = SAMPLE_PCT.get(lang, SAMPLE_PCT_DEFAULT)
+        expect = total * pct / 100.0
+        # 4-sigma binomial window, min slack for tiny strata
+        sigma = max((expect * (1 - pct / 100.0)) ** 0.5, 1.0)
+        assert abs(kept.get(lang, 0) - expect) <= 4 * sigma + 2, (
+            lang, total, kept.get(lang, 0), expect,
+        )
+
+
+def test_quality_gate_keeps_top_half_per_lang(spark, sf_dir):
+    out = quality_quantile_gate(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang_total = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    per_lang_kept = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, total in per_lang_total.items():
+        kept = per_lang_kept.get(lang, 0)
+        # "top half" with rank ties broken by doc_id: ceil(n/2) or
+        # (n+1)//2 exactly
+        assert kept == (total + 1) // 2, (lang, total, kept)
+    # kept docs must dominate dropped docs scorewise within a lang
+    joined = out.alias("k")
+    mins = out.groupBy("lang").agg(F.min("score_milli").alias("kept_min"))
+    all_scored = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "(1000 * size(array_distinct(split(text, ' '))))"
+            " div size(split(text, ' '))"
+        ).alias("score_milli"),
+    )
+    kept_ids = {r.doc_id for r in out.collect()}
+    dropped_max = {
+        r.lang: r.m
+        for r in all_scored.filter(~F.col("doc_id").isin(kept_ids))
+        .groupBy("lang")
+        .agg(F.max("score_milli").alias("m"))
+        .collect()
+    }
+    kept_min = {r.lang: r.kept_min for r in mins.collect()}
+    for lang in dropped_max:
+        # equality allowed: ties at the median are broken by doc_id
+        assert dropped_max[lang] <= kept_min[lang], (
+            "a dropped doc outscored a kept doc",
+            lang,
+        )
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    out = sequence_pack(spark, sf_dir).collect()
+    assert out
+    by_source = {}
+    for r in out:
+        assert 0 <= r.offset_in_seq < PACK_BUDGET
+        assert r.seq_id >= 0
+        by_source.setdefault(r.source, []).append(r)
+    for source, rows in by_source.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.seq_id == cum // PACK_BUDGET, (source, r)
+            assert r.offset_in_seq == cum % PACK_BUDGET, (source, r)
+            cum += r.n_tokens
