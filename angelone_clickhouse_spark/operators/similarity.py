@@ -150,9 +150,96 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8  # IVF list count; ~sqrt(corpus) at real scale
+N_PROBE = 2  # IVF lists probed per query
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) top-k — the other classic ANN scale path
+    next to LSH: partition the corpus into N_CENTROIDS lists by
+    nearest centroid, then score each query only against its N_PROBE
+    closest lists.
+
+    Centroids are SEED corpus vectors (vec_id N_QUERIES ..
+    N_QUERIES+N_CENTROIDS-1), not k-means means: a float mean is
+    summation-order-dependent and would break the cross-engine oracle,
+    while seed vectors keep every value bit-reproducible. At cluster
+    scale you'd run k-means|| for real centroids and persist the
+    assignment as a bucketed table (the probe join then prunes
+    partitions); the plan shape here — broadcast centroids, map-side
+    argmin assignment, probe-join, per-query top-k — is unchanged.
+    Oracle-checked in DuckDB (same seeds, same rounding, same
+    tiebreaks); recall vs the exact op measured in tests."""
+    vecs = _vectors(spark, sf_dir)
+    cents = vecs.filter(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    sim_to_cent = F.round(
+        _cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn")), 6
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.asc("cent_id")
+    )
+    members = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "cent_id", sim_to_cent.alias("cent_sim"))
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "nrm", "cent_id")
+    )
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qsim = F.round(
+        _cos(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_sim"), F.asc("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "qn", "cent_id", qsim.alias("probe_sim"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "qv", "qn", "cent_id")
+    )
+    scored = (
+        members.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLES = {
@@ -237,3 +324,56 @@ WHERE rank <= {TOP_K}
 
 
 ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
+
+ORACLES["ann_ivf_topk"] = f"""
+WITH e AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+  FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+assign AS (
+  SELECT e.vec_id, e.v, e.nrm, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6)
+                    DESC, c.cent_id ASC
+         ) AS arn
+  FROM e CROSS JOIN cents c
+),
+members AS (
+  SELECT vec_id, v, nrm, cent_id FROM assign WHERE arn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e
+      WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, qv, qn, cent_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_dot_product(qv, cv) / (qn * cn), 6)
+                    DESC, cent_id ASC
+         ) AS prn
+  FROM q CROSS JOIN cents
+),
+scored AS (
+  SELECT p.query_id, m.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, m.v) / (p.qn * m.nrm), 6) AS cos_sim
+  FROM (SELECT * FROM probes WHERE prn <= {N_PROBE}) p
+  JOIN members m ON m.cent_id = p.cent_id
+  WHERE m.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""

@@ -39,3 +39,28 @@ def test_lsh_results_are_subset_quality(spark, sf_dir):
     # same-bucket neighbors are biased toward high cosine; any overlap
     # at 500 vectors/16 buckets shows the bucketing works
     assert recall > 0.1
+
+
+def test_ivf_results_quality(spark, sf_dir):
+    """IVF neighbors carry exact cosine values, respect the rank
+    contract, and come only from the probed lists; recall vs exact is
+    reported with a floor (approximation, but probing 2/8 lists of a
+    clustered fixture should find a decent share)."""
+    from angelone_clickhouse_spark.operators.similarity import ann_ivf_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ann_topk_cosine(spark, sf_dir).collect()
+    }
+    ivf = ann_ivf_topk(spark, sf_dir).collect()
+    assert ivf, "IVF should return candidates"
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+    hits = sum(1 for r in ivf if (r.query_id, r.neighbor_id) in exact)
+    assert hits / len(exact) > 0.1
