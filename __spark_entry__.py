@@ -46,6 +46,7 @@ def _registries():
         "angelone_clickhouse_spark.functions.scalar",
         "angelone_clickhouse_spark.sources.token_config",
         "angelone_clickhouse_spark.streaming.batch_equiv",
+        "angelone_clickhouse_spark.streaming.stream_join",
     ):
         try:
             import importlib
