@@ -196,9 +196,46 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping sets in one
+    shuffle — completes the grouping-sets family next to ROLLUP
+    (revenue_rollup). All-integer outputs; grouping_id disambiguates
+    subtotal rows from genuine NULL groups."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.grouping_id().cast("int").alias("level"),
+    )
+
+
+def trailing_activity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-token trailing-24h tick count at every
+    tick — a value-based frame (RANGE BETWEEN 86400000 PRECEDING on
+    epoch-millis), not a row-based one, so gaps in time shrink the
+    frame. Completes the window-frame family next to the row_number /
+    cumulative (sessionize) and unbounded (resample) frames."""
+    from angelone_clickhouse_spark.sources.tables import ticks
+
+    t = ticks(spark, sf_dir)
+    w = (
+        Window.partitionBy("token")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-86_400_000, 0)
+    )
+    return t.select(
+        "token",
+        "sequence_number",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_24h"),
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "revenue_rollup": revenue_rollup,
+    "order_priority_cube": order_priority_cube,
+    "trailing_activity_range": trailing_activity_range,
     "event_type_pivot": event_type_pivot,
     "revenue_by_nation": revenue_by_nation,
     "top_customers": top_customers,
@@ -208,7 +245,30 @@ QUERIES = {
     "customer_order_ranks": customer_order_ranks,
 }
 
+from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE  # noqa: E402
+
 ORACLES = {
+    "order_priority_cube": """
+SELECT o_orderpriority,
+       o_orderstatus,
+       count(*)                          AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+            AS INTEGER) AS level
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+    "trailing_activity_range": TICKS_ORACLE_CTE
+    + """
+SELECT token,
+       sequence_number,
+       ts,
+       CAST(count(*) OVER (
+         PARTITION BY token ORDER BY epoch_ms(ts)
+         RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_trailing_24h
+FROM ticks
+""",
     "revenue_rollup": """
 SELECT r_name,
        n_name,
