@@ -1,0 +1,45 @@
+"""Physical-plan assertions for the scale-design claims the docstrings
+make: broadcasts where broadcasts are promised, no shuffle where
+shuffle-freedom is promised. A regression here is a 100 TB incident
+even when sf0.001 results stay correct.
+"""
+
+from __future__ import annotations
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_stratified_is_shuffle_free(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.pipeline import sample_stratified
+
+    plan = _plan(sample_stratified(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.pipeline import (
+        decontaminate_ngrams,
+    )
+
+    plan = _plan(decontaminate_ngrams(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_assignment_and_probe_joins_are_broadcast(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.similarity import ann_ivf_topk
+
+    plan = _plan(ann_ivf_topk(spark, sf_dir))
+    # centroid assignment + probe join: no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_exact_topk_scores_map_side(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.similarity import ann_topk_cosine
+
+    plan = _plan(ann_topk_cosine(spark, sf_dir))
+    # the corpus is never shuffled for scoring: the only exchange is
+    # the final per-query top-k partitioning
+    assert "SortMergeJoin" not in plan, plan
