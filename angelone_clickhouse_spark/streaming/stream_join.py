@@ -42,6 +42,11 @@ def tick_sides(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
         "last_traded_price",
         "subscription_mode",
     )
+    if not base.isStreaming:
+        # both sides derive from this plan — materialize once so the
+        # pandas-UDF decode doesn't execute twice (streaming DFs can't
+        # checkpoint; there each side is its own stateful scan anyway)
+        base = base.localCheckpoint(eager=True)
     lite = (
         base.filter(F.col("subscription_mode") == 1)
         .select(
