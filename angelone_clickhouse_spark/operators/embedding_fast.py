@@ -24,11 +24,12 @@ per-batch partial top-k, merged globally by a window rank over the
 stream-the-big-side is the 100 TB shape; the previous revision did
 the inverse (corpus collect to the driver) and is gone.
 
-Driver checks are rows-only (float summation order differs from
-DuckDB's sequential sum at the last bits); equivalence with the exact
-JVM ops — same pairs, cosines within 1e-9 — is asserted in
-tests/test_embedding_fast.py. Measured at sf0.1: exact JVM pairwise
-24.8 s -> vectorized ~1 s for identical output.
+Both ops finish with an exact JVM re-score of the pruned survivors
+(the interpreted cosine runs only on candidates), which makes their
+output BIT-IDENTICAL to the exact ops — so the exact ops' DuckDB
+oracles check the fast paths verbatim. Equivalence is additionally
+asserted in tests/test_embedding_fast.py. Measured at sf0.1: exact
+JVM pairwise 24.8 s -> vectorized ~1-2 s for identical output.
 """
 
 from __future__ import annotations
@@ -114,11 +115,46 @@ def candidate_pairs_fast(
     )
 
 
+# NumPy and JVM cosines agree to ~1e-12, but both get ROUNDED to the
+# 1e-6 grid: a pair can land one grid step apart across engines, so a
+# sound prune widens the threshold by two grid steps + noise.
+_PRUNE_EPS = 2e-6
+
+
 def dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs with numpy-rounded cosine >= threshold — the pure
-    vectorized variant (rows-only; cosines can differ from the
-    sequential-sum oracle in the last float bits)."""
-    return candidate_pairs_fast(spark, sf_dir, COSINE_THRESHOLD)
+    """BLAS prune at (threshold - ε), exact JVM re-score of the few
+    survivors — output is BIT-IDENTICAL to dedup.dedup_embedding, so
+    the same DuckDB oracle checks this path (round 1 left it
+    rows-only; the re-score closes that). The matmul does the O(n²)
+    work; the interpreted zip_with cosine runs only on candidates."""
+    from angelone_clickhouse_spark.operators.similarity import _cos, _vectors
+
+    cand = candidate_pairs_fast(
+        spark, sf_dir, COSINE_THRESHOLD - _PRUNE_EPS
+    ).select("vec_a", "vec_b")
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _cos(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+    )
 
 
 def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,8 +179,10 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mask = c_ids != qid
                 cand_ids = c_ids[mask]
                 cand_cos = cos[row][mask]
-                # partial top-k by (-cos, id); k-merge happens globally
-                order = np.lexsort((cand_ids, -cand_cos))[:TOP_K]
+                # partial top-(k+slack) by (-cos, id); the slack keeps
+                # the candidate set sound under last-bit ordering
+                # differences vs the exact JVM re-score downstream
+                order = np.lexsort((cand_ids, -cand_cos))[: TOP_K + 8]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
@@ -155,11 +193,39 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     partial = emb.mapInPandas(score, schema=TOPK_SCHEMA)
+    # exact JVM re-score of the merged partial candidates: output
+    # becomes bit-identical to similarity.ann_topk_cosine, so the
+    # exact op's DuckDB oracle checks this path too. The candidate set
+    # is (partitions x |Q| x slack) rows — the interpreted cosine is
+    # off the hot path.
+    from angelone_clickhouse_spark.operators.similarity import _cos, _vectors
+
+    cand = partial.select("query_id", "neighbor_id").distinct()
+    vecs = _vectors(spark, sf_dir)
+    nb = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    qv = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        partial.withColumn("rank", F.row_number().over(w).cast("int"))
+        cand.join(nb, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -170,4 +236,18 @@ QUERIES = {
     "ann_topk_fast": ann_topk_fast,
 }
 
-ORACLES: dict[str, str] = {}
+
+def _shared_oracles() -> dict[str, str]:
+    """The fast paths re-score survivors with the exact ops' JVM
+    expression, so their outputs are bit-identical to the exact ops —
+    the same oracle SQL applies verbatim."""
+    from angelone_clickhouse_spark.operators import dedup as _dedup
+    from angelone_clickhouse_spark.operators import similarity as _sim
+
+    return {
+        "dedup_embedding_fast": _dedup.ORACLES["dedup_embedding"],
+        "ann_topk_fast": _sim.ORACLES["ann_topk_cosine"],
+    }
+
+
+ORACLES: dict[str, str] = _shared_oracles()
