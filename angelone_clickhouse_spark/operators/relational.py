@@ -196,6 +196,19 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-user event matrix back to long
+    (user_id, event_type, n) rows — the inverse of event_type_pivot,
+    a pure per-row expansion (no shuffle beyond the pivot's own)."""
+    wide = event_type_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
 def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (priority, status): all four grouping sets in one
     shuffle — completes the grouping-sets family next to ROLLUP
@@ -236,6 +249,7 @@ QUERIES = {
     "revenue_rollup": revenue_rollup,
     "order_priority_cube": order_priority_cube,
     "trailing_activity_range": trailing_activity_range,
+    "event_type_unpivot": event_type_unpivot,
     "event_type_pivot": event_type_pivot,
     "revenue_by_nation": revenue_by_nation,
     "top_customers": top_customers,
@@ -268,6 +282,17 @@ SELECT token,
          RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS n_trailing_24h
 FROM ticks
+""",
+    "event_type_unpivot": """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+         CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+         CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+         CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+  FROM events GROUP BY user_id
+) UNPIVOT (n FOR event_type IN (click, purchase, error, signup, view))
 """,
     "revenue_rollup": """
 SELECT r_name,
