@@ -75,3 +75,41 @@ def test_interval_bound_respected(spark, frames):
         F.min("gap_s").alias("lo"), F.max("gap_s").alias("hi")
     ).collect()[0]
     assert stats.lo >= 0 and stats.hi <= 300
+
+
+def test_stream_static_enrichment_equals_batch(spark, frames, frames_dir):
+    """Stream-static broadcast join: the decoded tick stream enriched
+    with the static token-config dimension (the reference's O10/O11
+    startup lookup, applied continuously). availableNow replay must
+    equal the batch twin exactly."""
+    from angelone_clickhouse_spark.sources.token_config import (
+        enriched_token_config,
+    )
+    from angelone_clickhouse_spark.streaming.ingest import decode_tick_stream
+
+    cfg = F.broadcast(enriched_token_config(spark))
+    stream = decode_tick_stream(read_frame_stream(spark, frames_dir))
+    q = (
+        stream.join(cfg, "token")
+        .writeStream.format("memory")
+        .queryName("ss_enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("ss_enriched")
+        .groupBy("symbol", "exchange")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("sequence_number").alias("s"))
+        .collect()
+    )
+    batch = decode_tick_stream(frames_df(spark, frames))
+    want = (
+        batch.join(cfg, "token")
+        .groupBy("symbol", "exchange")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("sequence_number").alias("s"))
+        .collect()
+    )
+    key = lambda rows: {(r.symbol, r.exchange): (r.n, r.s) for r in rows}
+    assert key(got) == key(want)
+    assert got, "config universe should intersect the generated tokens"
