@@ -338,6 +338,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB spelling of dedup_clusters: connected components over
+    the MinHash-LSH candidate graph instead of the exact all-pairs
+    Jaccard graph. Pair generation cost is bounded by LSH band-bucket
+    sizes, so this is the variant that survives a 1000-executor corpus;
+    the exact-graph clusters remain as its verification baseline."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 SIMHASH_BITS = 60  # 15 hex chars of md5: cross-engine-identical word hash
 SIMHASH_CHUNKS = 4  # 4 x 15-bit bands
@@ -490,6 +506,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_minhash": dedup_clusters_minhash,
 }
 
 ORACLES = {
@@ -633,6 +650,30 @@ ORACLES["dedup_minhash_lsh"] = _minhash_oracle_sql()
 ORACLES["dedup_clusters"] = f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({ORACLES["dedup_ngram_jaccard"]})
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT doc_id, comp.cluster_id, cluster_size
+FROM comp JOIN sizes USING (cluster_id)
+"""
+
+ORACLES["dedup_clusters_minhash"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash_lsh"]})
 ),
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
