@@ -7,9 +7,10 @@ data dedup ladder:
 
 - exact (content-hash group-by)                      — oracle-checked
 - n-gram Jaccard (3-word shingles, exact pairwise)   — oracle-checked
-- MinHash + LSH (banded signatures -> candidates -> verify) — rows-only
-- SimHash (64-bit, banded hamming candidates)        — rows-only
+- MinHash + LSH (banded signatures -> candidates -> verify) — oracle-checked
+- SimHash (60-bit, banded hamming candidates)        — oracle-checked
 - embedding cosine near-dup (exact pairwise)         — oracle-checked
+- connected-component clustering over either pair graph — oracle-checked
 
 Scale notes (100 TB):
 - exact dedup is one shuffle on a 16-byte hash — always fine.
