@@ -41,6 +41,7 @@ def _registries():
         "angelone_clickhouse_spark.operators.multimodal",
         "angelone_clickhouse_spark.operators.skew",
         "angelone_clickhouse_spark.operators.pipeline",
+        "angelone_clickhouse_spark.operators.curation",
         "angelone_clickhouse_spark.operators.timeseries",
         "angelone_clickhouse_spark.operators.asof",
         "angelone_clickhouse_spark.operators.embedding_fast",

@@ -1,0 +1,334 @@
+"""Document-curation operators over the ``documents`` table:
+repetition-based quality scoring, deterministic dataset splits,
+corpus vocabulary statistics, and PII redaction.
+
+These round out the training-data pipeline surface
+(``operators/pipeline.py`` has decontamination / sampling / gating /
+packing; this module adds the per-document *content* filters a
+curation pass runs before those). The reference engine has none of
+these (SURVEY §2.3 capability gaps) — they are the Gopher/C4-style
+rules every large-scale text pipeline applies.
+
+All four ops are pure built-in-function DataFrame plans and fully
+DuckDB-oracle-checked: every derived value is integer arithmetic,
+md5 bucketing, or deterministic string rewriting — no float anywhere.
+
+Scale notes (100 TB):
+- doc_repetition: zero shuffles — every score is computed from the
+  document's own token array with higher-order functions (map-side
+  only, embarrassingly parallel). This is the op you run on every
+  document of a 100 TB crawl, so it being shuffle-free matters most.
+- dataset_split: zero shuffles — split assignment is a stable hash of
+  doc_id (reproducible across reruns/engines; no RNG coordination).
+- corpus_top_tokens: explode + global count is the classic word-count
+  shape — partial (map-side) aggregation does the heavy lifting and
+  only per-token partials shuffle; the top-k is a TakeOrdered over
+  |vocab| rows, not |corpus|.
+- pii_redact: zero shuffles — regexp_replace chain, map-side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.sources.tables import load_table
+
+# Gopher-style gates (Rae et al. 2021 use 0.2 duplicate-2gram /
+# 0.18 dup-3gram / 0.1 top-token fractions; the word-soup fixture has
+# a ~40-word vocabulary so every doc is repetitive — thresholds here
+# are calibrated to split the fixture non-degenerately while keeping
+# the rule shape identical).
+DUP2_MAX_MILLI = 60
+TOP_TOK_MAX_MILLI = 95
+
+# dataset_split: hash-bucket boundaries out of 100.
+TRAIN_PCT = 80
+VAL_PCT = 10  # val is [TRAIN_PCT, TRAIN_PCT + VAL_PCT)
+
+TOP_K_TOKENS = 20
+
+# pii_redact: RE2/Java-compatible patterns (no lookaround, no \b
+# ambiguity across engines).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+IP_RE = r"ip:[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition scores in exact milli-units (integer
+    division — bit-identical cross-engine) plus the keep/drop gate:
+
+    - dup2_milli / dup3_milli: fraction of word {2,3}-grams that are
+      duplicates of an earlier gram (Gopher "duplicate n-gram" rule);
+    - top_tok_milli: most-frequent-token share of all tokens.
+
+    Computed entirely from each doc's own token array with
+    higher-order functions — no explode, no shuffle, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gram_expr(n: int) -> str:
+        idx = ", ".join(f"w[i+{k}]" for k in range(n))
+        # short-doc guard: sequence(0, size-n) counts DOWN when
+        # size < n (see pipeline._word_ngrams)
+        return (
+            f"CASE WHEN size(w) >= {n} THEN"
+            f" transform(sequence(0, size(w) - {n}),"
+            f"           i -> concat_ws(' ', {idx}))"
+            f" ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+
+    def dup_milli(g: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN size({g}) > 0 THEN"
+            f" (1000 * (size({g}) - size(array_distinct({g}))))"
+            f" div size({g})"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+
+    # top-token count via a single sorted-run scan (O(n log n)) instead
+    # of the O(|vocab| * n) filter-per-distinct-token form
+    top_tok = F.expr(
+        "(1000 * aggregate(array_sort(w),"
+        "   struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS best),"
+        "   (acc, x) -> struct(x AS prev,"
+        "     CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1L END AS run,"
+        "     greatest(acc.best,"
+        "       CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1L END)"
+        "       AS best),"
+        "   acc -> acc.best))"
+        " div size(w)"
+    )
+    # layered selects so each gram array is built once per row — the
+    # sizes/distinct below reference the materialized column, and
+    # Catalyst's CollapseProject keeps multiply-referenced non-trivial
+    # aliases out-of-line rather than re-inlining them
+    grams = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).select(
+        "doc_id",
+        "w",
+        F.expr(gram_expr(2)).alias("g2"),
+        F.expr(gram_expr(3)).alias("g3"),
+    )
+    scored = grams.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        dup_milli("g2").alias("dup2_milli"),
+        dup_milli("g3").alias("dup3_milli"),
+        top_tok.alias("top_tok_milli"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "dup2_milli",
+        "dup3_milli",
+        "top_tok_milli",
+        (
+            (F.col("dup2_milli") <= DUP2_MAX_MILLI)
+            & (F.col("top_tok_milli") <= TOP_TOK_MAX_MILLI)
+        ).alias("keep"),
+    )
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by a stable content-free
+    hash of doc_id (same md5-bucket device as
+    ``pipeline.sample_stratified`` — reproducible across engines,
+    executors, and reruns; no RNG seed coordination).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('ds:', cast(doc_id as string))),"
+        " 1, 15), 16, 10) as bigint) % 100"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+    ).select(
+        "doc_id",
+        "lang",
+        "bucket",
+        F.when(F.col("bucket") < TRAIN_PCT, "train")
+        .when(F.col("bucket") < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K vocabulary: token frequency and document frequency
+    over the whole corpus (word-count with map-side combine; the top-k
+    runs over |vocab| aggregated rows, never raw tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(TOP_K_TOKENS)
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regexp_replace chain over email / phone / IP
+    patterns, map-side only.
+
+    The fixture corpus is word soup with no PII, so the query plants
+    deterministic doc_id-derived PII spans first (emails on
+    doc_id%3==0, phones on doc_id%2==0, an IP on every doc) and then
+    redacts — the planted/redacted counts differ per doc, so the
+    oracle actually exercises the match logic rather than a no-op.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(substring(text, 1, 40),"
+            " CASE WHEN doc_id % 3 = 0 THEN"
+            "   concat(' user', cast(doc_id as string), '@example.com')"
+            " ELSE '' END,"
+            " CASE WHEN doc_id % 2 = 0 THEN"
+            "   concat(' +1-555-', lpad(cast(doc_id % 10000 as string),"
+            "                           4, '0'))"
+            " ELSE '' END,"
+            " ' ip:10.0.', cast(doc_id % 256 as string), '.1')"
+        ).alias("t"),
+    )
+    red = (
+        planted.withColumn(
+            "n_emails", F.regexp_count("t", F.lit(EMAIL_RE))
+        )
+        .withColumn("n_phones", F.regexp_count("t", F.lit(PHONE_RE)))
+        .withColumn("n_ips", F.regexp_count("t", F.lit(IP_RE)))
+        .withColumn(
+            "redacted",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("t", EMAIL_RE, "<EMAIL>"),
+                    PHONE_RE,
+                    "<PHONE>",
+                ),
+                IP_RE,
+                "<IP>",
+            ),
+        )
+    )
+    return red.select(
+        "doc_id",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_phones").cast("int").alias("n_phones"),
+        F.col("n_ips").cast("int").alias("n_ips"),
+        "redacted",
+    )
+
+
+QUERIES = {
+    "doc_repetition": doc_repetition,
+    "dataset_split": dataset_split,
+    "corpus_top_tokens": corpus_top_tokens,
+    "pii_redact": pii_redact,
+}
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB n-gram list over ws (1-indexed)."""
+    idx = " || ' ' || ".join(f"ws[i+{k}]" for k in range(n))
+    return (
+        f"CASE WHEN len(ws) >= {n} THEN"
+        f" list_transform(generate_series(1, len(ws) - {n - 1}),"
+        f"                i -> {idx})"
+        f" ELSE [] END"
+    )
+
+
+def _dup_sql(n: int) -> str:
+    g = _gram_sql(n)
+    return (
+        f"CASE WHEN len({g}) > 0 THEN"
+        f" (1000 * (len({g}) - len(list_distinct({g})))) // len({g})"
+        f" ELSE 0 END"
+    )
+
+
+ORACLES = {
+    "doc_repetition": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+scored AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         {_dup_sql(2)} AS dup2_milli,
+         {_dup_sql(3)} AS dup3_milli,
+         (1000 * list_max(list_transform(list_distinct(ws),
+             x -> len(list_filter(ws, y -> y = x))))) // len(ws)
+           AS top_tok_milli
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(dup2_milli AS BIGINT) AS dup2_milli,
+       CAST(dup3_milli AS BIGINT) AS dup3_milli,
+       CAST(top_tok_milli AS BIGINT) AS top_tok_milli,
+       (dup2_milli <= {DUP2_MAX_MILLI}
+        AND top_tok_milli <= {TOP_TOK_MAX_MILLI}) AS keep
+FROM scored
+""",
+    "dataset_split": f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5('ds:' || CAST(doc_id AS VARCHAR)),
+                            1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+    "corpus_top_tokens": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {TOP_K_TOKENS}
+""",
+    "pii_redact": f"""
+WITH planted AS (
+  SELECT doc_id,
+         substring(text, 1, 40)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                         4, '0')
+                 ELSE '' END
+         || ' ip:10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{IP_RE}')) AS INT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(
+         t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+            '{PHONE_RE}', '<PHONE>', 'g'),
+            '{IP_RE}', '<IP>', 'g') AS redacted
+FROM planted
+""",
+}

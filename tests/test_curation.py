@@ -1,0 +1,103 @@
+"""Value-level tests for operators/curation.py (the per-document
+curation pass: repetition gates, dataset splits, vocab stats, PII).
+
+The DuckDB oracle covers cross-engine parity; these tests pin the
+semantics the oracle can't see — gate non-degeneracy, split
+determinism and rates, and redaction completeness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.operators.curation import (
+    EMAIL_RE,
+    IP_RE,
+    PHONE_RE,
+    TRAIN_PCT,
+    VAL_PCT,
+    corpus_top_tokens,
+    dataset_split,
+    doc_repetition,
+    pii_redact,
+)
+from tests.conftest import SF_CORRECT
+
+
+def test_repetition_scores_bounded_and_gate_nondegenerate(spark):
+    rows = doc_repetition(spark, SF_CORRECT).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r.dup2_milli <= 1000
+        assert 0 <= r.dup3_milli <= 1000
+        # most-frequent token occurs at least once per distinct token
+        assert 1 <= r.top_tok_milli <= 1000
+    kept = sum(1 for r in rows if r.keep)
+    # the gate must actually split the corpus, not rubber-stamp it
+    assert 0.1 < kept / len(rows) < 0.9
+
+
+def test_repetition_matches_python_reference(spark):
+    """Brute-force the scores for a handful of docs in plain Python."""
+    sample = (
+        doc_repetition(spark, SF_CORRECT)
+        .filter(F.col("doc_id") < 5)
+        .collect()
+    )
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .filter(F.col("doc_id") < 5)
+        .collect()
+    }
+    for r in sample:
+        w = docs[r.doc_id].split(" ")
+        g2 = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        assert r.dup2_milli == 1000 * (len(g2) - len(set(g2))) // len(g2)
+        top = max(w.count(x) for x in set(w))
+        assert r.top_tok_milli == 1000 * top // len(w)
+
+
+def test_dataset_split_deterministic_and_rates(spark):
+    a = {r.doc_id: r.split for r in dataset_split(spark, SF_CORRECT).collect()}
+    b = {r.doc_id: r.split for r in dataset_split(spark, SF_CORRECT).collect()}
+    assert a == b  # no RNG anywhere
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    val = sum(1 for s in a.values() if s == "val")
+    # md5 buckets are uniform-ish; allow +/-5pp at n=500
+    assert abs(train / n - TRAIN_PCT / 100) < 0.05
+    assert abs(val / n - VAL_PCT / 100) < 0.05
+
+
+def test_top_tokens_ordered_and_consistent(spark):
+    rows = corpus_top_tokens(spark, SF_CORRECT).collect()
+    assert len(rows) == 20
+    occ = [r.n_occurrences for r in rows]
+    assert occ == sorted(occ, reverse=True)
+    for r in rows:
+        assert 1 <= r.n_docs <= r.n_occurrences
+
+
+def test_pii_redaction_complete(spark):
+    red = pii_redact(spark, SF_CORRECT)
+    # after redaction, no pattern may match anywhere
+    leftover = red.filter(
+        (F.regexp_count("redacted", F.lit(EMAIL_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(PHONE_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(IP_RE)) > 0)
+    ).count()
+    assert leftover == 0
+    # planted counts follow the doc_id rules exactly
+    bad = red.filter(
+        (F.col("n_emails") != (F.col("doc_id") % 3 == 0).cast("int"))
+        | (F.col("n_phones") != (F.col("doc_id") % 2 == 0).cast("int"))
+        | (F.col("n_ips") != 1)
+    ).count()
+    assert bad == 0
+    # and the replacement tokens are present where planted
+    marked = red.filter(
+        (F.col("doc_id") % 3 == 0)
+        & ~F.col("redacted").contains("<EMAIL>")
+    ).count()
+    assert marked == 0
