@@ -153,6 +153,35 @@ def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + lead window pair: balance quartile within each market
+    segment plus the cent gap to the next-richer customer.
+
+    Balances are carried as integer cents end-to-end, so quartile
+    boundaries and gaps are bit-identical cross-engine. Scale notes:
+    the window partitions by segment (bounded cardinality but each
+    partition is |customers|/5 — at 100 TB you'd compute approx
+    quartile cutoffs per segment and broadcast-join them instead of
+    running a full sort window; same output contract).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bal = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("bal_cents", "c_custkey")
+    return bal.select(
+        "c_mktsegment",
+        "c_custkey",
+        "bal_cents",
+        F.ntile(4).over(w).alias("quartile"),
+        (F.lead("bal_cents").over(w) - F.col("bal_cents")).alias(
+            "gap_cents"
+        ),
+    )
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (region, nation): per-nation, per-region subtotal,
     and grand-total rows in one pass (partial aggregates reused across
@@ -257,6 +286,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "customers_with_urgent_orders": customers_with_urgent_orders,
     "customer_order_ranks": customer_order_ranks,
+    "customer_balance_quartiles": customer_balance_quartiles,
 }
 
 from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE  # noqa: E402
@@ -389,5 +419,16 @@ FROM (
   FROM orders
 ) ranked
 WHERE rank <= 3
+""",
+    "customer_balance_quartiles": """
+SELECT c_mktsegment, c_custkey, bal_cents,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       lead(bal_cents) OVER w - bal_cents AS gap_cents
+FROM (
+  SELECT c_mktsegment, c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+) b
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents, c_custkey)
 """,
 }

@@ -88,10 +88,45 @@ def event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINDOW_MIN = 10  # sliding window length
+SLIDE_MIN = 5  # slide step (windows overlap 2x)
+
+
+def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping event-time windows (10 min length, 5 min slide) —
+    the hopping-window rollup every stream dashboard runs; here as the
+    deterministic batch twin of ``F.window``'s sliding mode (the
+    streaming variant is the same expression under a watermark).
+
+    Scale notes: Spark expands each row into length/slide = 2 window
+    assignments *before* the hash aggregate, so partial aggregation
+    still applies — one shuffle of per-window partials, never raw
+    events twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", f"{WINDOW_MIN} minutes", f"{SLIDE_MIN} minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            sum_fixed("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "json_extract_events": json_extract_events,
     "event_type_funnel": event_type_funnel,
+    "event_sliding_windows": event_sliding_windows,
 }
 
 _TOTAL_VALUE_SQL = sum_fixed_sql('"value"', "total_value")
@@ -151,5 +186,32 @@ FROM (
   WHERE rn = 1
 ) f
 GROUP BY first_event_type
+""",
+    # every event lands in exactly length/slide = 2 windows whose
+    # starts are epoch-aligned slide multiples — UNION ALL of the two
+    # shifted floors reproduces Spark's window expansion exactly
+    "event_sliding_windows": f"""
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, "value" FROM events
+),
+wins AS (
+  SELECT make_timestamp((epoch_us(ts) // {SLIDE_MIN * 60_000_000})
+                        * {SLIDE_MIN * 60_000_000}) AS ws,
+         user_id, "value"
+  FROM e
+  UNION ALL
+  SELECT make_timestamp((epoch_us(ts) // {SLIDE_MIN * 60_000_000})
+                        * {SLIDE_MIN * 60_000_000}
+                        - {SLIDE_MIN * 60_000_000}) AS ws,
+         user_id, "value"
+  FROM e
+)
+SELECT ws AS window_start,
+       ws + INTERVAL {WINDOW_MIN} MINUTE AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {_TOTAL_VALUE_SQL}
+FROM wins
+GROUP BY ws
 """,
 }

@@ -213,8 +213,45 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-pretokenizer-style split (GPT-2 pretokenizer, simplified to the
+# RE2/Java-common subset): letter runs | digit runs | single symbol.
+# Alternation is leftmost-first in both engines, so counts agree.
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def text_tokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-pretokenizer-ish) token counting, rolled up per
+    event type over ``events.props`` — the documents fixture is
+    single-space word soup where a regex tokenizer degenerates to
+    whitespace counts, while the JSON props strings exercise the
+    letter/digit/symbol alternation for real.
+
+    Whitespace-tokenizer counterpart: ``text_token_stats``. Map-side
+    regexp_count + one partial-aggregated shuffle on event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    n_tok = F.regexp_count("props", F.lit(BPE_RE))
+    n_word = F.regexp_count("props", F.lit("[a-zA-Z]+"))
+    n_num = F.regexp_count("props", F.lit("[0-9]+"))
+    return (
+        ev.select("event_type", n_tok.alias("t"), n_word.alias("w"),
+                  n_num.alias("n"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("t").alias("n_tokens"),
+            F.sum("w").alias("n_word_tokens"),
+            F.sum("n").alias("n_number_tokens"),
+            F.sum(F.col("t") - F.col("w") - F.col("n")).alias(
+                "n_symbol_tokens"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_tokenize_regex": text_tokenize_regex,
     "text_quality": text_quality,
     "text_lang_stats": text_lang_stats,
     "text_langid": text_langid,
@@ -222,6 +259,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_tokenize_regex": f"""
+WITH t AS (
+  SELECT event_type,
+         len(regexp_extract_all(props, '{BPE_RE}'))      AS t,
+         len(regexp_extract_all(props, '[a-zA-Z]+'))     AS w,
+         len(regexp_extract_all(props, '[0-9]+'))        AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)     AS n_rows,
+       CAST(sum(t) AS BIGINT)       AS n_tokens,
+       CAST(sum(w) AS BIGINT)       AS n_word_tokens,
+       CAST(sum(n) AS BIGINT)       AS n_number_tokens,
+       CAST(sum(t - w - n) AS BIGINT) AS n_symbol_tokens
+FROM t
+GROUP BY event_type
+""",
     "text_token_stats": """
 SELECT doc_id,
        len(string_split(text, ' '))                          AS n_tokens,
