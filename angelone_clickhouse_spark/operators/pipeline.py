@@ -97,6 +97,42 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path variant of :func:`decontaminate_ngrams`: the join key
+    is a 60-bit md5 prefix of the gram instead of the gram string, so
+    the broadcast benchmark set carries 8 bytes per gram instead of the
+    ~6-word string (~16x smaller — at 100 TB the benchmark suite's gram
+    set is what must fit in every executor).
+
+    Same output contract as the exact op up to 60-bit hash collisions
+    (~n²/2⁶¹ expected false hits — zero at any realistic suite size,
+    and deterministic, so the DuckDB oracle checks this path exactly).
+    The next compression rung would be a bloom filter; Spark keeps
+    ``bloom_filter_agg`` internal (it powers the runtime-filter
+    injection enabled in session.py), so the explicit-hash-set form is
+    the idiomatic user-level spelling.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _word_ngrams(docs, DECON_N)
+    h = F.expr(
+        "cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)"
+    )
+    hashed = grams.select("doc_id", h.alias("gh"))
+    bench = (
+        hashed.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("gh")
+        .distinct()
+    )
+    hits = hashed.filter(F.col("doc_id") % BENCH_MOD != 0).join(
+        F.broadcast(bench), "gh"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        .select("doc_id", "n_hit_ngrams")
+    )
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-language keep rates
     (downsample dominant strata) decided by a content-free stable hash
@@ -201,6 +237,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
+    "decontaminate_hashed": decontaminate_hashed,
     "sample_stratified": sample_stratified,
     "quality_quantile_gate": quality_quantile_gate,
     "sequence_pack": sequence_pack,
@@ -231,6 +268,27 @@ SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
 FROM grams g JOIN bench b ON g.gram = b.gram
 WHERE g.doc_id % {BENCH_MOD} != 0
 GROUP BY g.doc_id
+""",
+    "decontaminate_hashed": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - {DECON_N - 1})) AS t(i)
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(gram), 1, 15))::BIGINT AS gh
+  FROM grams
+),
+bench AS (
+  SELECT DISTINCT gh FROM hashed WHERE doc_id % {BENCH_MOD} = 0
+)
+SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+FROM hashed h JOIN bench b ON h.gh = b.gh
+WHERE h.doc_id % {BENCH_MOD} != 0
+GROUP BY h.doc_id
 """,
     "sample_stratified": f"""
 SELECT doc_id, lang, source,

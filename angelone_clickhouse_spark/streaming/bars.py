@@ -17,6 +17,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hopping_bars(
+    ticks: DataFrame, watermark: str | None = "10 minutes"
+) -> DataFrame:
+    """Sliding (hopping) 2-minute bars advancing every minute — the
+    overlapping-window variant of :func:`minute_bars` (each tick lands
+    in length/slide = 2 windows; Spark expands the assignment before
+    the partial aggregate, so state stays per-(window, token)).
+
+    Like ``minute_bars`` the identical plan runs on the batch replay —
+    the stream==batch pytest is the determinism oracle; the batch-side
+    sliding semantics themselves are DuckDB-oracled via
+    ``event_sliding_windows`` (operators/sessionize.py).
+    """
+    src = ticks
+    if src.isStreaming and watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window("ts", "2 minutes", "1 minute").alias("bar"),
+            F.col("token"),
+        )
+        .agg(
+            F.max("high_price").alias("high"),
+            F.min("low_price").alias("low"),
+            F.sum("volume").alias("total_volume"),
+            F.count(F.lit(1)).alias("tick_count"),
+        )
+        .select(
+            F.col("bar.start").alias("bar_ts"),
+            "token",
+            "high",
+            "low",
+            "total_volume",
+            "tick_count",
+        )
+    )
+
+
 def minute_bars(ticks: DataFrame, watermark: str | None = "10 minutes") -> DataFrame:
     """Works on both a streaming and a batch tick DataFrame: the batch
     run of the same plan is the replay-determinism oracle. Pass

@@ -13,6 +13,7 @@ from angelone_clickhouse_spark.operators.pipeline import (
     PACK_BUDGET,
     SAMPLE_PCT,
     SAMPLE_PCT_DEFAULT,
+    decontaminate_hashed,
     decontaminate_ngrams,
     quality_quantile_gate,
     sample_stratified,
@@ -46,6 +47,20 @@ def test_decontaminate_flags_planted_duplicates(spark, sf_dir):
             # a full duplicate of a benchmark doc shares every gram
             for d in train_ids:
                 assert d in flagged, f"doc {d} duplicates benchmark {bench_ids}"
+
+
+def test_decontaminate_hashed_equals_exact(spark, sf_dir):
+    """The 60-bit-hash scale path must reproduce the exact op's output
+    at fixture scale (no collisions at these gram counts)."""
+    exact = {
+        (r.doc_id, r.n_hit_ngrams)
+        for r in decontaminate_ngrams(spark, sf_dir).collect()
+    }
+    hashed = {
+        (r.doc_id, r.n_hit_ngrams)
+        for r in decontaminate_hashed(spark, sf_dir).collect()
+    }
+    assert exact == hashed
 
 
 def test_sample_stratified_rates(spark, sf_dir):

@@ -14,7 +14,7 @@ from angelone_clickhouse_spark.sources.frames import (
     generate_frames,
     write_frames_parquet,
 )
-from angelone_clickhouse_spark.streaming.bars import minute_bars
+from angelone_clickhouse_spark.streaming.bars import hopping_bars, minute_bars
 from angelone_clickhouse_spark.streaming.ingest import (
     corrupt_frame_count,
     decode_tick_stream,
@@ -72,6 +72,36 @@ def test_ingest_is_idempotent_on_restart(spark, frames_dir, tmp_path):
     q2 = ingest_to_parquet(spark, frames_dir, out, ckpt, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_hopping_bars_stream_equals_batch(spark, frames, frames_dir, tmp_path):
+    """Sliding-window state: each tick must appear in exactly two
+    overlapping windows, identically in stream and batch replays."""
+    from angelone_clickhouse_spark.streaming.ingest import read_frame_stream
+
+    ticks_stream = decode_tick_stream(read_frame_stream(spark, frames_dir))
+    q = (
+        hopping_bars(ticks_stream, watermark=None)
+        .writeStream.format("memory")
+        .queryName("hop_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("hop_test")
+    expected = hopping_bars(_batch_ticks(spark, frames))
+    cols = sorted(got.columns)
+    sg = sorted(map(tuple, got.select(*cols).collect()), key=repr)
+    se = sorted(map(tuple, expected.select(*cols).collect()), key=repr)
+    assert sg == se
+    # every tick lands in exactly 2 windows: total tick_count doubles
+    n_ticks = _batch_ticks(spark, frames).count()
+    assert sum(r.tick_count for r in sg_rows(got)) == 2 * n_ticks
+
+
+def sg_rows(df):
+    return df.select("tick_count").collect()
 
 
 def test_minute_bars_stream_equals_batch(spark, frames, frames_dir, tmp_path):
