@@ -153,6 +153,42 @@ def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate decorrelation by hand: orders whose price
+    beats their nation's average order price. The per-nation aggregate
+    is tiny (25 rows) and broadcast back onto the fact — the classic
+    rewrite of ``WHERE price > (SELECT avg(...) WHERE same nation)``
+    that avoids a second fact shuffle.
+
+    The comparison is exact integer arithmetic — ``cents * n_orders >
+    sum_cents`` — so the boundary is bit-identical cross-engine (an
+    avg-double compare would wobble on ties; functions/exact.py).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        "o_custkey",
+        "c_nationkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    per_nation = oc.groupBy("c_nationkey").agg(
+        F.sum("price_cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        oc.join(F.broadcast(per_nation), "c_nationkey")
+        .filter(
+            F.col("price_cents") * F.col("n_orders") > F.col("sum_cents")
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("o_orderkey", "o_custkey", "n_name", "price_cents")
+    )
+
+
 def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile + lead window pair: balance quartile within each market
     segment plus the cent gap to the next-richer customer.
@@ -287,6 +323,7 @@ QUERIES = {
     "customers_with_urgent_orders": customers_with_urgent_orders,
     "customer_order_ranks": customer_order_ranks,
     "customer_balance_quartiles": customer_balance_quartiles,
+    "orders_above_nation_avg": orders_above_nation_avg,
 }
 
 from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE  # noqa: E402
@@ -430,5 +467,23 @@ FROM (
   FROM customer
 ) b
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents, c_custkey)
+""",
+    "orders_above_nation_avg": """
+WITH oc AS (
+  SELECT o.o_orderkey, o.o_custkey, c.c_nationkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+pn AS (
+  SELECT c_nationkey,
+         CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+         count(*) AS n_orders
+  FROM oc GROUP BY c_nationkey
+)
+SELECT oc.o_orderkey, oc.o_custkey, n.n_name, oc.price_cents
+FROM oc
+JOIN pn ON oc.c_nationkey = pn.c_nationkey
+JOIN nation n ON oc.c_nationkey = n.n_nationkey
+WHERE oc.price_cents * pn.n_orders > pn.sum_cents
 """,
 }
