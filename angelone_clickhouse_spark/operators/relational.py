@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from angelone_clickhouse_spark.functions.exact import avg_fixed, sum_fixed_round2
+from angelone_clickhouse_spark.functions.exact import (
+    avg_fixed,
+    sum_fixed_round2,
+    sum_fixed_round2_sql,
+)
 from angelone_clickhouse_spark.sources.tables import load_table
 
 SHIP_CUTOFF = "1999-06-01"
@@ -189,6 +193,70 @@ def orders_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUTOFF = "1998-06-01"  # mid-range anchor; never wall-clock (oracle determinism)
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 not-yet-shipped orders of one market
+    segment by outstanding revenue as of CUTOFF (ordered before,
+    shipping after). The fixture has no o_shippriority column, so the
+    output carries the order date instead.
+
+    Plan shape: the segment filter prunes customers before the
+    broadcast; lineitem and orders shuffle once on orderkey; revenue
+    is the exact 1e-4-grid sum (functions/exact.py) so the top-10
+    boundary is deterministic cross-engine (orderkey tiebreak).
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(CUTOFF).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(CUTOFF).cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            sum_fixed_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                4,
+                "revenue",
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders placed in a
+    quarter have at least one line item shipped more than 30 days
+    after ordering (the fixture lacks commit/receipt dates, so "late"
+    is ship-minus-order > 30 days).
+
+    The EXISTS is a LEFT SEMI join on orderkey with the date condition
+    inside the join predicate — one shuffle, no dedup pass.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
 def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile + lead window pair: balance quartile within each market
     segment plus the cent gap to the next-richer customer.
@@ -324,6 +392,8 @@ QUERIES = {
     "customer_order_ranks": customer_order_ranks,
     "customer_balance_quartiles": customer_balance_quartiles,
     "orders_above_nation_avg": orders_above_nation_avg,
+    "shipping_priority": shipping_priority,
+    "late_shipment_priorities": late_shipment_priorities,
 }
 
 from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE  # noqa: E402
@@ -485,5 +555,30 @@ FROM oc
 JOIN pn ON oc.c_nationkey = pn.c_nationkey
 JOIN nation n ON oc.c_nationkey = n.n_nationkey
 WHERE oc.price_cents * pn.n_orders > pn.sum_cents
+""",
+    "shipping_priority": f"""
+SELECT l.l_orderkey, o.o_orderdate,
+       {sum_fixed_round2_sql("l.l_extendedprice * (1 - l.l_discount)", 4, "revenue")}
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT 10
+""",
+    "late_shipment_priorities": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
 """,
 }
