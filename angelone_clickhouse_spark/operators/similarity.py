@@ -236,7 +236,84 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_ITERS = 2  # Lloyd refinement rounds for kmeans_refine
+
+
+def kmeans_refine(
+    spark: SparkSession, sf_dir: str, iters: int = KM_ITERS
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus: start from the same
+    SEED centroids IVF uses (deterministic corpus rows), then run
+    ``iters`` assign/update rounds and return per-cluster stats of the
+    final assignment (members, mean squared distance).
+
+    This is the iterative-algorithm pattern on Spark: each round is
+    (broadcast tiny centroids) -> map-side argmin assignment -> one
+    groupBy (cluster, dim) partial-aggregated mean, and the new
+    centroid table is ``localCheckpoint``-ed so round N+1's plan does
+    not replay rounds 1..N (at cluster scale: persist to a table, or
+    this lineage doubles every round — see memory of connected
+    components). Driver check is rows-only: centroid means are float
+    sums whose order Spark does not fix, so no bit-exact oracle exists
+    by construction; tests assert the invariants instead (partition of
+    the corpus, non-increasing inertia, stable cluster count).
+    """
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    cents = (
+        vecs.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        )
+        .select(
+            (F.col("vec_id") - N_QUERIES).alias("cent_id"),
+            F.col("v").alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+
+    def assign(c: DataFrame) -> DataFrame:
+        return (
+            vecs.crossJoin(F.broadcast(c))
+            .select("vec_id", "v", "cent_id", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cent_id", "d2")
+        )
+
+    members = assign(cents)
+    for _ in range(iters):
+        new_cents = (
+            members.select(
+                "cent_id", F.posexplode("v").alias("pos", "x")
+            )
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+        members = assign(new_cents)
+    return members.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("d2"), 4).alias("inertia"),
+    )
+
+
 QUERIES = {
+    "kmeans_refine": kmeans_refine,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,

@@ -64,3 +64,26 @@ def test_ivf_results_quality(spark, sf_dir):
         assert ranks == list(range(1, len(ranks) + 1))
     hits = sum(1 for r in ivf if (r.query_id, r.neighbor_id) in exact)
     assert hits / len(exact) > 0.1
+
+
+def test_kmeans_refine_invariants(spark):
+    """Lloyd iterations must (a) keep the assignment a partition of
+    the corpus, (b) never increase total inertia, (c) keep at most
+    N_CENTROIDS clusters."""
+    from angelone_clickhouse_spark.operators.similarity import (
+        N_CENTROIDS,
+        kmeans_refine,
+    )
+    from tests.conftest import SF_CORRECT
+
+    def stats(iters):
+        rows = kmeans_refine(spark, SF_CORRECT, iters=iters).collect()
+        return sum(r.n_members for r in rows), sum(r.inertia for r in rows), len(rows)
+
+    n0, inertia0, k0 = stats(0)
+    n2, inertia2, k2 = stats(2)
+    assert n0 == n2  # every vector assigned exactly once
+    assert k0 <= N_CENTROIDS and k2 <= N_CENTROIDS
+    # Lloyd monotonicity (allow float-rounding jitter)
+    assert inertia2 <= inertia0 + 1e-6
+    assert inertia2 < inertia0 * 0.999  # and it actually improved
