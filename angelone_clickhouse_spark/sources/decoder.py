@@ -123,6 +123,9 @@ def _decode_udf(frames: pd.Series) -> pd.DataFrame:
     out["token"] = pd.Series(tokens).where(pd.Series(has_header))
     for name, _, _ in _HEADER_NUM:
         out[name] = masked(num_cols[name], has_header)
+    # Mode 4 (DEPTH, models/token.go:18) frames parse as mode>=2: the
+    # reference parser never decodes a depth payload (parser/binary.go
+    # :63-73 stops at the mode>=2 tail), so neither do we.
     # Tail fields are defined only for mode >= 2 frames that carry them;
     # a mode>=2 frame shorter than FULL_LEN is corrupt (reference would
     # silently zero-fill, parser/binary.go:52-75 — we null instead).
