@@ -89,14 +89,68 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type function coverage: per-user event-type histograms
+    built as a real Spark ``map<string,bigint>`` (map_from_entries),
+    probed with element_at, and serialized to a canonical
+    ``k:v,k:v`` string (map_entries + transform + array_join) so the
+    map value itself is hash-comparable against DuckDB, which renders
+    the same canonical form with an ordered string_agg.
+    """
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "n")))
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            F.size("m").alias("n_types"),
+            F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias(
+                "n_clicks"
+            ),
+            F.array_join(
+                F.transform(
+                    F.map_entries("m"),
+                    lambda e: F.concat_ws(
+                        ":", e["key"], e["value"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("histogram"),
+        )
+    )
+
+
 QUERIES = {
     "scalar_functions": scalar_functions,
+    "map_functions": map_functions,
     "distinct_tokens": distinct_tokens,
     "distinct_tokens_approx": distinct_tokens_approx,
     "price_percentiles": price_percentiles,
 }
 
 ORACLES = {
+    "map_functions": """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(count(*) AS INTEGER) AS n_types,
+       CAST(coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0)
+            AS BIGINT) AS n_clicks,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                  ORDER BY event_type) AS histogram
+FROM per
+GROUP BY user_id
+""",
     "scalar_functions": TICKS_ORACLE_CTE
     + """
 SELECT sequence_number,

@@ -88,6 +88,41 @@ def event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dispersion statistics per event type: population variance
+    of the cent-grid ``value`` column carried as integers end-to-end —
+    ``var = (n*Σx² − (Σx)²) / n²`` in cents², emitted in milli-cents²
+    with integer division, so it is bit-identical cross-engine where
+    float ``var_pop`` would wobble in the last ulp.
+
+    The cross terms (n·Σx², (Σx)²) overflow a long already at sf0.1
+    group sizes — ANSI mode catches it — so the arithmetic runs in
+    DECIMAL(38,0) (Spark's integral ``div`` on decimals returns a
+    long); DuckDB's HUGEINT does the same natively.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sum_cents"),
+            F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_cents",
+            F.expr(
+                "(1000 * (cast(n as decimal(38,0)) * sumsq"
+                "         - cast(sum_cents as decimal(38,0)) * sum_cents))"
+                " div (cast(n as decimal(38,0)) * n)"
+            ).alias("var_milli_cents2"),
+        )
+    )
+
+
 WINDOW_MIN = 10  # sliding window length
 SLIDE_MIN = 5  # slide step (windows overlap 2x)
 
@@ -127,6 +162,7 @@ QUERIES = {
     "json_extract_events": json_extract_events,
     "event_type_funnel": event_type_funnel,
     "event_sliding_windows": event_sliding_windows,
+    "value_dispersion": value_dispersion,
 }
 
 _TOTAL_VALUE_SQL = sum_fixed_sql('"value"', "total_value")
@@ -213,5 +249,18 @@ SELECT ws AS window_start,
        {_TOTAL_VALUE_SQL}
 FROM wins
 GROUP BY ws
+""",
+    "value_dispersion": """
+WITH c AS (
+  SELECT event_type, CAST(round("value" * 100) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_cents,
+       CAST((1000 * (count(*) * sum(c * c) - sum(c) * sum(c)))
+            // (count(*) * count(*)) AS BIGINT) AS var_milli_cents2
+FROM c
+GROUP BY event_type
 """,
 }
