@@ -34,6 +34,7 @@ def _registries():
     for modname in (
         "angelone_clickhouse_spark.operators.joins",
         "angelone_clickhouse_spark.operators.relational",
+        "angelone_clickhouse_spark.operators.tpch_extra",
         "angelone_clickhouse_spark.operators.dedup",
         "angelone_clickhouse_spark.operators.similarity",
         "angelone_clickhouse_spark.operators.text",

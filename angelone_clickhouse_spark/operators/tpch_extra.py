@@ -1,0 +1,459 @@
+"""Wider TPC-H-shaped relational coverage (Q7/Q9/Q10/Q14/Q16/Q18/Q19/Q21).
+
+The reference pushes every relational query to ClickHouse (SURVEY.md
+§3.3); a drop-in engine must own the full shapes an analyst would run
+against the same star schema. Each query here is the classic TPC-H
+pattern re-parameterized to the driver fixtures (TESTDATA.md — no
+partsupp/shipmode/commitdate columns, so the nearest expressible
+variant is used and documented per-query).
+
+Scale notes (100 TB):
+- Every dim side (nation, customer-after-filter, part, supplier) is
+  broadcast; only fact⋈fact (lineitem⋈orders) shuffles, once, on
+  orderkey — the same key across queries, so a bucketed layout
+  (sources/bucketing.py) removes even that.
+- Q21's classic formulation is two correlated self-joins on lineitem;
+  here it is decorrelated into ONE grouped pass over lineitem
+  (counts of suppliers / late suppliers per order) joined back —
+  linear work, no quadratic self-join, same result.
+- Disjunctive predicates (Q19) stay in the scan filter: Catalyst
+  pushes the OR-of-ANDs below the join after rewriting the common
+  ``p_partkey = l_partkey`` conjunct, so the fact scan prunes rows
+  before the broadcast probe.
+
+All money aggregates use functions/exact.py fixed-point forms —
+never ``round(sum(double))`` (cross-engine half-rounding; see
+exact.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.functions.exact import (
+    sum_fixed_round2,
+    sum_fixed_round2_sql,
+)
+from angelone_clickhouse_spark.sources.tables import load_table
+
+NATION_A = "NATION_3"
+NATION_B = "NATION_7"
+Q10_Q_START, Q10_Q_END = "1997-01-01", "1997-04-01"
+Q14_M_START, Q14_M_END = "1997-03-01", "1997-04-01"
+Q18_QTY = 250
+LATE_DAYS = 60
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two nations, by
+    (supplier nation, customer nation, ship year), both directions.
+
+    supplier⋈nation and customer⋈nation are broadcast; lineitem⋈orders
+    is the one shuffle. The nation-pair filter lands on the broadcast
+    dims, so fact rows for other nations never reach the aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == NATION_A)
+                & (F.col("cust_nation") == NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == NATION_B)
+                & (F.col("cust_nation") == NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            sum_fixed_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per (supplier nation, order year) profit on
+    PROMO parts. The fixture has no partsupp, so cost is
+    ``p_retailprice * l_quantity`` (cent grid × integer qty — exact),
+    and amount = revenue − cost lives on the 1e-4 grid, summed in
+    integer units (negative-safe: both engines floor-divide)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(sum_fixed_round2(amount, 4, "sum_profit"))
+    )
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R') for orders placed in one quarter.
+
+    Aggregates on (custkey) BEFORE the customer/nation broadcast join,
+    so the dim join input is ≤ |customers| rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_Q_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_Q_END).cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            sum_fixed_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+            )
+        )
+    )
+    return (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "c_acctbal",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO-part share of one month's revenue.
+
+    Both sums are exact integer 1e-4-grid units; the share is one IEEE
+    division of two exact longs — bit-identical cross-engine. The part
+    side is broadcast; the month filter prunes the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_M_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_M_END).cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+    ).cast("long")
+    promo_units = F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0))
+    # share = (100 * promo) / total with an exact-integer numerator and
+    # ONE IEEE double division — DuckDB's `100.0 * x` would go through
+    # DECIMAL arithmetic and diverge, so both engines scale in integers
+    return j.agg(
+        (
+            (F.sum(promo_units) * F.lit(100)).cast("double")
+            / F.sum(units)
+        ).alias("promo_share_pct"),
+        (F.sum(promo_units) / F.lit(10_000.0)).alias("promo_revenue"),
+        (F.sum(units) / F.lit(10_000.0)).alias("total_revenue"),
+    )
+
+
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) for parts outside one brand/size set, excluding suppliers
+    with negative balances (the fixture's stand-in for the complaints
+    NOT IN subquery). The exclusion list is a broadcast LEFT ANTI;
+    countDistinct shuffles once on the grouping key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (~F.col("p_size").isin(9, 14, 23))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds Q18_QTY,
+    with the customer attached. The HAVING runs on the grouped fact
+    FIRST (result is tiny), then joins orders + broadcast customer —
+    never the raw fact to the dim. Quantities are integral doubles, so
+    the sum is exact; cast to long for a grid-free compare."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three
+    (brand, size-range, quantity-range) conjunctions — the disjunctive
+    predicate-pushdown test. Catalyst factors the common join conjunct
+    out of the OR, so the part side still broadcasts and each branch
+    prunes at the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(branch1 | branch2 | branch3).agg(
+        sum_fixed_round2(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def supplier_late_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for a late
+    multi-supplier order (their line shipped > LATE_DAYS after the
+    order date; no other supplier's did).
+
+    Decorrelated: the classic EXISTS/NOT-EXISTS double self-join on
+    lineitem becomes ONE grouped pass per (orderkey) computing
+    distinct-supplier and distinct-late-supplier counts, joined back
+    to the late lines — linear in |lineitem|, no quadratic self-join.
+    At 100 TB both sides of the join-back share the orderkey shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        ).alias("is_late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    blamed = (
+        lo.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "volume_shipping": volume_shipping,
+    "nation_profit": nation_profit,
+    "returned_item_revenue": returned_item_revenue,
+    "promo_revenue_share": promo_revenue_share,
+    "parts_supplier_counts": parts_supplier_counts,
+    "large_orders": large_orders,
+    "disjunctive_revenue": disjunctive_revenue,
+    "supplier_late_blame": supplier_late_blame,
+}
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+ORACLES = {
+    "volume_shipping": f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {sum_fixed_round2_sql(_REV, 4, "revenue")},
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{NATION_A}' AND n2.n_name = '{NATION_B}')
+   OR (n1.n_name = '{NATION_B}' AND n2.n_name = '{NATION_A}')
+GROUP BY 1, 2, 3
+""",
+    "nation_profit": f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {sum_fixed_round2_sql(
+           "l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity",
+           4, "sum_profit")}
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1, 2
+""",
+    "returned_item_revenue": f"""
+SELECT c_custkey, c_name, n_name AS nation, c_acctbal, revenue
+FROM (
+  SELECT o_custkey,
+         {sum_fixed_round2_sql(_REV, 4, "revenue")}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{Q10_Q_START}'
+    AND o_orderdate <  TIMESTAMP '{Q10_Q_END}'
+  GROUP BY o_custkey
+) r
+JOIN customer ON r.o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "promo_revenue_share": f"""
+SELECT CAST(100 * sum(CASE WHEN p_type = 'PROMO' THEN units ELSE 0 END) AS DOUBLE)
+             / CAST(sum(units) AS BIGINT)                          AS promo_share_pct,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN units ELSE 0 END) AS BIGINT)
+             / 10000.0                                             AS promo_revenue,
+       CAST(sum(units) AS BIGINT) / 10000.0                        AS total_revenue
+FROM (
+  SELECT p_type,
+         CAST(round(({_REV}) * 10000) AS BIGINT) AS units
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q14_M_START}'
+    AND l_shipdate <  TIMESTAMP '{Q14_M_END}'
+)
+""",
+    "parts_supplier_counts": """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size NOT IN (9, 14, 23)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+""",
+    "large_orders": f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(l_quantity) AS BIGINT) > {Q18_QTY}
+) b
+JOIN orders   ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 100
+""",
+    "disjunctive_revenue": f"""
+SELECT {sum_fixed_round2_sql(_REV, 4, "revenue")},
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    "supplier_late_blame": f"""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY l_orderkey
+),
+blamed AS (
+  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+  FROM lo
+  JOIN per_order po ON lo.l_orderkey = po.l_orderkey
+  WHERE lo.is_late AND po.n_supp >= 2 AND po.n_late_supp = 1
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 10
+""",
+}
