@@ -35,7 +35,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     idle > 30 minutes. Returns one row per session."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # events.ts is TIMESTAMP_NTZ in the driver's parquet; Spark 4 bans a
+    # direct NTZ->BIGINT cast, and with the session pinned to UTC
+    # (session.py) the NTZ->TIMESTAMP hop is wall-clock identity
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     with_break = ev.withColumn(
         "is_new",
         F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
