@@ -78,22 +78,34 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64  # embeddings fixture dimension (TESTDATA.md)
+
+
+def _plane(p: int, dim: int = EMB_DIM) -> list[float]:
+    """Hyperplane p as concrete floats: h_p[d] = (md5_60('p_d') mod
+    2001 - 1000)/1000 — the exact arithmetic the DuckDB oracle runs in
+    SQL (md5-hex-prefix integer is the cross-engine hash; xxhash64
+    exists only in Spark). Computed driver-side once: leaving it as a
+    per-row transform() made Spark evaluate n_planes*dim md5+conv
+    string ops per corpus row (~0.5M md5s at sf0.1 — the round-2
+    ann_lsh_topk regression)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h60 = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+        out.append(((h60 % 2001) - 1000) / 1000.0)
+    return out
+
+
 def _bucket(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Random-hyperplane bucket id: bit p = sign(v . h_p), where
-    h_p[d] = (md5_60('p_d') mod 2001 - 1000)/1000 — deterministic
-    pseudo-random planes derivable on any executor AND in DuckDB (the
-    md5-hex-prefix integer is the engine's cross-engine hash; xxhash64
-    exists only in Spark), making the whole LSH plan oracle-checkable."""
+    """Random-hyperplane bucket id: bit p = sign(v . h_p). Planes are
+    deterministic literals (see _plane), so every executor — and the
+    oracle — derives identical projections with no randomness to ship."""
     plane_dot = lambda p: F.aggregate(
         F.zip_with(
             "v",
-            F.expr(
-                f"transform(sequence(0, size(v) - 1), "
-                f"d -> (cast("
-                f"cast(conv(substring(md5(concat('{p}_', cast(d as string))), "
-                f"1, 15), 16, 10) as bigint) % 2001 as double) - 1000.0) "
-                f"/ 1000.0)"
-            ),
+            F.array(*[F.lit(x) for x in _plane(p)]),
             lambda x, h: x * h,
         ),
         F.lit(0.0),

@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from angelone_clickhouse_spark.functions.exact import sum_fixed
-from angelone_clickhouse_spark.sources.decoder import decode_frames, wire_to_ticks
+from angelone_clickhouse_spark.sources.decoder import (
+    decode_frames_native,
+    wire_to_ticks,
+)
 from angelone_clickhouse_spark.sources.frames import (
     frames_df,
     generate_frames_and_truth,
@@ -40,9 +43,15 @@ _DECODE_PARAMS = dict(n=3000, seed=42, duplicate_every=10, corrupt_every=50)
 
 def _decode_inputs() -> list[bytes]:
     """Frames for decode_ticks, with the truth sidecar kept in sync so
-    the DuckDB oracle always aggregates exactly what was encoded."""
+    the DuckDB oracle always aggregates exactly what was encoded.
+
+    The sidecar is rewritten only when missing: generation is
+    deterministic for the fixed _DECODE_PARAMS, and the ~0.4 s
+    driver-side parquet write would otherwise land inside bench.py's
+    timed region on every run (the round-2 decode_ticks regression)."""
     frames, truth = generate_frames_and_truth(**_DECODE_PARAMS)
-    write_truth_sidecar(DECODE_TRUTH_PATH, truth)
+    if not os.path.exists(DECODE_TRUTH_PATH):
+        write_truth_sidecar(DECODE_TRUTH_PATH, truth)
     return frames
 
 
@@ -66,9 +75,14 @@ def minute_bars_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated wire frames (with duplicates and truncations) through
     the full decode path, aggregated per token. Oracle-checked against
-    the generator's truth sidecar."""
+    the generator's truth sidecar.
+
+    Uses the JVM-native decoder: at this row count the pandas path's
+    fixed Arrow round-trip dominates (the pandas decoder wins at
+    bulk-ingest batch sizes — bench.py ingest section — and the two are
+    asserted equal in tests/test_decoder.py)."""
     frames = _decode_inputs()
-    decoded = wire_to_ticks(decode_frames(frames_df(spark, frames)))
+    decoded = wire_to_ticks(decode_frames_native(frames_df(spark, frames)))
     deduped = decoded.dropDuplicates(["token", "sequence_number"])
     return deduped.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_ticks"),
