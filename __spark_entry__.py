@@ -128,6 +128,7 @@ def _registries():
         "angelone_clickhouse_spark.sources.token_config",
         "angelone_clickhouse_spark.streaming.batch_equiv",
         "angelone_clickhouse_spark.streaming.stream_join",
+        "angelone_clickhouse_spark.streaming.sessions",
     ):
         try:
             import importlib

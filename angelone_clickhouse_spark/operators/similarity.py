@@ -324,8 +324,72 @@ def kmeans_refine(
     )
 
 
+KM_GRID = 1_000_000  # integer grid for the deterministic k-means twin
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means twin of :func:`kmeans_refine`, built so a
+    bit-exact cross-engine oracle EXISTS: embeddings snap to an integer
+    grid (floor(x*1e6) — floor of the identical IEEE double product on
+    both engines), seed-centroid assignment and the one Lloyd update
+    run in pure integer arithmetic (order-independent long sums;
+    truncating integer division, which Spark's ``div`` and DuckDB's
+    ``//`` both implement), and the re-assignment argmin ranks exact
+    integer distances with a cent_id tiebreak. Float Lloyd's update
+    (means whose summation order Spark does not fix) stays covered by
+    kmeans_refine's invariant tests; THIS query is the driver-checkable
+    face of the operator. Same plan shape: broadcast centroids ->
+    map-side argmin -> one partial-aggregated groupBy per round."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vi = F.expr(
+        f"transform(embedding, x -> "
+        f"cast(floor(cast(x as double) * {KM_GRID}) as bigint))"
+    )
+    vecs = e.select("vec_id", vi.alias("v"))
+    cents0 = vecs.filter(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select((F.col("vec_id") - N_QUERIES).alias("cent_id"), F.col("v").alias("cv"))
+    # exact squared distance in grid units^2: per-dim diff <= ~2e6 ->
+    # square 4e12, x64 dims = 2.6e14 per pair — long-safe
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+
+    def assign(c: DataFrame) -> DataFrame:
+        return (
+            vecs.crossJoin(F.broadcast(c))
+            .select("vec_id", "v", "cent_id", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cent_id", "d2")
+        )
+
+    cents1 = (
+        assign(cents0)
+        .select("cent_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cent_id", "pos")
+        .agg(F.expr("sum(x) div count(1)").alias("m"))
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+    return assign(cents1).groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("inertia_grid2"),
+    )
+
+
 QUERIES = {
     "kmeans_refine": kmeans_refine,
+    "kmeans_assign": kmeans_assign,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -413,6 +477,55 @@ WHERE rank <= {TOP_K}
 
 
 ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
+
+ORACLES["kmeans_assign"] = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {KM_GRID}) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id - {N_QUERIES} AS cent_id, v AS cv FROM v
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+a0 AS (
+  SELECT vec_id, v, cent_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+  FROM (
+    SELECT v.vec_id, v.v, c.cent_id,
+           CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))) AS BIGINT) AS d2
+    FROM v CROSS JOIN c0 c
+  )
+),
+m0 AS (SELECT vec_id, v, cent_id FROM a0 WHERE rn = 1),
+c1 AS (
+  SELECT cent_id, list(m ORDER BY pos) AS cv
+  FROM (
+    SELECT cent_id, i AS pos, CAST(sum(v[i]) // count(*) AS BIGINT) AS m
+    FROM m0, UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+    GROUP BY cent_id, i
+  )
+  GROUP BY cent_id
+),
+a1 AS (
+  SELECT vec_id, cent_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+  FROM (
+    SELECT v.vec_id, c.cent_id,
+           CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))) AS BIGINT) AS d2
+    FROM v CROSS JOIN c1 c
+  )
+)
+SELECT cent_id,
+       count(*) AS n_members,
+       CAST(sum(d2) AS BIGINT) AS inertia_grid2
+FROM a1
+WHERE rn = 1
+GROUP BY cent_id
+"""
 
 ORACLES["ann_ivf_topk"] = f"""
 WITH e AS (

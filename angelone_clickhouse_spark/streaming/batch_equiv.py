@@ -93,9 +93,35 @@ def decode_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHED_CAP_PER_HOUR = 10  # below sf0.01's ~14/hour average, so the
+# driver-gate SF genuinely sheds (sf0.001 never exceeds it: empty result)
+
+
+def ingest_load_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop accounting for the bounded-queue load-shed operator
+    (reference O13, main.go:324-330) over the canonical tick table:
+    per hour, arrivals beyond SHED_CAP_PER_HOUR (in (sequence_number,
+    token) order) are shed; returns the hours where shedding occurred
+    with arrived/kept/dropped counts."""
+    from angelone_clickhouse_spark.streaming.ingest import shed_overflow
+
+    t = ticks(spark, sf_dir)
+    shed = shed_overflow(t, SHED_CAP_PER_HOUR, "hour")
+    return (
+        shed.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_arrived"),
+            F.sum((~F.col("is_shed")).cast("long")).alias("n_kept"),
+            F.sum(F.col("is_shed").cast("long")).alias("n_dropped"),
+        )
+        .filter(F.col("n_dropped") > 0)
+    )
+
+
 QUERIES = {
     "minute_bars": minute_bars_batch,
     "decode_ticks": decode_ticks,
+    "ingest_load_shed": ingest_load_shed,
 }
 
 ORACLES = {
@@ -111,6 +137,25 @@ SELECT date_trunc('minute', ts)               AS bar_ts,
        count(*)                               AS tick_count
 FROM ticks
 GROUP BY date_trunc('minute', ts), token
+""",
+    "ingest_load_shed": TICKS_ORACLE_CTE
+    + f"""
+SELECT hour_ts,
+       count(*) AS n_arrived,
+       CAST(sum(CASE WHEN rn <= {SHED_CAP_PER_HOUR} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > {SHED_CAP_PER_HOUR} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM (
+  SELECT date_trunc('hour', ts) AS hour_ts,
+         row_number() OVER (
+           PARTITION BY date_trunc('hour', ts)
+           ORDER BY sequence_number, token
+         ) AS rn
+  FROM ticks
+)
+GROUP BY hour_ts
+HAVING sum(CASE WHEN rn > {SHED_CAP_PER_HOUR} THEN 1 ELSE 0 END) > 0
 """,
     # Decode differential: DuckDB aggregates the generator's
     # pre-encoding truth; Spark aggregates the decoded wire bytes.

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from angelone_clickhouse_spark.sources.decoder import decode_frames, wire_to_ticks
 
@@ -103,6 +104,91 @@ def ingest_to_parquet(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def shed_overflow(
+    batch: DataFrame, cap: int, interval: str = "minute"
+) -> DataFrame:
+    """Deterministic restatement of the reference's drop-on-full load
+    shedding (main.go:324-330: a full channel silently drops the tick).
+    A channel of capacity C drained per interval becomes: within each
+    event-time interval, keep the first ``cap`` rows in
+    (sequence_number, token) arrival order, flag the rest ``is_shed``.
+    Flagging instead of filtering keeps the drop accounting on-plan
+    (observe/aggregate the flag — the reference's
+    market_data_errors_total analogue for sheds).
+
+    Scale: one shuffle on the interval key — same key as the sink
+    partitioning, so at 100 TB the exchange is reused by the write;
+    per-interval row counts are bounded by wall-clock density, not
+    data size, so the window never skews."""
+    w = Window.partitionBy(F.date_trunc(interval, F.col("ts"))).orderBy(
+        "sequence_number", "token"
+    )
+    return (
+        batch.withColumn("_arrival_rank", F.row_number().over(w))
+        .withColumn("is_shed", F.col("_arrival_rank") > cap)
+        .drop("_arrival_rank")
+    )
+
+
+def ingest_with_load_shedding(
+    spark: SparkSession,
+    frames_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    capacity_per_epoch: int,
+    max_files_per_trigger: int | None = None,
+):
+    """Ingest variant with the reference's bounded-queue semantics
+    (O13): each micro-batch epoch is the channel drain; rows beyond
+    ``capacity_per_epoch`` (in (ts, sequence_number, token) order) are
+    DROPPED, and every epoch's arrived/kept/dropped counts land in the
+    returned drop log — shed rows are accounted, never silent
+    (deviation D7 inverted on request). Returns (query, drop_log);
+    read drop_log after query termination.
+
+    The epoch cap ranks in a single window partition — correct because
+    an epoch is bounded by the trigger, not by data size; a per-key cap
+    at scale would use shed_overflow's interval partitioning."""
+    ticks = decode_tick_stream(
+        read_frame_stream(spark, frames_dir, max_files_per_trigger)
+    )
+    drop_log: list[dict] = []
+
+    def write_epoch(batch: DataFrame, epoch_id: int) -> None:
+        w = Window.orderBy("ts", "sequence_number", "token")
+        kept = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= capacity_per_epoch)
+            .drop("_rn")
+        )
+        n_arrived = batch.count()
+        n_kept = kept.count()
+        (
+            kept.withColumn("date", F.to_date("ts"))
+            .repartition("date")
+            .sortWithinPartitions("ts")
+            .write.mode("append")
+            .partitionBy("date")
+            .parquet(out_dir)
+        )
+        drop_log.append(
+            {
+                "epoch": int(epoch_id),
+                "arrived": n_arrived,
+                "kept": n_kept,
+                "dropped": n_arrived - n_kept,
+            }
+        )
+
+    q = (
+        ticks.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, drop_log
 
 
 def subscription_filter(
