@@ -125,13 +125,18 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction rollup (rows-only driver check; value-level
-    assertions live in tests/test_multimodal.py)."""
+    """Feature-extraction rollup, fully oracle-checked: the stub decode
+    is a pure function of the payload's first 8 bytes, so DuckDB
+    replicates it from hex(content) and verifies the whole mapInPandas
+    path value-for-value (averages in exact half-up integer arithmetic,
+    functions/exact.py)."""
+    from angelone_clickhouse_spark.functions.exact import avg_fixed_g
+
     feats = extract_features(media_table(spark, sf_dir))
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.avg("width"), 4).alias("avg_width"),
-        F.round(F.avg("height"), 4).alias("avg_height"),
+        avg_fixed_g("width", 4, "avg_width"),
+        avg_fixed_g("height", 4, "avg_height"),
         F.max("n_frames").alias("max_frames"),
         F.sum("byte_len").alias("total_bytes"),
     )
@@ -142,7 +147,48 @@ QUERIES = {
     "multimodal_features": multimodal_features,
 }
 
+# the decode stub keyed on h = little-endian uint64 of the first 8
+# payload bytes, restated in SQL: byte i = hex pair 2i+1 of the
+# zero-right-padded 16-char hex prefix; HUGEINT arithmetic because h
+# spans the full uint64 range
+_H_BYTES = " + ".join(
+    f"((('0x' || substring(hx, {2 * i + 1}, 2))::INT)::HUGEINT) "
+    f"* {256**i}::HUGEINT"
+    for i in range(8)
+)
+
+_FEATURES_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         rpad(substring(hex(encode(text)), 1, 16), 16, '0') AS hx,
+         octet_length(encode(text)) AS blen
+  FROM documents
+),
+f AS (
+  SELECT media_type, blen,
+         CAST(64 + (h % 1024) AS BIGINT)           AS width,
+         CAST(64 + ((h // 1024) % 1024) AS BIGINT) AS height,
+         CAST(CASE WHEN media_type = 'image' THEN 1
+                   ELSE 1 + (h // 1048576) % 300 END AS INT) AS n_frames
+  FROM (SELECT media_type, blen, ({_H_BYTES}) AS h FROM m)
+)
+SELECT media_type,
+       count(*) AS n_items,
+       CAST((sum(width * 10000) + count(*) // 2) // count(*)
+            AS DOUBLE) / 10000 AS avg_width,
+       CAST((sum(height * 10000) + count(*) // 2) // count(*)
+            AS DOUBLE) / 10000 AS avg_height,
+       max(n_frames) AS max_frames,
+       CAST(sum(blen) AS BIGINT) AS total_bytes
+FROM f
+GROUP BY media_type
+"""
+
 ORACLES = {
+    "multimodal_features": _FEATURES_ORACLE,
     "multimodal_meta": """
 WITH m AS (
   SELECT doc_id,

@@ -366,7 +366,10 @@ def trailing_activity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ticks(spark, sf_dir)
     w = (
         Window.partitionBy("token")
-        .orderBy(F.unix_millis("ts"))
+        # ts is TIMESTAMP_NTZ in the driver's parquet; unix_millis wants
+        # LTZ and the NTZ->LTZ hop is wall-clock identity under the UTC
+        # session (session.py)
+        .orderBy(F.unix_millis(F.col("ts").cast("timestamp")))
         .rangeBetween(-86_400_000, 0)
     )
     return t.select(
