@@ -45,6 +45,29 @@ def read_frame_stream(
     return reader.parquet(frames_dir)
 
 
+def read_frame_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Live network frame source (reference O2, ws/client.go:26-52,
+    :90-112). The sandbox has no WebSocket feed, so the live adapter is
+    Spark's TCP socket source with the standard binary-over-lines
+    contract: one base64-encoded frame per newline-terminated line;
+    unbase64 recovers the exact wire bytes and the decode plan
+    downstream is byte-identical to the file-replay path.
+
+    The socket source is NOT fault-tolerant (no replayable offsets) —
+    it stands in for the reference's equally at-most-once WebSocket
+    read loop. Production ingest fronts the feed with a replayable bus
+    (e.g. Kafka, same one-line swap of the reader) or uses the
+    deterministic file replay; everything after the source is
+    unchanged either way."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    return lines.select(F.unbase64(F.col("value")).alias("frame"))
+
+
 def decode_tick_stream(frames: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """frames -> deduped tick rows (streaming or batch DataFrame).
 
@@ -72,6 +95,7 @@ def ingest_to_parquet(
     available_now: bool = True,
     processing_time: str = "5 seconds",
     max_files_per_trigger: int | None = None,
+    max_records_per_file: int | None = None,
 ):
     """Run the ingest pipeline into a date-partitioned Parquet dataset.
 
@@ -80,21 +104,26 @@ def ingest_to_parquet(
     reference's FLUSH_INTERVAL (config/config.go:54).
     ``max_files_per_trigger`` bounds each epoch (source-side
     backpressure — the no-drop replacement for the reference's
-    drop-on-full channel, SURVEY D7).
-    """
+    drop-on-full channel, SURVEY D7). ``max_records_per_file`` is the
+    size half of the reference's size-OR-time flush (BATCH_SIZE=1000 OR
+    5 s, main.go:227-245): the time half is the trigger; the row cap
+    becomes a sink-side bound — no flushed unit (file) ever exceeds it,
+    which is the property the reference's cap actually protects
+    (bounded insert batches against the store)."""
     ticks = decode_tick_stream(
         read_frame_stream(spark, frames_dir, max_files_per_trigger)
     )
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
-        (
+        writer = (
             batch.withColumn("date", F.to_date("ts"))
             .repartition("date")
             .sortWithinPartitions("ts")
             .write.mode("append")
-            .partitionBy("date")
-            .parquet(out_dir)
         )
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("date").parquet(out_dir)
 
     writer = ticks.writeStream.foreachBatch(write_epoch).option(
         "checkpointLocation", checkpoint_dir

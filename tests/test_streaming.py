@@ -148,3 +148,31 @@ def test_subscription_filter(spark, frames):
     rows = sub.select("token", "subscription_mode").distinct().collect()
     assert {r.token for r in rows} == {"2885", "1594"}
     assert all(r.subscription_mode >= 2 for r in rows)
+
+
+def test_ingest_row_cap_per_file(spark, frames, frames_dir, tmp_path):
+    """Size half of the reference's size-OR-time flush (BATCH_SIZE=1000
+    OR 5 s): with max_records_per_file set, no flushed parquet file
+    exceeds the cap, and the sink still equals the batch computation."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cap = 200
+    q = ingest_to_parquet(
+        spark, frames_dir, out, ckpt, available_now=True,
+        max_records_per_file=cap,
+    )
+    q.awaitTermination(180)
+    files = glob.glob(f"{out}/date=*/part-*.parquet")
+    assert files
+    sizes = [pq.read_metadata(f).num_rows for f in files]
+    assert max(sizes) <= cap
+    assert any(s == cap for s in sizes), "cap must actually split files"
+    got = spark.read.parquet(out).drop("date")
+    expected = _batch_ticks(spark, frames)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
