@@ -76,6 +76,10 @@ _PRIORITY = [
     "gap_sessions",
     "kmeans_assign",
     "ingest_load_shed",
+    "ann_topk_quantized",
+    "idle_rich_customers",
+    "min_cost_suppliers",
+    "cap_per_source",
     # (d) representative proven queries (green r02 rows) filling to 50
     "q1_latest_tick",
     "q5_daily_ohlcv",

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from angelone_clickhouse_spark.sources.tables import load_table
 
@@ -231,11 +232,46 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAP_PER_SOURCE = 50  # max docs kept per source
+
+
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the domain-balancing rule of web-crawl
+    pipelines (no single domain may dominate the corpus): keep at most
+    CAP_PER_SOURCE docs per source, best-first by the integer
+    type-token-ratio quality score (milli-units, pure integer division
+    — bit-identical cross-engine), doc_id tiebreak.
+
+    Scale: one shuffle on source (the window partition key). Skewed
+    mega-domains are exactly the motivating case: the window still
+    sees one domain per partition, and a two-phase pre-cap (cap at
+    10*K per partition-salt, then the true cap) bounds the skew if one
+    domain outweighs an executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "(1000 * size(array_distinct(split(text, ' '))))"
+            " div size(split(text, ' '))"
+        ).alias("score_milli"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.desc("score_milli"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= CAP_PER_SOURCE)
+        .select("doc_id", "source", "score_milli", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 QUERIES = {
     "doc_repetition": doc_repetition,
     "dataset_split": dataset_split,
     "corpus_top_tokens": corpus_top_tokens,
     "pii_redact": pii_redact,
+    "cap_per_source": cap_per_source,
 }
 
 
@@ -260,6 +296,23 @@ def _dup_sql(n: int) -> str:
 
 
 ORACLES = {
+    "cap_per_source": f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         (1000 * len(list_distinct(string_split(text, ' '))))
+           // len(string_split(text, ' ')) AS score_milli
+  FROM documents
+)
+SELECT doc_id, source, CAST(score_milli AS BIGINT) AS score_milli,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY score_milli DESC, doc_id ASC
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {CAP_PER_SOURCE}
+""",
     "doc_repetition": f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 scored AS (

@@ -324,6 +324,89 @@ def kmeans_refine(
     )
 
 
+Q_BITS = 127  # int8 quantization range for ann_topk_quantized
+Q_SHORTLIST = 3 * TOP_K  # candidates kept from the quantized pass
+
+
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN — the memory-bound 100 TB path next to LSH
+    and IVF: embeddings quantize to int8 (per-vector symmetric scale
+    q = round(x / max|x| * 127)), candidate generation runs on integer
+    dot products (4x smaller vectors, SIMD-friendly, and — here —
+    bit-exact on any engine), then only the Q_SHORTLIST survivors are
+    re-scored with the exact float cosine. Quantization error can
+    reorder near-ties, so the guarantee is recall (tests), not
+    identity with brute force; the DuckDB oracle replays the identical
+    quantize -> integer-score -> shortlist -> exact-re-score pipeline,
+    so the whole operator is value-checked end to end.
+
+    Scale notes: same broadcast-queries/map-side-score shape as
+    ann_topk_cosine — no corpus shuffle; the int8 table is the one
+    you'd persist (4x the vectors per executor-byte), floats fetched
+    only for the shortlist."""
+    vecs = _vectors(spark, sf_dir)
+    mx = F.aggregate(
+        F.transform("v", lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    qv = F.expr(
+        f"transform(v, x -> cast(round(x / mxv * {Q_BITS}) as bigint))"
+    )
+    quant = vecs.withColumn("mxv", mx).select(
+        "vec_id", "v", "nrm", qv.alias("q")
+    )
+    q = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("q").alias("qq"),
+    )
+    idot = F.aggregate(
+        F.zip_with("q", "qq", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cw = Window.partitionBy("query_id").orderBy(
+        F.desc("int_score"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        quant.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            idot.alias("int_score"),
+            "v",
+            "nrm",
+            "qv",
+            "qn",
+        )
+        .withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= Q_SHORTLIST)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 KM_GRID = 1_000_000  # integer grid for the deterministic k-means twin
 
 
@@ -380,6 +463,9 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["m"],
             ).alias("cv")
         )
+        # tiny (N_CENTROIDS rows); cutting the lineage here keeps the
+        # round-2 assignment plan shallow — same device as kmeans_refine
+        .localCheckpoint(eager=True)
     )
     return assign(cents1).groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -393,6 +479,7 @@ QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_topk_quantized": ann_topk_quantized,
 }
 
 ORACLES = {
@@ -477,6 +564,54 @@ WHERE rank <= {TOP_K}
 
 
 ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
+
+ORACLES["ann_topk_quantized"] = f"""
+WITH e AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, v, nrm,
+         list_transform(v, x -> CAST(round(
+           x / list_aggregate(list_transform(v, y -> abs(y)), 'max')
+             * {Q_BITS}) AS BIGINT)) AS q
+  FROM e
+),
+qs AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, q AS qq FROM quant
+  WHERE vec_id < {N_QUERIES}
+),
+short AS (
+  SELECT query_id, neighbor_id, qv, qn, v, nrm,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY int_score DESC, neighbor_id ASC
+         ) AS crn
+  FROM (
+    SELECT qs.query_id, n.vec_id AS neighbor_id, qs.qv, qs.qn, n.v, n.nrm,
+           CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                i -> n.q[i] * qs.qq[i])) AS BIGINT) AS int_score
+    FROM quant n CROSS JOIN qs
+    WHERE n.vec_id <> qs.query_id
+  )
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, v) / (qn * nrm), 6) AS cos_sim
+  FROM short WHERE crn <= {Q_SHORTLIST}
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
 
 ORACLES["kmeans_assign"] = f"""
 WITH v AS (

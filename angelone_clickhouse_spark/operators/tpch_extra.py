@@ -320,6 +320,96 @@ def supplier_late_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q22_NATIONS = (3, 7, 11, 13, 17, 19, 23)
+Q22_IDLE_SINCE = "2000-01-01"  # every fixture customer has SOME order; Q22's
+# real predicate is recency-idleness
+Q2_SIZE = 15
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (fixtures have no c_phone, so nationkey plays
+    the country-code prefix): customers from a 7-nation set with
+    balance above the set's positive-balance average and no order since
+    Q22_IDLE_SINCE, rolled up per nation (the fixture gives every
+    customer at least one historical order, so literal never-ordered is
+    empty; recency-idleness is Q22's actual semantics).
+
+    The correlated scalar AVG decorrelates to one 1-row aggregate
+    broadcast back; the above-average comparison runs as an exact
+    integer cross-multiply (bal_cents * n > sum_cents) — a float
+    average threshold would let engine summation order flip boundary
+    customers. The no-orders probe is a LEFT ANTI against orders
+    (shuffle on custkey; at 100 TB, broadcast the aggregate side and
+    bucket orders on custkey)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cc = c.filter(F.col("c_nationkey").isin(*Q22_NATIONS)).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    stats = cc.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("pos_sum"),
+        F.count(F.lit(1)).alias("pos_n"),
+    )
+    rich = cc.crossJoin(F.broadcast(stats)).filter(
+        F.col("bal_cents") * F.col("pos_n") > F.col("pos_sum")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit(Q22_IDLE_SINCE).cast("timestamp")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("bal_cents") / F.lit(100.0)).alias("total_acctbal"),
+    )
+
+
+def min_cost_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table: per-(part, supplier) minimum
+    lineitem price is the derived supply cost): for each part of the
+    chosen size, the supplier offering the minimum cost, with
+    supplier/nation attributes joined back; top 100 by (cost, partkey).
+
+    The classic correlated `cost = (SELECT min(..) .. same part)`
+    decorrelates into two aggregates: (partkey, suppkey) min — the one
+    fact shuffle — then an argmin per partkey via min(struct(cost,
+    suppkey)) (lexicographic struct min = min cost, ties to lowest
+    suppkey) with NO window and NO join-back-to-fact. Dim joins
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cost_cents"
+            )
+        )
+    )
+    best = cost.groupBy("l_partkey").agg(
+        F.min(F.struct("cost_cents", "l_suppkey")).alias("b")
+    )
+    parts = p.filter(F.col("p_size") == Q2_SIZE)
+    return (
+        best.join(F.broadcast(parts), best.l_partkey == parts.p_partkey)
+        .join(F.broadcast(s), F.col("b.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("b.l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            (F.col("b.cost_cents") / F.lit(100.0)).alias("min_cost"),
+        )
+        .orderBy(F.asc("min_cost"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
 QUERIES = {
     "volume_shipping": volume_shipping,
     "nation_profit": nation_profit,
@@ -329,6 +419,8 @@ QUERIES = {
     "large_orders": large_orders,
     "disjunctive_revenue": disjunctive_revenue,
     "supplier_late_blame": supplier_late_blame,
+    "idle_rich_customers": idle_rich_customers,
+    "min_cost_suppliers": min_cost_suppliers,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -455,5 +547,60 @@ FROM blamed JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_suppkey, s_name
 ORDER BY numwait DESC, s_suppkey ASC
 LIMIT 10
+""",
+    "idle_rich_customers": f"""
+WITH cc AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE c_nationkey IN {Q22_NATIONS}
+),
+stats AS (
+  SELECT sum(bal_cents) AS pos_sum, count(*) AS pos_n
+  FROM cc WHERE bal_cents > 0
+),
+rich AS (
+  SELECT cc.* FROM cc, stats
+  WHERE bal_cents * pos_n > pos_sum
+),
+idle AS (
+  SELECT * FROM rich
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = rich.c_custkey
+      AND o_orderdate >= TIMESTAMP '{Q22_IDLE_SINCE}')
+)
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       CAST(sum(bal_cents) AS DOUBLE) / 100 AS total_acctbal
+FROM idle
+GROUP BY c_nationkey
+""",
+    "min_cost_suppliers": f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, l_suppkey, cost_cents
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY l_partkey ORDER BY cost_cents, l_suppkey
+    ) AS rn
+    FROM cost
+  ) WHERE rn = 1
+)
+SELECT p_partkey, p_name, l_suppkey AS s_suppkey, s_name,
+       n_name AS nation,
+       CAST(cost_cents AS DOUBLE) / 100 AS min_cost
+FROM best
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_size = {Q2_SIZE}
+ORDER BY min_cost ASC, p_partkey ASC
+LIMIT 100
 """,
 }

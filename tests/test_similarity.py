@@ -87,3 +87,24 @@ def test_kmeans_refine_invariants(spark):
     # Lloyd monotonicity (allow float-rounding jitter)
     assert inertia2 <= inertia0 + 1e-6
     assert inertia2 < inertia0 * 0.999  # and it actually improved
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    """int8 quantization perturbs scores by <~1% of |q||n|, so the
+    exact re-score over a 3k shortlist should recover nearly all of the
+    brute-force top-k; cosine values themselves are exact (float
+    re-score path, same expression as the exact op)."""
+    from angelone_clickhouse_spark.operators.similarity import ann_topk_quantized
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ann_topk_cosine(spark, sf_dir).collect()
+    }
+    quant = ann_topk_quantized(spark, sf_dir).collect()
+    assert quant
+    for r in quant:
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+    hits = sum(1 for r in quant if (r.query_id, r.neighbor_id) in exact)
+    recall = hits / len(exact)
+    assert recall >= 0.8, f"int8 shortlist recall too low: {recall}"
