@@ -80,6 +80,9 @@ _PRIORITY = [
     "idle_rich_customers",
     "min_cost_suppliers",
     "cap_per_source",
+    "vwap_daily",
+    "twap_hourly",
+    "weekly_retention",
     # (d) representative proven queries (green r02 rows) filling to 50
     "q1_latest_tick",
     "q5_daily_ohlcv",
@@ -127,6 +130,7 @@ def _registries():
         "angelone_clickhouse_spark.operators.curation",
         "angelone_clickhouse_spark.operators.timeseries",
         "angelone_clickhouse_spark.operators.asof",
+        "angelone_clickhouse_spark.operators.finance",
         "angelone_clickhouse_spark.operators.embedding_fast",
         "angelone_clickhouse_spark.functions.scalar",
         "angelone_clickhouse_spark.sources.token_config",

@@ -1,0 +1,158 @@
+"""Financial aggregates over the canonical tick table: VWAP and TWAP.
+
+The reference's users run a market-tick store (db/clickhouse.go:16-28
+— ClickHouse MergeTree ordered by timestamp); volume- and
+time-weighted average price are the queries that store exists to
+serve, beyond the plain OHLCV the reference declares (README.md Q5).
+Both are exact-integer formulations so the DuckDB differential is
+bit-for-bit:
+
+- VWAP: sum(price_cents * volume) and sum(volume) are exact long
+  sums (order-independent); the weighted average is ONE truncating
+  integer division (Spark ``div`` == DuckDB ``//``).
+- TWAP: each tick is weighted by the seconds until the next tick in
+  the same (token, hour), the last tick weighted to the hour end —
+  lead() over an integer-seconds column, then the same integer-ratio
+  device.
+
+Scale notes: VWAP is one partial-aggregated shuffle on (token, date)
+— the sink's own partitioning, so at 100 TB the exchange reuses the
+layout. TWAP's window partitions on (token, hour) — the same key its
+aggregate groups by, so window + groupBy share one shuffle; weights
+never cross partition boundaries by construction (hour-end capping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks
+
+
+def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (token, day), exact integers
+    end-to-end; zero-volume days fall back to the unweighted mean of
+    prices (same rule in the oracle)."""
+    t = ticks(spark, sf_dir)
+    cents = F.round(F.col("last_traded_price") * 100).cast("long")
+    vol = F.col("volume").cast("long")  # fixture volume is integer-valued
+    return (
+        t.select(
+            "token",
+            F.to_date("ts").alias("day"),
+            cents.alias("c"),
+            vol.alias("v"),
+        )
+        .groupBy("token", "day")
+        .agg(
+            F.sum(F.col("c") * F.col("v")).alias("pv"),
+            F.sum("v").alias("total_volume"),
+            F.sum("c").alias("sum_c"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "token",
+            "day",
+            "n_ticks",
+            "total_volume",
+            (
+                F.when(
+                    F.col("total_volume") > 0,
+                    F.expr("pv div total_volume"),
+                ).otherwise(F.expr("sum_c div n_ticks"))
+                / F.lit(100.0)
+            ).alias("vwap"),
+        )
+    )
+
+
+def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (token, hour): tick i holds its
+    price for (t_{i+1} - t_i) seconds, the last tick until the hour
+    end; weights and prices stay integers until one final division."""
+    t = ticks(spark, sf_dir)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    hour = F.date_trunc("hour", "ts")
+    w = Window.partitionBy("token", "hour").orderBy("secs", "sequence_number")
+    base = t.select(
+        "token",
+        hour.alias("hour"),
+        secs.alias("secs"),
+        "sequence_number",
+        F.round(F.col("last_traded_price") * 100).cast("long").alias("c"),
+    )
+    hour_end = F.col("hour").cast("timestamp").cast("long") + 3600
+    weighted = base.withColumn(
+        "weight_s",
+        F.coalesce(F.lead("secs").over(w), hour_end) - F.col("secs"),
+    )
+    return (
+        weighted.groupBy("token", "hour")
+        .agg(
+            F.sum(F.col("c") * F.col("weight_s")).alias("cw"),
+            F.sum("weight_s").alias("total_s"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "token",
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            "n_ticks",
+            "total_s",
+            (F.expr("cw div total_s") / F.lit(100.0)).alias("twap"),
+        )
+    )
+
+
+QUERIES = {
+    "vwap_daily": vwap_daily,
+    "twap_hourly": twap_hourly,
+}
+
+ORACLES = {
+    "vwap_daily": TICKS_ORACLE_CTE
+    + """
+SELECT token,
+       CAST(ts AS DATE) AS day,
+       count(*) AS n_ticks,
+       CAST(sum(v) AS BIGINT) AS total_volume,
+       CAST(CASE WHEN sum(v) > 0
+                 THEN sum(c * v) // sum(v)
+                 ELSE sum(c) // count(*) END AS DOUBLE) / 100 AS vwap
+FROM (
+  SELECT token, ts,
+         CAST(round(last_traded_price * 100) AS BIGINT) AS c,
+         CAST(volume AS BIGINT) AS v
+  FROM ticks
+)
+GROUP BY token, CAST(ts AS DATE)
+""",
+    "twap_hourly": TICKS_ORACLE_CTE
+    + """
+, base AS (
+  SELECT token,
+         date_trunc('hour', ts) AS hour,
+         CAST(floor(epoch(ts)) AS BIGINT) AS secs,
+         sequence_number,
+         CAST(round(last_traded_price * 100) AS BIGINT) AS c
+  FROM ticks
+),
+weighted AS (
+  SELECT token, hour, c,
+         coalesce(
+           lead(secs) OVER (
+             PARTITION BY token, hour ORDER BY secs, sequence_number
+           ),
+           CAST(floor(epoch(hour)) AS BIGINT) + 3600
+         ) - secs AS weight_s
+  FROM base
+)
+SELECT token, hour,
+       count(*) AS n_ticks,
+       CAST(sum(weight_s) AS BIGINT) AS total_s,
+       CAST(sum(c * weight_s) // sum(weight_s) AS DOUBLE) / 100 AS twap
+FROM weighted
+GROUP BY token, hour
+""",
+}

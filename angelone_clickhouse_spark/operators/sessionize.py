@@ -161,8 +161,40 @@ def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the other classic clickstream rollup next to
+    sessionization: users cohorted by first-activity week (Monday
+    date_trunc, identical in both engines); each (cohort_week,
+    weeks_since) cell counts the distinct cohort members active that
+    week.
+
+    Scale notes: distinct (user, week) pairs first — the dedup
+    shrinks events to at most |users|*|weeks| rows before any join;
+    the first-week aggregate and the join both key on user_id, so one
+    shuffle is shared; the final cell aggregate is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts").cast("date")
+    user_weeks = ev.select(
+        "user_id", week.alias("week")
+    ).distinct()
+    firsts = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        user_weeks.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias(
+                "weeks_since"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
+    "weekly_retention": weekly_retention,
     "json_extract_events": json_extract_events,
     "event_type_funnel": event_type_funnel,
     "event_sliding_windows": event_sliding_windows,
@@ -172,6 +204,22 @@ QUERIES = {
 _TOTAL_VALUE_SQL = sum_fixed_sql('"value"', "total_value")
 
 ORACLES = {
+    "weekly_retention": """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+  FROM events
+),
+firsts AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, uw.week) // 7 AS INTEGER)
+         AS weeks_since,
+       CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+FROM uw JOIN firsts f ON uw.user_id = f.user_id
+GROUP BY 1, 2
+""",
     "sessionize_events": f"""
 WITH ordered AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",
