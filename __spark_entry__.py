@@ -83,6 +83,9 @@ _PRIORITY = [
     "vwap_daily",
     "twap_hourly",
     "weekly_retention",
+    "sql_grouping_sets",
+    "price_histogram",
+    "price_outliers",
     # (d) representative proven queries (green r02 rows) filling to 50
     "q1_latest_tick",
     "q5_daily_ohlcv",
@@ -133,6 +136,7 @@ def _registries():
         "angelone_clickhouse_spark.operators.finance",
         "angelone_clickhouse_spark.operators.embedding_fast",
         "angelone_clickhouse_spark.functions.scalar",
+        "angelone_clickhouse_spark.sql",
         "angelone_clickhouse_spark.sources.token_config",
         "angelone_clickhouse_spark.streaming.batch_equiv",
         "angelone_clickhouse_spark.streaming.stream_join",

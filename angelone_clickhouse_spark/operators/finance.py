@@ -105,9 +105,95 @@ def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BIN_CENTS = 2_000  # 20-unit price bins (fixture prices span ~0-500)
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram over the whole tick stream — the
+    distribution profile every OLAP store serves. Bin assignment is a
+    truncating integer division of exact cents, so edges are identical
+    cross-engine. One partial-aggregated shuffle on ~|price range /
+    bin| keys."""
+    t = ticks(spark, sf_dir)
+    cents = F.round(F.col("last_traded_price") * 100).cast("long")
+    b = F.expr(f"c div {HIST_BIN_CENTS}")
+    return (
+        t.select("token", cents.alias("c"))
+        .select("token", b.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.countDistinct("token").alias("n_tokens"),
+        )
+        .select(
+            (F.col("bin") * HIST_BIN_CENTS / F.lit(100.0)).alias("bin_start"),
+            "n_ticks",
+            "n_tokens",
+        )
+    )
+
+
+MAD_K = 5  # outlier if |dev| > K * MAD
+
+
+def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-(token, day) outlier accounting: lower-median price
+    and lower-median absolute deviation (MAD), all in exact integer
+    cents — discrete medians picked by rank (value at position
+    (n+1) div 2 under a (value, sequence) order), never interpolated
+    floats — then ticks with |dev| > K * max(MAD, 1 cent) are counted.
+    The data-quality gate a tick store runs before publishing bars.
+
+    Scale notes: two rank windows and two joins, every one keyed on
+    (token, day) — a single exchange reused end-to-end; no global
+    sort, no percentile sketch needed for the exact-integer contract."""
+    t = ticks(spark, sf_dir)
+    cents = F.round(F.col("last_traded_price") * 100).cast("long")
+    base = t.select(
+        "token",
+        F.to_date("ts").alias("day"),
+        "sequence_number",
+        cents.alias("c"),
+    )
+    gw = Window.partitionBy("token", "day")
+    mw = gw.orderBy("c", "sequence_number")
+    med = (
+        base.withColumn("rn", F.row_number().over(mw))
+        .withColumn("n", F.count(F.lit(1)).over(gw))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("token", "day", F.col("c").alias("med"))
+    )
+    dev = base.join(med, ["token", "day"]).withColumn(
+        "ad", F.abs(F.col("c") - F.col("med"))
+    )
+    aw = gw.orderBy("ad", "sequence_number")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(aw))
+        .withColumn("n", F.count(F.lit(1)).over(gw))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("token", "day", F.col("ad").alias("mad"))
+    )
+    flagged = dev.join(mad, ["token", "day"]).withColumn(
+        "is_outlier",
+        F.col("ad") > MAD_K * F.greatest(F.col("mad"), F.lit(1)),
+    )
+    return (
+        flagged.groupBy("token", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.max("med").alias("med_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        )
+        .filter(F.col("n_outliers") > 0)
+    )
+
+
 QUERIES = {
     "vwap_daily": vwap_daily,
     "twap_hourly": twap_hourly,
+    "price_histogram": price_histogram,
+    "price_outliers": price_outliers,
 }
 
 ORACLES = {
@@ -127,6 +213,58 @@ FROM (
   FROM ticks
 )
 GROUP BY token, CAST(ts AS DATE)
+""",
+    "price_histogram": TICKS_ORACLE_CTE
+    + f"""
+SELECT CAST(bin * {HIST_BIN_CENTS} AS DOUBLE) / 100 AS bin_start,
+       count(*) AS n_ticks,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_tokens
+FROM (
+  SELECT token,
+         CAST(round(last_traded_price * 100) AS BIGINT)
+           // {HIST_BIN_CENTS} AS bin
+  FROM ticks
+)
+GROUP BY bin
+""",
+    "price_outliers": TICKS_ORACLE_CTE
+    + f"""
+, base AS (
+  SELECT token, CAST(ts AS DATE) AS day, sequence_number,
+         CAST(round(last_traded_price * 100) AS BIGINT) AS c
+  FROM ticks
+),
+med AS (
+  SELECT token, day, c AS med
+  FROM (
+    SELECT *, row_number() OVER w AS rn, count(*) OVER (
+             PARTITION BY token, day) AS n
+    FROM base
+    WINDOW w AS (PARTITION BY token, day ORDER BY c, sequence_number)
+  ) WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT base.*, med, abs(c - med) AS ad
+  FROM base JOIN med USING (token, day)
+),
+mad AS (
+  SELECT token, day, ad AS mad
+  FROM (
+    SELECT *, row_number() OVER w AS rn, count(*) OVER (
+             PARTITION BY token, day) AS n
+    FROM dev
+    WINDOW w AS (PARTITION BY token, day ORDER BY ad, sequence_number)
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT token, day,
+       count(*) AS n_ticks,
+       max(med) AS med_cents,
+       max(mad) AS mad_cents,
+       CAST(sum(CASE WHEN ad > {MAD_K} * greatest(mad, 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (token, day)
+GROUP BY token, day
+HAVING sum(CASE WHEN ad > {MAD_K} * greatest(mad, 1) THEN 1 ELSE 0 END) > 0
 """,
     "twap_hourly": TICKS_ORACLE_CTE
     + """
