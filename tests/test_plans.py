@@ -43,3 +43,28 @@ def test_exact_topk_scores_map_side(spark, sf_dir):
     # the corpus is never shuffled for scoring: the only exchange is
     # the final per-query top-k partitioning
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_quantized_ann_scores_map_side(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.similarity import ann_topk_quantized
+
+    plan = _plan(ann_topk_quantized(spark, sf_dir))
+    # queries broadcast; the corpus is never shuffled for candidate
+    # generation (same contract as the exact op)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_vwap_single_exchange(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.finance import vwap_daily
+
+    plan = _plan(vwap_daily(spark, sf_dir))
+    # one partial+final hash aggregate -> exactly one shuffle
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_min_cost_suppliers_dim_joins_broadcast(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.tpch_extra import min_cost_suppliers
+
+    plan = _plan(min_cost_suppliers(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
