@@ -86,6 +86,8 @@ _PRIORITY = [
     "sql_grouping_sets",
     "price_histogram",
     "price_outliers",
+    "fuzzy_prefix_pairs",
+    "orders_monthly_growth",
     # (d) representative proven queries (green r02 rows) filling to 50
     "q1_latest_tick",
     "q5_daily_ohlcv",

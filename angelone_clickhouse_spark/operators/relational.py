@@ -380,8 +380,41 @@ def trailing_activity_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order growth — the trend query every dashboard
+    opens with: monthly order counts and exact-cents totals, plus the
+    MoM delta in basis points via truncating integer division over the
+    previous month's cents (lag window on a ~|months| row aggregate —
+    the window runs AFTER the reduction, so its input is tiny at any
+    scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_c", F.lag("cents").over(w))
+        .select(
+            "month",
+            "n_orders",
+            (F.col("cents") / F.lit(100.0)).alias("revenue"),
+            F.when(
+                F.col("prev_c").isNotNull(),
+                F.expr("((cents - prev_c) * 10000) div prev_c"),
+            ).alias("growth_bp"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "orders_monthly_growth": orders_monthly_growth,
     "revenue_rollup": revenue_rollup,
     "order_priority_cube": order_priority_cube,
     "trailing_activity_range": trailing_activity_range,
@@ -402,6 +435,22 @@ QUERIES = {
 from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE  # noqa: E402
 
 ORACLES = {
+    "orders_monthly_growth": """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  GROUP BY 1
+)
+SELECT month, n_orders,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       CASE WHEN prev_c IS NOT NULL
+            THEN ((cents - prev_c) * 10000) // prev_c END AS growth_bp
+FROM (
+  SELECT *, lag(cents) OVER (ORDER BY month) AS prev_c FROM monthly
+)
+""",
     "order_priority_cube": """
 SELECT o_orderpriority,
        o_orderstatus,

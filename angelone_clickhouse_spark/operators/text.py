@@ -249,6 +249,51 @@ def text_tokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_PREFIX_LEN = 30
+FUZZY_MAX_DIST = 8
+FUZZY_BLOCK_CHARS = 50  # n_chars bucket width for blocking
+
+
+def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching — blocked edit-distance self-join, the
+    entity-resolution primitive next to the set-based dedup ladder:
+    candidate pairs come only from the same (lang, length-bucket)
+    block, then levenshtein (identical unit-cost metric in Spark and
+    DuckDB, verified) over the document prefix filters to near-matches.
+
+    Scale notes: blocking bounds the quadratic term to block-local
+    pairs (max block here ~27 rows); the join key is the block, so one
+    shuffle co-locates each block. A mega-block (skewed key) would be
+    salted and re-verified, same as the dedup ladder's bucket skew
+    story."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"n_chars div {FUZZY_BLOCK_CHARS}").alias("lb"),
+        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("pfx"),
+    )
+    a = t.select(*[F.col(c).alias(f"{c}_a") for c in t.columns])
+    b = t.select(*[F.col(c).alias(f"{c}_b") for c in t.columns])
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("lb_a") == F.col("lb_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("lang_a").alias("lang"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_tokenize_regex": text_tokenize_regex,
@@ -256,9 +301,25 @@ QUERIES = {
     "text_lang_stats": text_lang_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "fuzzy_prefix_pairs": fuzzy_prefix_pairs,
 }
 
 ORACLES = {
+    "fuzzy_prefix_pairs": f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         n_chars // {FUZZY_BLOCK_CHARS} AS lb,
+         substring(text, 1, {FUZZY_PREFIX_LEN}) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_a,
+       b.doc_id AS doc_id_b,
+       a.lang   AS lang,
+       CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= {FUZZY_MAX_DIST}
+""",
     "text_tokenize_regex": f"""
 WITH t AS (
   SELECT event_type,
