@@ -28,83 +28,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's end-of-round correctness gate checks the FIRST 50 registry
 # entries only.  Order the registry so every query that has never earned a
-# green driver row sits inside that window; queries with a green
-# CORRECTNESS_r02 row on record rotate behind position 50 (kept registered —
-# they still run in bench.py and pytest).
+# green driver row — or whose implementation changed since its last green
+# row — sits inside that window; everything else rotates behind position 50
+# (kept registered: they still run in bench.py, pytest, and check_parity).
 #
-# Window layout: (a) the 9 queries that FAILED in CORRECTNESS_r01 and whose
-# fixes were never driver-confirmed, (b) never-driver-checked round-2 ops,
-# (c) new round-3 ops, (d) representative proven queries to fill to 50.
+# Round-4 window layout (VERDICT r3 items 1, 2, 4):
+# (a) the one red r3 row (sessionize_events, fixed this round) plus the
+#     queries whose implementation changes this round and must re-earn a
+#     row (fuzzy_prefix_pairs reblocked; distinct_tokens_approx and
+#     kmeans_refine converted from rows-only to full-oracle),
+# (b) all 46 remaining queries whose latest green row is CORRECTNESS_r02 —
+#     two rounds of refactors old — so every registry entry ends round 4
+#     with a green row no older than one round.
 _PRIORITY = [
-    # (a) r01 FAIL, fix unconfirmed by driver
-    "text_langid",
-    "text_fingerprint",
+    # (a) red r3 / changed this round
     "sessionize_events",
-    "multimodal_features",
-    "dedup_embedding_fast",
-    "ann_topk_fast",
-    "distinct_tokens_approx",
-    "decode_ticks_enriched",
-    "decode_ticks",
-    # (b) registered round 2, never driver-checked
-    "value_dispersion",
-    "salted_user_stats",
-    "decontaminate_ngrams",
-    "decontaminate_hashed",
-    "sample_stratified",
-    "quality_quantile_gate",
-    "sequence_pack",
-    "doc_repetition",
-    "dataset_split",
-    "corpus_top_tokens",
-    "pii_redact",
-    "resample_ffill",
-    "asof_price_lookup",
-    "map_functions",
-    "tick_interval_join",
-    # (b') r01 pass but outside the r02 window — re-earn a green row
-    "json_extract_events",
-    "event_type_funnel",
-    "event_sliding_windows",
-    "multimodal_meta",
-    "scalar_functions",
-    "distinct_tokens",
-    "price_percentiles",
-    "minute_bars",
-    # (c) new round-3 ops (names registered later this round; absent names
-    # are skipped harmlessly)
-    "gap_sessions",
-    "kmeans_assign",
-    "ingest_load_shed",
-    "ann_topk_quantized",
-    "idle_rich_customers",
-    "min_cost_suppliers",
-    "cap_per_source",
-    "vwap_daily",
-    "twap_hourly",
-    "weekly_retention",
-    "sql_grouping_sets",
-    "price_histogram",
-    "price_outliers",
     "fuzzy_prefix_pairs",
-    "orders_monthly_growth",
-    # (d) representative proven queries (green r02 rows) filling to 50
-    "q1_latest_tick",
-    "q5_daily_ohlcv",
-    "q8_token_stats",
+    "distinct_tokens_approx",
+    "kmeans_refine",
+    # (b) r2-green rotation: declared query surface + joins
+    "q2_daily_stats",
+    "q3_recency_check",
+    "q4_latest_prices",
+    "q6_volume_profile",
+    "q7_sample",
     "enrich_tokens_join",
     "tokens_by_exchange",
+    "unknown_exchange_tokens",
+    # (b) r2-green rotation: relational / TPC-H battery
     "pricing_summary",
     "revenue_rollup",
     "event_type_pivot",
     "customer_order_ranks",
     "shipping_priority",
     "nation_profit",
+    "order_priority_cube",
+    "trailing_activity_range",
+    "event_type_unpivot",
+    "revenue_by_nation",
+    "top_customers",
+    "union_nationkeys",
+    "customers_without_orders",
+    "customers_with_urgent_orders",
+    "customer_balance_quartiles",
+    "orders_above_nation_avg",
+    "late_shipment_priorities",
+    "volume_shipping",
+    "returned_item_revenue",
+    "promo_revenue_share",
+    "parts_supplier_counts",
+    "large_orders",
+    "disjunctive_revenue",
+    "supplier_late_blame",
+    # (b) r2-green rotation: dedup / similarity / text
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_clusters_minhash",
     "ann_topk_cosine",
     "ann_ivf_topk",
+    "ann_lsh_topk",
+    "text_token_stats",
+    "text_tokenize_regex",
+    "text_quality",
+    "text_lang_stats",
 ]
 
 

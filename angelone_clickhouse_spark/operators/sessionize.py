@@ -35,11 +35,15 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     idle > 30 minutes. Returns one row per session."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # events.ts is TIMESTAMP_NTZ in the driver's parquet; Spark 4 bans a
-    # direct NTZ->BIGINT cast, and with the session pinned to UTC
-    # (session.py) the NTZ->TIMESTAMP hop is wall-clock identity
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
+    # events.ts is TIMESTAMP_NTZ in the driver's parquet; timestampdiff
+    # works directly on NTZ, so the gap math never leaves naive
+    # wall-clock time (no cast through a session-timezone-dependent
+    # TIMESTAMP -> epoch hop). Floor both instants to the second first:
+    # DuckDB's date_diff('second', ...) counts second-BOUNDARY
+    # crossings, while Spark's timestampdiff truncates the exact
+    # microsecond difference — on second-aligned inputs the two agree.
+    sec = F.date_trunc("second", F.col("ts"))
+    gap = F.timestamp_diff("SECOND", F.lag(sec).over(w), sec)
     with_break = ev.withColumn(
         "is_new",
         F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
@@ -50,6 +54,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # explicit output casts mirroring gap_sessions (the green twin):
+    # NTZ session bounds, BIGINT counters — the oracle's window sum is
+    # a DuckDB HUGEINT, which survives pandas/arrow as float64/decimal
+    # and hash-mismatches a raw Spark BIGINT even when values agree
     return (
         with_sid.groupBy("user_id", "session_seq")
         .agg(
@@ -59,6 +67,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact integer-cents sum — round(sum(double)) diverges
             # cross-engine (functions/exact.py module docstring)
             sum_fixed("value", "total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value",
         )
     )
 
@@ -240,10 +256,11 @@ sid AS (
          ) AS session_seq
   FROM ordered
 )
-SELECT user_id, session_seq,
-       min(ts)                 AS session_start,
-       max(ts)                 AS session_end,
-       count(*)                AS n_events,
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       min(ts)                     AS session_start,
+       max(ts)                     AS session_end,
+       CAST(count(*) AS BIGINT)    AS n_events,
        {_TOTAL_VALUE_SQL}
 FROM sid
 GROUP BY user_id, session_seq

@@ -251,7 +251,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_ITERS = 2  # Lloyd refinement rounds for kmeans_refine
 
 
-def kmeans_refine(
+def kmeans_refine_float(
     spark: SparkSession, sf_dir: str, iters: int = KM_ITERS
 ) -> DataFrame:
     """Lloyd's k-means over the embedding corpus: start from the same
@@ -265,10 +265,13 @@ def kmeans_refine(
     centroid table is ``localCheckpoint``-ed so round N+1's plan does
     not replay rounds 1..N (at cluster scale: persist to a table, or
     this lineage doubles every round — see memory of connected
-    components). Driver check is rows-only: centroid means are float
-    sums whose order Spark does not fix, so no bit-exact oracle exists
-    by construction; tests assert the invariants instead (partition of
-    the corpus, non-increasing inertia, stable cluster count).
+    components). Not driver-registered: centroid means are float sums
+    whose order Spark does not fix, so no bit-exact oracle exists by
+    construction; tests assert the invariants instead (partition of
+    the corpus, non-increasing inertia, stable cluster count). The
+    registered :func:`kmeans_refine` runs the same iteration count in
+    exact integer-grid arithmetic, where a full unrolled-per-round
+    DuckDB oracle DOES exist.
     """
     vecs = _vectors(spark, sf_dir).select("vec_id", "v")
     cents = (
@@ -473,6 +476,140 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_refine(
+    spark: SparkSession, sf_dir: str, update_rounds: int = KM_ITERS
+) -> DataFrame:
+    """Multi-round Lloyd refinement in exact integer-grid arithmetic —
+    the driver-checkable face of the ITERATIVE algorithm (the float
+    variant lives in :func:`kmeans_refine_float`, invariant-tested).
+    Same grid/seed/argmin/update rules as :func:`kmeans_assign`, run
+    for ``update_rounds`` centroid updates instead of one; because
+    every step is order-independent integer math (long sums, truncating
+    div, cent_id tiebreak), the whole ITERATION is reproducible
+    bit-for-bit in DuckDB by unrolling one CTE pair per round
+    (:func:`_kmeans_refine_oracle_sql`) — closing the r3 no-oracle row.
+
+    Plan shape per round: broadcast tiny centroid table -> map-side
+    argmin (no shuffle of the corpus) -> one partial-aggregated
+    groupBy(cent_id, dim); ``localCheckpoint`` cuts the doubling
+    lineage between rounds (at cluster scale: persist to a table).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vi = F.expr(
+        f"transform(embedding, x -> "
+        f"cast(floor(cast(x as double) * {KM_GRID}) as bigint))"
+    )
+    vecs = e.select("vec_id", vi.alias("v"))
+    cents = vecs.filter(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select((F.col("vec_id") - N_QUERIES).alias("cent_id"), F.col("v").alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+
+    def assign(c: DataFrame) -> DataFrame:
+        return (
+            vecs.crossJoin(F.broadcast(c))
+            .select("vec_id", "v", "cent_id", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cent_id", "d2")
+        )
+
+    members = assign(cents)
+    for _ in range(update_rounds):
+        cents = (
+            members.select("cent_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.expr("sum(x) div count(1)").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+        members = assign(cents)
+    return members.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("inertia_grid2"),
+    )
+
+
+def _kmeans_refine_oracle_sql(update_rounds: int = KM_ITERS) -> str:
+    """DuckDB spelling of :func:`kmeans_refine`: the Lloyd iteration
+    unrolled as one (assignment, means) CTE pair per update round —
+    exact integer arithmetic end-to-end, so every round agrees with
+    Spark bit-for-bit."""
+    dist = (
+        f"CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))) AS BIGINT)"
+    )
+    ctes = [
+        f"""v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {KM_GRID}) AS BIGINT)) AS v
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT vec_id - {N_QUERIES} AS cent_id, v AS cv FROM v
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+)""",
+    ]
+    for r in range(update_rounds):
+        ctes.append(
+            f"""a{r} AS (
+  SELECT vec_id, v, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+  FROM (
+    SELECT v.vec_id, v.v, c.cent_id, {dist} AS d2
+    FROM v CROSS JOIN c{r} c
+  )
+)"""
+        )
+        ctes.append(
+            f"""c{r + 1} AS (
+  SELECT cent_id, list(m ORDER BY pos) AS cv
+  FROM (
+    SELECT cent_id, i AS pos, CAST(sum(v[i]) // count(*) AS BIGINT) AS m
+    FROM (SELECT vec_id, v, cent_id FROM a{r} WHERE rn = 1),
+         UNNEST(generate_series(1, {EMB_DIM})) AS u(i)
+    GROUP BY cent_id, i
+  )
+  GROUP BY cent_id
+)"""
+        )
+    ctes.append(
+        f"""afinal AS (
+  SELECT vec_id, cent_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+  FROM (
+    SELECT v.vec_id, c.cent_id, {dist} AS d2
+    FROM v CROSS JOIN c{update_rounds} c
+  )
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT cent_id,
+       count(*) AS n_members,
+       CAST(sum(d2) AS BIGINT) AS inertia_grid2
+FROM afinal
+WHERE rn = 1
+GROUP BY cent_id
+"""
+    )
+
+
 QUERIES = {
     "kmeans_refine": kmeans_refine,
     "kmeans_assign": kmeans_assign,
@@ -612,6 +749,8 @@ FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+ORACLES["kmeans_refine"] = _kmeans_refine_oracle_sql(KM_ITERS)
 
 ORACLES["kmeans_assign"] = f"""
 WITH v AS (

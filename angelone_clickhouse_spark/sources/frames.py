@@ -190,6 +190,28 @@ def generate_frames(
     )[0]
 
 
+# Bump whenever generate_frames_and_truth's OUTPUT changes for fixed
+# params: the version feeds truth_sidecar_path's content hash, so a
+# semantic change to the generator forces a new sidecar filename — a
+# stale sidecar can then never be silently reused as oracle truth.
+GENERATOR_VERSION = 1
+
+
+def truth_sidecar_path(repo_root: str, stem: str, params: dict) -> str:
+    """Sidecar filename derived from (GENERATOR_VERSION, params): the
+    name IS the cache key, so write-if-missing is sound — any change to
+    the generation params or the generator itself lands on a fresh
+    path instead of trusting an existing file of unknown provenance."""
+    import hashlib
+    import json
+    import os
+
+    key = hashlib.sha256(
+        json.dumps({"_v": GENERATOR_VERSION, **params}, sort_keys=True).encode()
+    ).hexdigest()[:12]
+    return os.path.join(repo_root, ".oracle_sidecar", f"{stem}_{key}.parquet")
+
+
 def write_truth_sidecar(path: str, truth: list[dict]) -> str:
     """Persist a truth-record list as a parquet sidecar DuckDB can read
     (oracle input for the decode-path differential). Deterministic

@@ -70,10 +70,14 @@ def enriched_token_config(spark: SparkSession, path: str | None = None) -> DataF
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
-ENRICHED_TRUTH_PATH = os.path.join(
-    _REPO_ROOT, ".oracle_sidecar", "decode_enriched_truth.parquet"
-)
 _ENRICHED_PARAMS = dict(n=2000, seed=42)
+# params-hashed filename (frames.truth_sidecar_path): write-if-missing
+# can never reuse a sidecar from different params/generator version
+from angelone_clickhouse_spark.sources.frames import (  # noqa: E402
+    truth_sidecar_path as _tsp,
+)
+
+ENRICHED_TRUTH_PATH = _tsp(_REPO_ROOT, "decode_enriched_truth", _ENRICHED_PARAMS)
 
 
 def decode_ticks_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,11 +158,13 @@ GROUP BY c.symbol, c.exchange, m.exchange_type
 """,
 }
 
-# keep the sidecar in sync at import so the oracle is valid no matter
-# whether the driver runs the SQL or the Spark plan first
+# materialize the sidecar at import (if missing) so the oracle is
+# valid no matter whether the driver runs the SQL or the Spark plan
+# first; the params-hashed filename makes if-missing sound
 from angelone_clickhouse_spark.sources.frames import (  # noqa: E402
     generate_frames_and_truth as _gft,
     write_truth_sidecar as _wts,
 )
 
-_wts(ENRICHED_TRUTH_PATH, _gft(**_ENRICHED_PARAMS)[1])
+if not os.path.exists(ENRICHED_TRUTH_PATH):
+    _wts(ENRICHED_TRUTH_PATH, _gft(**_ENRICHED_PARAMS)[1])

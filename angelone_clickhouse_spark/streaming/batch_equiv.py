@@ -32,23 +32,29 @@ from angelone_clickhouse_spark.sources.frames import (
 )
 from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks
 
+from angelone_clickhouse_spark.sources.frames import truth_sidecar_path
+
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
-DECODE_TRUTH_PATH = os.path.join(
-    _REPO_ROOT, ".oracle_sidecar", "decode_ticks_truth.parquet"
-)
 _DECODE_PARAMS = dict(n=3000, seed=42, duplicate_every=10, corrupt_every=50)
+# params-hashed filename: write-if-missing can never reuse a sidecar
+# generated under different params or an older generator version
+DECODE_TRUTH_PATH = truth_sidecar_path(
+    _REPO_ROOT, "decode_ticks_truth", _DECODE_PARAMS
+)
 
 
 def _decode_inputs() -> list[bytes]:
     """Frames for decode_ticks, with the truth sidecar kept in sync so
     the DuckDB oracle always aggregates exactly what was encoded.
 
-    The sidecar is rewritten only when missing: generation is
-    deterministic for the fixed _DECODE_PARAMS, and the ~0.4 s
-    driver-side parquet write would otherwise land inside bench.py's
-    timed region on every run (the round-2 decode_ticks regression)."""
+    The sidecar is rewritten only when missing — sound because the
+    filename hashes (params, generator version): any change lands on a
+    fresh path. Generation is deterministic for the fixed
+    _DECODE_PARAMS, and the ~0.4 s driver-side parquet write would
+    otherwise land inside bench.py's timed region on every run (the
+    round-2 decode_ticks regression)."""
     frames, truth = generate_frames_and_truth(**_DECODE_PARAMS)
     if not os.path.exists(DECODE_TRUTH_PATH):
         write_truth_sidecar(DECODE_TRUTH_PATH, truth)
@@ -180,8 +186,11 @@ GROUP BY token
 """,
 }
 
-# keep the sidecar in sync at import so the oracle is valid no matter
-# whether the driver runs the SQL or the Spark plan first
-write_truth_sidecar(
-    DECODE_TRUTH_PATH, generate_frames_and_truth(**_DECODE_PARAMS)[1]
-)
+# materialize the sidecar at import (if missing) so the oracle is
+# valid no matter whether the driver runs the SQL or the Spark plan
+# first; the params-hashed filename makes if-missing sound and skips
+# the ~0.4 s regeneration on every import
+if not os.path.exists(DECODE_TRUTH_PATH):
+    write_truth_sidecar(
+        DECODE_TRUTH_PATH, generate_frames_and_truth(**_DECODE_PARAMS)[1]
+    )

@@ -74,7 +74,9 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — record, keep benching
                 failures[name] = f"{type(e).__name__}: {e}"
                 break
-        if runs:
+        # a query is either timed (all runs succeeded) or failed —
+        # never both, so the summary total and n_failures stay disjoint
+        if runs and name not in failures:
             run_arrays[name] = runs
             timings[name] = round(statistics.median(runs), 3)
 

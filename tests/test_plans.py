@@ -68,3 +68,29 @@ def test_min_cost_suppliers_dim_joins_broadcast(spark, sf_dir):
 
     plan = _plan(min_cost_suppliers(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_fuzzy_pairs_join_key_is_content_derived(spark, sf_dir):
+    """VERDICT r3 #3: the fuzzy-match candidate join must key on the
+    PassJoin segment CONTENT (sub), not only on the (lang, lb) block —
+    block-only keys make candidate pairs quadratic in corpus size."""
+    from angelone_clickhouse_spark.operators.text import fuzzy_prefix_pairs
+
+    df = fuzzy_prefix_pairs(spark, sf_dir)
+    plan = _plan(df)
+    import re
+
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "doc_id_a" in ln
+    ]
+    assert join_lines, plan
+    # the equi-join key list of the candidate join must include the
+    # segment substring column alongside the block columns — and as
+    # distinct attributes per side: same-lineage self-joins can
+    # silently degrade to trivially-true predicates otherwise
+    assert any(
+        re.search(r"\bsub_a#", ln) and re.search(r"\bsub_b#", ln)
+        and re.search(r"\blb_a#", ln) and re.search(r"\blb_b#", ln)
+        for ln in join_lines
+    ), join_lines

@@ -72,12 +72,12 @@ def test_kmeans_refine_invariants(spark):
     N_CENTROIDS clusters."""
     from angelone_clickhouse_spark.operators.similarity import (
         N_CENTROIDS,
-        kmeans_refine,
+        kmeans_refine_float,
     )
     from tests.conftest import SF_CORRECT
 
     def stats(iters):
-        rows = kmeans_refine(spark, SF_CORRECT, iters=iters).collect()
+        rows = kmeans_refine_float(spark, SF_CORRECT, iters=iters).collect()
         return sum(r.n_members for r in rows), sum(r.inertia for r in rows), len(rows)
 
     n0, inertia0, k0 = stats(0)
