@@ -88,6 +88,46 @@ def _merge(a: DataFrame) -> DataFrame:
     )
 
 
+def make_epoch_merger(spark: SparkSession, table_dir: str):
+    """The foreachBatch merge function for :func:`maintain_daily_rollup`
+    — module-level so its retry-idempotence is directly testable."""
+
+    def merge_epoch(batch: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE: a retried epoch must not fold
+        # the same ticks into the stored partials twice. The last
+        # applied epoch_id travels INSIDE the table directory (a
+        # _last_epoch marker file, invisible to parquet readers), so
+        # the data swap and the idempotence marker commit atomically in
+        # the same rename.
+        # crash between the two renames leaves the table at .old only:
+        # restore it before anything reads table_dir
+        if not os.path.isdir(table_dir) and os.path.isdir(table_dir + ".old"):
+            os.rename(table_dir + ".old", table_dir)
+        marker = os.path.join(table_dir, "_last_epoch")
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                if int(f.read().strip()) >= epoch_id:
+                    return  # retry of an already-merged epoch
+        update = _partials(batch)
+        if os.path.isdir(table_dir):
+            existing = spark.read.parquet(table_dir)
+            update = _merge(existing.unionByName(update))
+        tmp = table_dir + ".tmp"
+        update.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_epoch"), "w") as f:
+            f.write(str(epoch_id))
+        old = table_dir + ".old"
+        # a stale .old can survive a crash between the two renames —
+        # clear it first or os.rename raises into a non-empty target
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(table_dir):
+            os.rename(table_dir, old)
+        os.rename(tmp, table_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return merge_epoch
+
+
 def maintain_daily_rollup(
     spark: SparkSession,
     frames_dir: str,
@@ -98,25 +138,11 @@ def maintain_daily_rollup(
     """Stream frames -> decode -> incrementally fold into the rollup
     table at ``table_dir``. Returns the StreamingQuery; read the table
     with :func:`read_rollup` after (or during) the run."""
-
-    def merge_epoch(batch: DataFrame, epoch_id: int) -> None:
-        update = _partials(batch)
-        if os.path.isdir(table_dir):
-            existing = spark.read.parquet(table_dir)
-            update = _merge(existing.unionByName(update))
-        tmp = table_dir + ".tmp"
-        update.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = table_dir + ".old"
-        if os.path.isdir(table_dir):
-            os.rename(table_dir, old)
-        os.rename(tmp, table_dir)
-        shutil.rmtree(old, ignore_errors=True)
-
     ticks = decode_tick_stream(
         read_frame_stream(spark, frames_dir, max_files_per_trigger)
     )
     return (
-        ticks.writeStream.foreachBatch(merge_epoch)
+        ticks.writeStream.foreachBatch(make_epoch_merger(spark, table_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

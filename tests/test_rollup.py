@@ -61,3 +61,41 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
     )
     assert len(got) > 1
     assert got == expected
+
+
+def test_merge_epoch_retry_is_idempotent(spark, tmp_path):
+    """ADVICE r3: foreachBatch is at-least-once — replaying an epoch
+    must not double-fold its ticks into the stored partials; a stale
+    .old directory must not break the rename swap."""
+    import os
+    import shutil
+
+    from angelone_clickhouse_spark.sources.frames import (
+        frames_df,
+        generate_frames,
+    )
+    from angelone_clickhouse_spark.streaming.ingest import decode_tick_stream
+    from angelone_clickhouse_spark.streaming.rollup import (
+        make_epoch_merger,
+        read_rollup,
+    )
+
+    table_dir = str(tmp_path / "rollup")
+    merge = make_epoch_merger(spark, table_dir)
+    batch0 = decode_tick_stream(frames_df(spark, generate_frames(300, seed=1)))
+    batch1 = decode_tick_stream(frames_df(spark, generate_frames(300, seed=2)))
+    merge(batch0, 0)
+    merge(batch1, 1)
+    want = sorted(map(tuple, read_rollup(spark, table_dir).collect()))
+    # retries of already-applied epochs: no double-merge
+    merge(batch1, 1)
+    merge(batch0, 0)
+    got = sorted(map(tuple, read_rollup(spark, table_dir).collect()))
+    assert got == want
+    # a stale .old from a crash between renames must not wedge the swap
+    shutil.copytree(table_dir, table_dir + ".old")
+    merge(batch0, 2)  # new epoch folds in (double-count is INTENDED here)
+    assert os.path.isdir(table_dir)
+    assert not os.path.isdir(table_dir + ".old")
+    with open(os.path.join(table_dir, "_last_epoch")) as f:
+        assert f.read() == "2"

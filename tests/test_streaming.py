@@ -176,3 +176,68 @@ def test_ingest_row_cap_per_file(spark, frames, frames_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_subscribe_request_matches_reference_contract(spark):
+    """VERDICT r3 #5: the subscribe message must be byte-compatible
+    with the reference's SubscribeRequest (angel/types.go:13-27,
+    main.go:287-304): {correlationID, action: 1, params: {mode,
+    tokenList: [{exchangeType, tokens}]}}, built from config/tokens.json
+    with unknown exchanges dropped."""
+    import json
+
+    from angelone_clickhouse_spark.sources.token_config import (
+        DEFAULT_CONFIG_PATH,
+        EXCHANGE_TYPE_MAP,
+    )
+    from angelone_clickhouse_spark.streaming.subscription import (
+        build_subscribe_request,
+        reference_request_dict,
+        roundtrip_equal,
+    )
+
+    msg = build_subscribe_request(spark)
+    with open(DEFAULT_CONFIG_PATH) as f:
+        cfg = json.load(f)
+    by_exchange: dict[int, list[str]] = {}
+    for row in cfg:
+        et = EXCHANGE_TYPE_MAP.get(row["exchange"])
+        if et is None:  # the reference's log-and-skip for unknowns
+            continue
+        by_exchange.setdefault(et, []).append(row["token"])
+    assert json.loads(msg) == reference_request_dict(by_exchange)
+    # parse(build(x)) is a fixed point
+    assert roundtrip_equal(spark, msg)
+
+
+def test_subscribe_message_filters_decoded_stream(spark, frames):
+    """The parsed control message drives the data-path filter: only
+    subscribed tokens at >= the subscribed mode survive."""
+    import json
+
+    from angelone_clickhouse_spark.sources.decoder import decode_frames
+    from angelone_clickhouse_spark.streaming.subscription import (
+        QUOTE_MODE,
+        SUBSCRIBE_ACTION,
+        apply_subscribe_message,
+    )
+
+    msg = json.dumps(
+        {
+            "correlationID": "ws_test",
+            "action": SUBSCRIBE_ACTION,
+            "params": {
+                "mode": QUOTE_MODE,
+                "tokenList": [
+                    {"exchangeType": 1, "tokens": ["2885", "1594"]}
+                ],
+            },
+        }
+    )
+    decoded = decode_frames(frames_df(spark, frames))
+    out = apply_subscribe_message(decoded, spark, msg)
+    rows = out.select("token", "subscription_mode").distinct().collect()
+    assert {r.token for r in rows} == {"2885", "1594"}
+    assert all(r.subscription_mode >= QUOTE_MODE for r in rows)
+    # malformed JSON -> empty result, not an exception (parse-skip)
+    assert apply_subscribe_message(decoded, spark, "{not json").count() == 0
