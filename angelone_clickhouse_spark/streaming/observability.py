@@ -35,3 +35,24 @@ def observe_decoded(decoded: DataFrame, name: str = TICK_METRICS):
         return decoded.observe(name, *metrics), None
     obs = Observation(name)
     return decoded.observe(obs, *metrics), obs
+
+
+def worker_stats(decoded: DataFrame) -> DataFrame:
+    """Per-worker processed/error counters (reference WorkerStats,
+    models/stats.go:15-20): the reference tracks each pool worker's
+    processed count, error count, and last-processed time. Spark's
+    "workers" are partitions — ``spark_partition_id()`` is the worker
+    id — so the same stats are one partition-local aggregate (the
+    groupBy key IS the partition, so partial aggregation completes
+    map-side; the shuffle moves one row per worker).
+
+    Works on batch and (per-epoch, via foreachBatch) streaming ticks.
+    """
+    return (
+        decoded.groupBy(F.spark_partition_id().alias("worker_id"))
+        .agg(
+            F.count(F.lit(1)).alias("processed_count"),
+            F.sum(F.col("is_corrupt").cast("long")).alias("error_count"),
+            F.max("exchange_timestamp").alias("last_processed_ms"),
+        )
+    )

@@ -241,3 +241,18 @@ def test_subscribe_message_filters_decoded_stream(spark, frames):
     assert all(r.subscription_mode >= QUOTE_MODE for r in rows)
     # malformed JSON -> empty result, not an exception (parse-skip)
     assert apply_subscribe_message(decoded, spark, "{not json").count() == 0
+
+
+def test_worker_stats_partition_counters(spark, frames):
+    """WorkerStats analogue (models/stats.go:15-20): per-partition
+    processed/error counts must sum to the stream totals."""
+    from angelone_clickhouse_spark.sources.decoder import decode_frames
+    from angelone_clickhouse_spark.streaming.observability import worker_stats
+
+    decoded = decode_frames(frames_df(spark, frames)).repartition(4)
+    rows = worker_stats(decoded).collect()
+    assert 1 < len(rows) <= 4  # one row per non-empty worker partition
+    assert sum(r.processed_count for r in rows) == len(frames)
+    total_corrupt = decoded.filter("is_corrupt").count()
+    assert sum(r.error_count for r in rows) == total_corrupt
+    assert all(r.last_processed_ms is not None for r in rows)

@@ -47,10 +47,19 @@ def _multiset(rows, colnames):
     return sorted(",".join(_norm(r[i]) for i in order) for r in rows)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+def run_parity(
+    spark, sf_dir: str, only: set[str] | None = None, quiet: bool = False
+) -> list[str]:
+    """The oracle-differential over every registered query; returns the
+    failing query names. Shared by the CLI below and
+    tests/test_full_parity.py (the guard that keeps queries rotated
+    out of the driver's 50-entry window honest)."""
+    only = only or set()
+
+    def _p(msg: str) -> None:
+        if not quiet:
+            print(msg)
+
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
@@ -69,11 +78,11 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            _p(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"ok~   {name}: rows-only ({len(srows)} rows, "
-                  f"{time.time()-t0:.1f}s) [no oracle]")
+            _p(f"ok~   {name}: rows-only ({len(srows)} rows, "
+               f"{time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
             rel = con.sql(oracles[name])
@@ -81,7 +90,7 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            _p(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         problems = []
         if len(srows) != len(drows):
@@ -95,10 +104,18 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append(name)
-            print(f"FAIL  {name}: " + "; ".join(problems))
+            _p(f"FAIL  {name}: " + "; ".join(problems))
         else:
-            print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+            _p(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+    _p(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+    failures = run_parity(spark, sf_dir, only)
     spark.stop()
     return 1 if failures else 0
 
