@@ -499,7 +499,9 @@ def kmeans_refine(
         f"transform(embedding, x -> "
         f"cast(floor(cast(x as double) * {KM_GRID}) as bigint))"
     )
-    vecs = e.select("vec_id", vi.alias("v"))
+    # every assignment pass re-reads the grid vectors: materialize the
+    # float->grid transform once instead of re-running it per round
+    vecs = e.select("vec_id", vi.alias("v")).localCheckpoint(eager=True)
     cents = vecs.filter(
         (F.col("vec_id") >= N_QUERIES)
         & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
