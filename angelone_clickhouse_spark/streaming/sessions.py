@@ -210,3 +210,81 @@ FROM (
 WHERE session_seq < last_seq
 """,
 }
+
+
+# --- transformWithStateInPandas twin (Spark 4 stateful API) -----------------
+try:  # the processor API landed in Spark 4.0
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+except ImportError:  # pragma: no cover - older runtimes
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment,misc]
+
+
+class GapSessionProcessor(StatefulProcessor):
+    """The :func:`_sessionize_group` operator restated on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-49564): explicit named state
+    handles (ValueState here; List/MapState and event-time timers are
+    available where the session logic needs richer state), the same
+    one-open-session-per-user state, and identical emitted sessions
+    (asserted equal to the legacy-API operator across micro-batch
+    boundaries in tests/test_streaming_sessions.py).
+
+    Scale notes: identical to streaming_sessionize — state is one
+    tuple per user in the state store, one shuffle on user_id per
+    micro-batch; at production scale register an event-time timer per
+    user (handle.registerTimer) to close idle sessions and reclaim
+    state, the TTL story the legacy API lacked."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._session = handle.getValueState("open_session", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        values = pdf["value"].tolist()
+        if self._session.exists():
+            start_us, last_us, n_events, total_value = self._session.get()
+        else:
+            start_us = last_us = None
+            n_events, total_value = 0, 0.0
+        closed: list[tuple] = []
+        for t_us, v in zip(ts_us, values):
+            if last_us is not None and t_us - last_us > _GAP_US:
+                closed.append((start_us, last_us, n_events, total_value))
+                start_us, n_events, total_value = t_us, 0, 0.0
+            if start_us is None:
+                start_us = t_us
+            last_us = t_us
+            n_events += 1
+            total_value += v
+        self._session.update((start_us, last_us, n_events, total_value))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "session_start": pd.to_datetime(
+                        [c[0] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[1] for c in closed], unit="us"
+                    ),
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [round(c[3], 2) for c in closed],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_sessionize_tws(events: DataFrame) -> DataFrame:
+    """events (streaming) -> closed sessions via the Spark 4 stateful
+    processor API; drop-in equivalent of :func:`streaming_sessionize`."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=GapSessionProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -85,3 +85,133 @@ def test_streaming_sessions_state_survives_batches(spark, events_stream_dir):
     import glob
 
     assert len(glob.glob(f"{events_stream_dir}/file*.parquet")) == 2
+
+
+def test_transform_with_state_twin_matches_legacy(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """The Spark 4 transformWithStateInPandas processor must emit
+    exactly the sessions the applyInPandasWithState operator emits,
+    including across micro-batch boundaries (same two-chunk replay).
+
+    transformWithState's driver worker imports google.protobuf (the
+    state-server protocol), absent in this container — the runtime
+    half of the twin runs only where protobuf exists; the processor's
+    fold logic is covered unconditionally by
+    test_gap_session_processor_logic below."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState driver worker needs protobuf",
+    )
+    from angelone_clickhouse_spark.streaming.sessions import (
+        streaming_sessionize_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    q = (
+        streaming_sessionize_tws(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_tws")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.table("sessions_tws").collect()
+    }
+
+    stream2 = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    q2 = (
+        streaming_sessionize(stream2)
+        .writeStream.format("memory")
+        .queryName("sessions_legacy_ref")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_legacy"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.table("sessions_legacy_ref").collect()
+    }
+    assert len(got) > 0
+    assert got == expected
+
+
+def test_gap_session_processor_logic():
+    """Spark-free check of GapSessionProcessor's fold: feed two pandas
+    chunks through handleInputRows with a fake ValueState and assert
+    the emitted sessions + carried state match the gap semantics."""
+    import pandas as pd
+
+    from angelone_clickhouse_spark.streaming.sessions import (
+        _GAP_US,
+        GapSessionProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    proc = GapSessionProcessor.__new__(GapSessionProcessor)
+    proc._session = FakeState()
+
+    def chunk(rows):
+        ts, eid, val = zip(*rows)
+        return pd.DataFrame(
+            {"ts": pd.to_datetime(list(ts), unit="us"),
+             "event_id": list(eid), "value": list(val)}
+        )
+
+    gap = _GAP_US
+    # chunk 1: two events 1s apart, then a gap -> one closed session
+    out1 = list(
+        proc.handleInputRows(
+            (7,), iter([chunk([(0, 1, 1.0), (1_000_000, 2, 2.0)]),
+                        chunk([(gap + 2_000_000, 3, 4.0)])]), None
+        )
+    )
+    assert len(out1) == 1
+    s1 = out1[0].iloc[0]
+    assert (s1.user_id, s1.n_events, s1.total_value) == (7, 2, 3.0)
+    # state carries the open session into the "next micro-batch"
+    assert proc._session.v[2] == 1  # n_events of the open session
+    # chunk 2: event within the gap extends; far event closes
+    out2 = list(
+        proc.handleInputRows(
+            (7,), iter([chunk([(gap + 3_000_000, 4, 1.5),
+                               (3 * gap, 5, 9.0)])]), None
+        )
+    )
+    assert len(out2) == 1
+    s2 = out2[0].iloc[0]
+    assert (s2.n_events, s2.total_value) == (2, 5.5)
+    assert proc._session.v[2] == 1  # the far event is the new open session
