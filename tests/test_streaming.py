@@ -256,3 +256,30 @@ def test_worker_stats_partition_counters(spark, frames):
     total_corrupt = decoded.filter("is_corrupt").count()
     assert sum(r.error_count for r in rows) == total_corrupt
     assert all(r.last_processed_ms is not None for r in rows)
+
+
+def test_unsubscribe_message_yields_empty_stream(spark, frames):
+    """UnsubscribeAction (models/token.go:12): a control message with
+    action=0 subscribes nothing — the data path goes empty rather than
+    erroring, matching the reference's action dispatch."""
+    import json
+
+    from angelone_clickhouse_spark.sources.decoder import decode_frames
+    from angelone_clickhouse_spark.streaming.subscription import (
+        QUOTE_MODE,
+        UNSUBSCRIBE_ACTION,
+        apply_subscribe_message,
+    )
+
+    msg = json.dumps(
+        {
+            "correlationID": "ws_test",
+            "action": UNSUBSCRIBE_ACTION,
+            "params": {
+                "mode": QUOTE_MODE,
+                "tokenList": [{"exchangeType": 1, "tokens": ["2885"]}],
+            },
+        }
+    )
+    decoded = decode_frames(frames_df(spark, frames))
+    assert apply_subscribe_message(decoded, spark, msg).count() == 0
