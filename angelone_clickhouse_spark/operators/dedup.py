@@ -483,6 +483,45 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the final dedup step a training pipeline
+    actually ships: every document gets a keep/drop verdict. Clusters
+    come from the MinHash-LSH graph (the 100 TB path); within a
+    cluster the survivor is the LONGEST document (n_chars), doc_id as
+    the deterministic tiebreak; docs in no near-dup pair are their own
+    singleton cluster and trivially survive.
+
+    Scale notes: one left join of the corpus against the (small)
+    clustered-doc set, then an argmin per cluster via struct-ordered
+    min_by — no window over the corpus; the only corpus-wide shuffle
+    is the cluster_id groupBy, whose key count is bounded by cluster
+    count, not document count."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    full = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    surv = full.groupBy("cluster_id").agg(
+        # min over (-n_chars, doc_id) = longest doc, then smallest id
+        F.min_by(
+            "doc_id",
+            F.struct(
+                (-F.col("n_chars")).alias("k1"), F.col("doc_id").alias("k2")
+            ),
+        ).alias("survivor_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return full.join(surv, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 SIMHASH_BITS = 60  # 15 hex chars of md5: cross-engine-identical word hash
 SIMHASH_CHUNKS = 4  # 4 x 15-bit bands
@@ -636,6 +675,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_minhash": dedup_clusters_minhash,
+    "dedup_survivors": dedup_survivors,
 }
 
 ORACLES = {
@@ -798,6 +838,41 @@ sizes AS (
 )
 SELECT doc_id, comp.cluster_id, cluster_size
 FROM comp JOIN sizes USING (cluster_id)
+"""
+
+ORACLES["dedup_survivors"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash_lsh"]})
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+fullset AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM fullset
+)
+SELECT doc_id, cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       rn = 1 AS is_survivor
+FROM ranked
 """
 
 ORACLES["dedup_clusters_minhash"] = f"""

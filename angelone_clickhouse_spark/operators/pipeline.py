@@ -1,12 +1,14 @@
 """Training-data pipeline operators over the ``documents`` table:
-benchmark decontamination, deterministic stratified sampling,
-per-language quality-quantile gating, and sequence packing.
+benchmark decontamination (n-gram, hashed, and winnowing-fingerprint
+passes), deterministic stratified sampling, per-language
+quality-quantile gating, sequence packing, and overlapping RAG
+chunking.
 
 These extend the reference's analytics surface (it has none of these;
 cf. SURVEY.md §2.3 "capability gaps") with the operations a
 large-scale LLM data pipeline runs between raw ingest and training.
-All four are pure built-in-function DataFrame plans (JVM, codegen) and
-all four are DuckDB-oracle-checkable because every derived value is
+All are pure built-in-function DataFrame plans (JVM, codegen) and
+all are DuckDB-oracle-checkable because every derived value is
 integer arithmetic or md5-based hashing — no float rounding anywhere.
 
 Scale notes (100 TB):
@@ -235,12 +237,113 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64  # RAG chunk length (whitespace tokens)
+CHUNK_STRIDE = 48  # start-to-start stride -> 16-token overlap
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the retrieval/RAG
+    preprocessing twin of :func:`sequence_pack` (packing concatenates
+    to fill a budget; chunking slices with overlap so every token is
+    retrievable with context). Chunk k covers tokens
+    [1 + k*stride, 1 + k*stride + size) for every start inside the
+    document; the final chunks are naturally short.
+
+    Scale notes: pure per-row expansion (transform + explode) — no
+    shuffle at all; the chunk array is materialized before the explode
+    because Generate re-evaluates its child per output row (see
+    _word_ngrams). Expansion factor is ~len/stride (here ~1.3x), the
+    same arithmetic a 100 TB corpus pays."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, (size(split(text, ' ')) - 1) div {CHUNK_STRIDE}), "
+            f"k -> struct(k AS k, "
+            f"  slice(split(text, ' '), 1 + k * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS toks))"
+        ).alias("cs"),
+    )
+    chunks = chunks.localCheckpoint(eager=True)
+    return chunks.select(
+        "doc_id", F.explode("cs").alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.k").cast("long").alias("chunk_id"),
+        F.array_join("c.toks", " ").alias("chunk_text"),
+        F.size("c.toks").cast("long").alias("n_chunk_tokens"),
+    )
+
+
+FP_HIT_DOCS = "decontaminate_fingerprint"
+
+
+def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct winnowing fingerprints (the md5-hex
+    window minima of operators/text.py:text_fingerprint, re-used as a
+    JOIN KEY instead of a count)."""
+    from angelone_clickhouse_spark.operators.text import FP_WINDOW
+
+    hashed = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(w) >= 3 THEN "
+            "transform(sequence(0, size(w) - 3), "
+            "i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2])))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END"
+        ).alias("hs"),
+    ).filter(F.size("hs") >= FP_WINDOW)
+    fps = hashed.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(hs) - {FP_WINDOW}), "
+                f"i -> array_min(slice(hs, i + 1, {FP_WINDOW})))"
+            )
+        ).alias("fps"),
+    )
+    fps = fps.localCheckpoint(eager=True)  # Generate re-eval, as above
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
+
+
+def decontaminate_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-based decontamination: flag training docs sharing
+    winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    scheme) with the held-out benchmark subset (doc_id % BENCH_MOD
+    == 0). Where the n-gram pass (decontaminate_ngrams) matches
+    EVERY shared 5-gram, winnowing guarantees any shared run of
+    >= window+2 words shares a fingerprint while broadcasting ~1/window
+    as many keys — the cheaper wide-net pass a pipeline runs first.
+
+    Scale notes: same broadcast-join shape as decontaminate_hashed;
+    the benchmark fingerprint set is the broadcast side, the corpus
+    never shuffles before the per-doc count."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = _winnow_fingerprints(docs)
+    bench = (
+        fps.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("fp")
+        .distinct()
+    )
+    hits = fps.filter(F.col("doc_id") % BENCH_MOD != 0).join(
+        F.broadcast(bench), "fp"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_fps"))
+        .select("doc_id", "n_hit_fps")
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "decontaminate_hashed": decontaminate_hashed,
+    "decontaminate_fingerprint": decontaminate_fingerprint,
     "sample_stratified": sample_stratified,
     "quality_quantile_gate": quality_quantile_gate,
     "sequence_pack": sequence_pack,
+    "chunk_documents": chunk_documents,
 }
 
 _PCT_CASE = (
@@ -251,6 +354,43 @@ _PCT_CASE = (
     )
     + f" ELSE {SAMPLE_PCT_DEFAULT} END"
 )
+
+ORACLES_R4 = {
+    "chunk_documents": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       array_to_string(
+         ws[1 + k * {CHUNK_STRIDE} :
+            least(len(ws), k * {CHUNK_STRIDE} + {CHUNK_TOKENS})], ' ')
+         AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, len(ws) - k * {CHUNK_STRIDE}) AS BIGINT)
+         AS n_chunk_tokens
+FROM w, UNNEST(generate_series(0, (len(ws) - 1) // {CHUNK_STRIDE})) AS t(k)
+""",
+    "decontaminate_fingerprint": """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(generate_series(1, len(ws) - 2),
+                          i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         ELSE [] END AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+fps AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(hs) - __FPW__ + 1),
+           i -> list_aggregate(hs[i:i + __FPW__ - 1], 'min')))) AS fp
+  FROM sh
+  WHERE len(hs) >= __FPW__
+),
+bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % __BM__ = 0)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_hit_fps
+FROM fps f JOIN bench b ON f.fp = b.fp
+WHERE f.doc_id % __BM__ != 0
+GROUP BY f.doc_id
+""",
+}
 
 ORACLES = {
     "decontaminate_ngrams": f"""
@@ -334,3 +474,12 @@ SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
 FROM c
 """,
 }
+
+from angelone_clickhouse_spark.operators.text import FP_WINDOW as _FPW  # noqa: E402
+
+ORACLES_R4["decontaminate_fingerprint"] = (
+    ORACLES_R4["decontaminate_fingerprint"]
+    .replace("__FPW__", str(_FPW))
+    .replace("__BM__", str(BENCH_MOD))
+)
+ORACLES.update(ORACLES_R4)

@@ -150,3 +150,78 @@ def test_sequence_pack_invariants(spark, sf_dir):
             assert r.seq_id == cum // PACK_BUDGET, (source, r)
             assert r.offset_in_seq == cum % PACK_BUDGET, (source, r)
             cum += r.n_tokens
+
+
+def test_chunk_documents_covers_every_token(spark, sf_dir):
+    """Chunking invariants: chunk 0 starts at token 1; consecutive
+    chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE; every token of the
+    doc appears in at least one chunk; no chunk exceeds the budget."""
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.operators.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    chunks = chunk_documents(spark, sf_dir)
+    assert chunks.filter(F.col("n_chunk_tokens") > CHUNK_TOKENS).count() == 0
+    # per-doc: sum of (stride-clipped) coverage == token count
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.col("chunk_id") * CHUNK_STRIDE + F.col("n_chunk_tokens")
+            ).alias("covered"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .join(docs, "doc_id")
+    )
+    assert agg.filter(F.col("covered") != F.col("n_tokens")).count() == 0
+    # overlap arithmetic: expected chunk count = 1 + (n-1) div stride
+    bad = agg.filter(
+        F.col("n_chunks")
+        != 1 + F.floor((F.col("n_tokens") - 1) / CHUNK_STRIDE)
+    )
+    assert bad.count() == 0
+
+
+def test_survivors_one_per_cluster(spark, sf_dir):
+    """Exactly one survivor per cluster; survivors are the longest doc
+    (doc_id tiebreak); every document gets a verdict."""
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.operators.dedup import dedup_survivors
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    out = dedup_survivors(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_survivor").cast("long")).alias("n_surv"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("cluster_size").alias("sz"),
+    )
+    assert per.filter(F.col("n_surv") != 1).count() == 0
+    assert per.filter(F.col("n") != F.col("sz")).count() == 0
+
+
+def test_fingerprint_decon_flags_planted_contamination(spark, sf_dir):
+    """A doc sharing a long run with a benchmark doc must be flagged:
+    benchmark docs themselves are excluded; every flagged doc really
+    shares at least one winnowing fingerprint (n_hit_fps >= 1)."""
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.operators.pipeline import (
+        BENCH_MOD,
+        decontaminate_fingerprint,
+    )
+
+    out = decontaminate_fingerprint(spark, sf_dir)
+    assert out.filter(F.col("doc_id") % BENCH_MOD == 0).count() == 0
+    assert out.filter(F.col("n_hit_fps") < 1).count() == 0
+    assert out.count() > 0  # word-soup fixture guarantees some overlap
