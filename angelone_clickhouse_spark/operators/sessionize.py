@@ -208,8 +208,31 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the Markov/flow-diagram
+    rollup next to the funnel): count (prev_type -> type) bigrams along
+    each user's time-ordered history, plus '<start>' pseudo-transitions
+    for first events.
+
+    Scale notes: one shuffle on user_id for the lag window, then a
+    partial-aggregated count on the (from, to) pair — the pair-key
+    cardinality is |event_types|^2, so the second shuffle is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        ev.select(
+            F.coalesce(prev, F.lit("<start>")).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
+    "event_transitions": event_transitions,
     "weekly_retention": weekly_retention,
     "json_extract_events": json_extract_events,
     "event_type_funnel": event_type_funnel,
@@ -220,6 +243,18 @@ QUERIES = {
 _TOTAL_VALUE_SQL = sum_fixed_sql('"value"', "total_value")
 
 ORACLES = {
+    "event_transitions": """
+WITH t AS (
+  SELECT coalesce(lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ), '<start>') AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM t
+GROUP BY from_type, to_type
+""",
     "weekly_retention": """
 WITH uw AS (
   SELECT DISTINCT user_id,
