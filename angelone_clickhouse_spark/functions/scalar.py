@@ -105,6 +105,98 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_K = 10
+TOPK_TRACKED = 1024  # >> token cardinality: the freq-items sketch is exact
+
+
+def top_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the DataSketches frequent-items aggregate
+    (``approx_top_k``, Spark 4) — the fixed-memory, mergeable top-k
+    path for 100 TB streams where an exact count per key is a full
+    shuffle. Like distinct_tokens_approx, the sketch output itself is
+    engine-specific, so the driver-hashed contract is the GUARANTEE:
+    with maxItemsTracked >= the true cardinality the sketch degrades
+    to exact counting, so every returned estimate must equal its exact
+    count and every returned token must sit in the exact top set
+    (ties at the boundary included). The oracle asserts those
+    verdicts; the sketch wiring is what is under test.
+
+    Scale notes: approx_top_k is an aggregate — partial sketches
+    merge map-side (approx_top_k_accumulate/_combine are the explicit
+    spellings); memory is O(maxItemsTracked), not O(distinct)."""
+    t = ticks(spark, sf_dir)
+    sk = t.agg(
+        F.expr(
+            f"approx_top_k(token, {TOPK_K}, {TOPK_TRACKED})"
+        ).alias("top"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ).select(F.explode("top").alias("e"), "n_ticks").select(
+        F.col("e.item").alias("token"),
+        F.col("e.count").alias("est"),
+        "n_ticks",
+    )
+    exact = t.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    kth = (
+        exact.orderBy(F.desc("exact"), "token")
+        .limit(TOPK_K)
+        .agg(F.min("exact").alias("kth"))
+    )
+    joined = sk.join(exact, "token").crossJoin(F.broadcast(kth))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_returned"),
+        F.min(F.col("est") == F.col("exact")).alias("estimates_exact"),
+        F.min(F.col("exact") >= F.col("kth")).alias("all_in_top_set"),
+        F.max("n_ticks").alias("n_ticks"),
+    )
+
+
+KLL_RANK_EPS = 0.05  # generous vs the default-k KLL ~1.3% rank error
+
+
+def price_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token price quantiles via the KLL sketch (Spark 4
+    ``kll_sketch_agg_double`` / ``kll_sketch_get_quantile``) — the
+    mergeable fixed-memory quantile path next to the exact
+    ``price_percentiles``. The sketch value is engine-specific; the
+    oracled contract is the KLL RANK guarantee: the returned quantile's
+    exact rank must lie within KLL_RANK_EPS of the requested rank.
+    Rank is computed exactly (count of values <= estimate / n), so the
+    verdict is deterministic."""
+    t = ticks(spark, sf_dir)
+    sk = t.groupBy("token").agg(
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "kll_sketch_agg_double(last_traded_price), array(0.5D, 0.95D))"
+        ).alias("qs"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ).select(
+        "token",
+        "n_ticks",
+        F.col("qs")[0].alias("est_p50"),
+        F.col("qs")[1].alias("est_p95"),
+    )
+    ranks = t.join(sk.select("token", "est_p50", "est_p95"), "token").groupBy(
+        "token"
+    ).agg(
+        (
+            F.sum((F.col("last_traded_price") <= F.col("est_p50")).cast("long"))
+            / F.count(F.lit(1))
+        ).alias("rank50"),
+        (
+            F.sum((F.col("last_traded_price") <= F.col("est_p95")).cast("long"))
+            / F.count(F.lit(1))
+        ).alias("rank95"),
+    )
+    return sk.join(ranks, "token").select(
+        "token",
+        "n_ticks",
+        (F.abs(F.col("rank50") - 0.5) <= KLL_RANK_EPS).alias("p50_rank_ok"),
+        # upper quantile: rank can only exceed on the low side by eps,
+        # and ties push it to 1.0 at the top — one-sided lower bound
+        (F.col("rank95") >= 0.95 - KLL_RANK_EPS).alias("p95_rank_ok"),
+    )
+
+
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-type function coverage: per-user event-type histograms
     built as a real Spark ``map<string,bigint>`` (map_from_entries),
@@ -150,6 +242,8 @@ QUERIES = {
     "distinct_tokens": distinct_tokens,
     "distinct_tokens_approx": distinct_tokens_approx,
     "price_percentiles": price_percentiles,
+    "top_tokens_sketch": top_tokens_sketch,
+    "price_quantiles_kll": price_quantiles_kll,
 }
 
 ORACLES = {
@@ -192,8 +286,25 @@ SELECT count(DISTINCT token) AS n_tokens_exact,
        count(*)              AS n_ticks
 FROM ticks
 """,
-    # the sketch estimate is engine-specific; the oracled property is
-    # the exact count plus the HLL error bound holding (see docstring)
+    # sketch estimates are engine-specific; the oracled property is the
+    # guarantee holding (see each docstring)
+    "top_tokens_sketch": TICKS_ORACLE_CTE
+    + f"""
+SELECT CAST({TOPK_K} AS BIGINT) AS n_returned,
+       TRUE                     AS estimates_exact,
+       TRUE                     AS all_in_top_set,
+       count(*)                 AS n_ticks
+FROM ticks
+""",
+    "price_quantiles_kll": TICKS_ORACLE_CTE
+    + """
+SELECT token,
+       count(*) AS n_ticks,
+       TRUE     AS p50_rank_ok,
+       TRUE     AS p95_rank_ok
+FROM ticks
+GROUP BY token
+""",
     "distinct_tokens_approx": TICKS_ORACLE_CTE
     + """
 SELECT count(DISTINCT token) AS n_tokens_exact,

@@ -142,7 +142,41 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SAMPLES = 8  # frames sampled per media item
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan (the video/audio preprocessing step next to
+    decode): for each media item pick FRAME_SAMPLES evenly spaced frame
+    indices — idx_j = (j * n_frames) div K — deduplicated for short
+    clips, one output row per sampled frame. A real pipeline hands
+    these (doc_id, frame_idx) pairs to the decoder to fetch exactly
+    those frames; the selection ARITHMETIC is the operator and is pure
+    integer, so DuckDB verifies it end-to-end through the stub decode.
+
+    Scale notes: mapInPandas decode then a shuffle-free per-row
+    transform+explode; output is K rows per item (bounded expansion),
+    and the downstream per-frame decode inherits the same
+    partition-parallel, no-driver-collect shape."""
+    feats = extract_features(media_table(spark, sf_dir))
+    idxs = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, {FRAME_SAMPLES - 1}), "
+            f"j -> (j * cast(n_frames as bigint)) div {FRAME_SAMPLES})"
+        )
+    )
+    base = feats.select(
+        "doc_id", "media_type", F.col("n_frames").cast("long").alias("n_frames"),
+        idxs.alias("idxs"),
+    ).localCheckpoint(eager=True)  # Generate re-eval (see pipeline.py)
+    return base.select(
+        "doc_id", "media_type", "n_frames",
+        F.explode("idxs").alias("frame_idx"),
+    )
+
+
 QUERIES = {
+    "frame_sample": frame_sample,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
 }
@@ -187,8 +221,29 @@ FROM f
 GROUP BY media_type
 """
 
+_FRAME_SAMPLE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         rpad(substring(hex(encode(text)), 1, 16), 16, '0') AS hx
+  FROM documents
+),
+f AS (
+  SELECT doc_id, media_type,
+         CAST(CASE WHEN media_type = 'image' THEN 1
+                   ELSE 1 + (h // 1048576) % 300 END AS BIGINT) AS n_frames
+  FROM (SELECT doc_id, media_type, ({_H_BYTES}) AS h FROM m)
+)
+SELECT DISTINCT doc_id, media_type, n_frames,
+       (j * n_frames) // {FRAME_SAMPLES} AS frame_idx
+FROM f, UNNEST(generate_series(0, {FRAME_SAMPLES - 1})) AS t(j)
+"""
+
 ORACLES = {
     "multimodal_features": _FEATURES_ORACLE,
+    "frame_sample": _FRAME_SAMPLE_ORACLE,
     "multimodal_meta": """
 WITH m AS (
   SELECT doc_id,
