@@ -197,6 +197,60 @@ def price_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THETA_EPS = 0.05  # vs default-lgk theta rsd ~1.6%
+
+
+def distinct_users_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SET ALGEBRA via theta sketches (Spark 4
+    ``theta_sketch_agg`` / ``theta_union_agg``): per-event-type
+    distinct users plus their UNION — the sketch family HLL cannot do
+    (HLL unions exist but no intersections/difference; theta is the
+    mergeable set-algebra sketch, the 100 TB dedup-across-partitions
+    primitive). One row per event type and one ``<union>`` row;
+    oracled contract per the sketch pattern: exact counts hashed, the
+    engine-specific estimates reduced to error-bound verdicts.
+
+    Scale notes: per-group sketches build with map-side partial
+    aggregation; the union is an aggregate OVER SKETCHES (tiny), never
+    a re-scan of the raw data — exactly how a 1000-executor rollup
+    keeps distinct-count dashboards incremental."""
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per = per.localCheckpoint(eager=True)  # reused by rows + union
+    est = F.expr("theta_sketch_estimate(sk)")
+    rows = per.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(est - F.col("exact_users"))
+            <= F.lit(THETA_EPS) * F.col("exact_users")
+        ).alias("est_within_eps"),
+    )
+    total = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    union_row = (
+        per.agg(
+            F.expr(
+                "theta_sketch_estimate(theta_union_agg(sk))"
+            ).alias("uest")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("<union>").alias("event_type"),
+            "exact_users",
+            (
+                F.abs(F.col("uest") - F.col("exact_users"))
+                <= F.lit(THETA_EPS) * F.col("exact_users")
+            ).alias("est_within_eps"),
+        )
+    )
+    return rows.unionByName(union_row)
+
+
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-type function coverage: per-user event-type histograms
     built as a real Spark ``map<string,bigint>`` (map_from_entries),
@@ -244,6 +298,7 @@ QUERIES = {
     "price_percentiles": price_percentiles,
     "top_tokens_sketch": top_tokens_sketch,
     "price_quantiles_kll": price_quantiles_kll,
+    "distinct_users_theta": distinct_users_theta,
 }
 
 ORACLES = {
@@ -295,6 +350,15 @@ SELECT CAST({TOPK_K} AS BIGINT) AS n_returned,
        TRUE                     AS all_in_top_set,
        count(*)                 AS n_ticks
 FROM ticks
+""",
+    "distinct_users_theta": """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE                    AS est_within_eps
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT '<union>', count(DISTINCT user_id), TRUE FROM events
 """,
     "price_quantiles_kll": TICKS_ORACLE_CTE
     + """
