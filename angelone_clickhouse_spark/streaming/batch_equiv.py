@@ -78,6 +78,48 @@ def minute_bars_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar-hierarchy re-aggregation — the AggregatingMergeTree pattern
+    the reference's ClickHouse schema implies: HOUR bars computed by
+    MERGING minute-bar partial states (min_by/max_by keyed on carried
+    first/last sequence numbers, integer-cent volume sums), never by
+    re-scanning ticks. The DuckDB oracle aggregates hours DIRECTLY
+    from raw ticks, so a green row PROVES the merge algebra is lossless
+    — the same proof tests/test_rollup.py runs for the streaming
+    incremental fold, here as a driver-checked batch query.
+
+    Scale notes: this is how a 100 TB bar store stays incremental —
+    each level re-aggregates the (tiny) level below; the minute level
+    is the only scan of raw data, and both groupBys partial-aggregate
+    map-side."""
+    t = ticks(spark, sf_dir)
+    minute = t.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bar_ts"), F.col("token")
+    ).agg(
+        F.min("sequence_number").alias("first_seq"),
+        F.min_by("open_price", "sequence_number").alias("open"),
+        F.max("sequence_number").alias("last_seq"),
+        F.max_by("close_price", "sequence_number").alias("close"),
+        F.max("high_price").alias("high"),
+        F.min("low_price").alias("low"),
+        F.sum(F.round(F.col("volume") * 100).cast("long")).alias("vol_cents"),
+        F.count(F.lit(1)).alias("tick_count"),
+    )
+    return (
+        minute.groupBy(
+            F.date_trunc("hour", F.col("bar_ts")).alias("bar_ts"), F.col("token")
+        )
+        .agg(
+            F.min_by("open", "first_seq").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "last_seq").alias("close"),
+            (F.sum("vol_cents") / F.lit(100.0)).alias("total_volume"),
+            F.sum("tick_count").alias("tick_count"),
+        )
+    )
+
+
 def decode_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated wire frames (with duplicates and truncations) through
     the full decode path, aggregated per token. Oracle-checked against
@@ -126,11 +168,28 @@ def ingest_load_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "minute_bars": minute_bars_batch,
+    "hourly_bars_rollup": hourly_bars_rollup,
     "decode_ticks": decode_ticks,
     "ingest_load_shed": ingest_load_shed,
 }
 
 ORACLES = {
+    # the oracle aggregates hours DIRECTLY from ticks: equality proves
+    # the minute->hour partial-merge algebra lossless
+    "hourly_bars_rollup": TICKS_ORACLE_CTE
+    + """
+SELECT date_trunc('hour', ts)                 AS bar_ts,
+       token,
+       min_by(open_price, sequence_number)    AS open,
+       max(high_price)                        AS high,
+       min(low_price)                         AS low,
+       max_by(close_price, sequence_number)   AS close,
+       CAST(sum(CAST(round(volume * 100) AS BIGINT)) AS DOUBLE) / 100
+                                              AS total_volume,
+       count(*)                               AS tick_count
+FROM ticks
+GROUP BY date_trunc('hour', ts), token
+""",
     "minute_bars": TICKS_ORACLE_CTE
     + """
 SELECT date_trunc('minute', ts)               AS bar_ts,
