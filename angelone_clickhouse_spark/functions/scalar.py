@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angelone_clickhouse_spark.materialize import materialize
 from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks
 
 
@@ -123,7 +124,15 @@ def top_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: approx_top_k is an aggregate — partial sketches
     merge map-side (approx_top_k_accumulate/_combine are the explicit
-    spellings); memory is O(maxItemsTracked), not O(distinct)."""
+    spellings); memory is O(maxItemsTracked), not O(distinct).
+
+    The exactness verdicts only hold while the true cardinality is
+    <= TOPK_TRACKED (the degrade-to-exact precondition), so the query
+    carries it as the oracled ``cardinality_tracked`` column — a
+    future fixture that breaks the precondition flips that column,
+    not the sketch verdicts, making the failure self-describing; and
+    ``n_returned`` is derived (least(k, distinct)) on both sides
+    rather than hardcoded (ADVICE r4)."""
     t = ticks(spark, sf_dir)
     sk = t.agg(
         F.expr(
@@ -141,12 +150,20 @@ def top_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOPK_K)
         .agg(F.min("exact").alias("kth"))
     )
-    joined = sk.join(exact, "token").crossJoin(F.broadcast(kth))
+    card = exact.agg(F.count(F.lit(1)).alias("n_distinct"))
+    joined = (
+        sk.join(exact, "token")
+        .crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(card))
+    )
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_returned"),
         F.min(F.col("est") == F.col("exact")).alias("estimates_exact"),
         F.min(F.col("exact") >= F.col("kth")).alias("all_in_top_set"),
         F.max("n_ticks").alias("n_ticks"),
+        F.min(F.col("n_distinct") <= TOPK_TRACKED).alias(
+            "cardinality_tracked"
+        ),
     )
 
 
@@ -200,7 +217,9 @@ def price_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 THETA_EPS = 0.05  # vs default-lgk theta rsd ~1.6%
 
 
-def distinct_users_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def distinct_users_theta(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Distinct-count SET ALGEBRA via theta sketches (Spark 4
     ``theta_sketch_agg`` / ``theta_union_agg``): per-event-type
     distinct users plus their UNION — the sketch family HLL cannot do
@@ -221,7 +240,7 @@ def distinct_users_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("theta_sketch_agg(user_id)").alias("sk"),
         F.count_distinct("user_id").alias("exact_users"),
     )
-    per = per.localCheckpoint(eager=True)  # reused by rows + union
+    per = materialize(per, checkpoint_dir)  # reused by rows + union
     est = F.expr("theta_sketch_estimate(sk)")
     rows = per.select(
         "event_type",
@@ -345,10 +364,11 @@ FROM ticks
     # guarantee holding (see each docstring)
     "top_tokens_sketch": TICKS_ORACLE_CTE
     + f"""
-SELECT CAST({TOPK_K} AS BIGINT) AS n_returned,
+SELECT CAST(least({TOPK_K}, count(DISTINCT token)) AS BIGINT) AS n_returned,
        TRUE                     AS estimates_exact,
        TRUE                     AS all_in_top_set,
-       count(*)                 AS n_ticks
+       count(*)                 AS n_ticks,
+       count(DISTINCT token) <= {TOPK_TRACKED} AS cardinality_tracked
 FROM ticks
 """,
     "distinct_users_theta": """

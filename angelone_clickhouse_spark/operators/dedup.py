@@ -273,22 +273,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- near-dup clustering (connected components) -----------------------------
-def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
-    """Cut lineage between iterative rounds. Default is eager
-    ``localCheckpoint`` (executor-local blocks — fast, right for bench
-    and short jobs, NOT fault-tolerant: losing an executor loses the
-    blocks). Passing ``checkpoint_dir`` switches to RELIABLE
-    ``checkpoint`` into that directory (HDFS/S3 at cluster scale) —
-    the 100 TB / long-job spelling where executor loss must not kill
-    hours of propagation rounds."""
-    if checkpoint_dir is not None:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None or not str(
-            sc.getCheckpointDir()
-        ).startswith(checkpoint_dir):
-            sc.setCheckpointDir(checkpoint_dir)
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+# lineage cut between iterative rounds: localCheckpoint by default,
+# reliable checkpoint when a checkpoint_dir is threaded through — the
+# shared helper all materializing operators use (materialize.py)
+from angelone_clickhouse_spark.materialize import materialize as _materialize
 
 
 def connected_components(

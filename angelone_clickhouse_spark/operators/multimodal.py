@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from angelone_clickhouse_spark.materialize import materialize
 from angelone_clickhouse_spark.sources.tables import load_table
 
 MEDIA_TYPES = ("image", "audio", "video")
@@ -145,7 +146,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRAME_SAMPLES = 8  # frames sampled per media item
 
 
-def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def frame_sample(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Frame-sampling plan (the video/audio preprocessing step next to
     decode): for each media item pick FRAME_SAMPLES evenly spaced frame
     indices — idx_j = (j * n_frames) div K — deduplicated for short
@@ -165,10 +168,14 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"j -> (j * cast(n_frames as bigint)) div {FRAME_SAMPLES})"
         )
     )
-    base = feats.select(
-        "doc_id", "media_type", F.col("n_frames").cast("long").alias("n_frames"),
-        idxs.alias("idxs"),
-    ).localCheckpoint(eager=True)  # Generate re-eval (see pipeline.py)
+    base = materialize(
+        feats.select(
+            "doc_id", "media_type",
+            F.col("n_frames").cast("long").alias("n_frames"),
+            idxs.alias("idxs"),
+        ),
+        checkpoint_dir,
+    )  # Generate re-eval (see pipeline.py)
     return base.select(
         "doc_id", "media_type", "n_frames",
         F.explode("idxs").alias("frame_idx"),

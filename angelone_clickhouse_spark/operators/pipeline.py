@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angelone_clickhouse_spark.materialize import materialize
 from angelone_clickhouse_spark.sources.tables import load_table
 
 # Word n-gram width for decontamination overlap. Real pipelines use
@@ -47,7 +48,9 @@ SAMPLE_PCT = {"en": 10, "de": 25}
 SAMPLE_PCT_DEFAULT = 50
 
 
-def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
+def _word_ngrams(
+    docs: DataFrame, n: int, checkpoint_dir: str | None = None
+) -> DataFrame:
     """doc_id -> exploded distinct n-word grams, all JVM-side.
 
     Same short-doc guard as dedup._shingles: an unguarded
@@ -67,11 +70,13 @@ def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
     )
     # materialize before explode — Generate re-evaluates its child
     # expression per OUTPUT row (see dedup._shingles)
-    grams = grams.localCheckpoint(eager=True)
+    grams = materialize(grams, checkpoint_dir)
     return grams.select("doc_id", F.explode("grams").alias("gram"))
 
 
-def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate_ngrams(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any
     DECON_N-word gram with the held-out benchmark subset
     (doc_id % BENCH_MOD == 0), with the distinct-overlapping-gram
@@ -83,7 +88,7 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     PaLM-style 13-gram filters) expressed as a broadcast join.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = _word_ngrams(docs, DECON_N)
+    grams = _word_ngrams(docs, DECON_N, checkpoint_dir)
     bench_grams = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("gram")
@@ -241,7 +246,9 @@ CHUNK_TOKENS = 64  # RAG chunk length (whitespace tokens)
 CHUNK_STRIDE = 48  # start-to-start stride -> 16-token overlap
 
 
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Overlapping-window document chunking — the retrieval/RAG
     preprocessing twin of :func:`sequence_pack` (packing concatenates
     to fill a budget; chunking slices with overlap so every token is
@@ -263,7 +270,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"  slice(split(text, ' '), 1 + k * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS toks))"
         ).alias("cs"),
     )
-    chunks = chunks.localCheckpoint(eager=True)
+    chunks = materialize(chunks, checkpoint_dir)
     return chunks.select(
         "doc_id", F.explode("cs").alias("c")
     ).select(
@@ -277,7 +284,9 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 FP_HIT_DOCS = "decontaminate_fingerprint"
 
 
-def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
+def _winnow_fingerprints(
+    docs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """doc_id -> exploded distinct winnowing fingerprints (the md5-hex
     window minima of operators/text.py:text_fingerprint, re-used as a
     JOIN KEY instead of a count)."""
@@ -303,11 +312,13 @@ def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
             )
         ).alias("fps"),
     )
-    fps = fps.localCheckpoint(eager=True)  # Generate re-eval, as above
+    fps = materialize(fps, checkpoint_dir)  # Generate re-eval, as above
     return fps.select("doc_id", F.explode("fps").alias("fp"))
 
 
-def decontaminate_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate_fingerprint(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Fingerprint-based decontamination: flag training docs sharing
     winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
     scheme) with the held-out benchmark subset (doc_id % BENCH_MOD
@@ -320,7 +331,7 @@ def decontaminate_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark fingerprint set is the broadcast side, the corpus
     never shuffles before the per-doc count."""
     docs = load_table(spark, sf_dir, "documents")
-    fps = _winnow_fingerprints(docs)
+    fps = _winnow_fingerprints(docs, checkpoint_dir)
     bench = (
         fps.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("fp")

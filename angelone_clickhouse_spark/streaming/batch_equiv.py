@@ -120,6 +120,59 @@ def hourly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level bar hierarchy: minute -> hour -> DAY, each level
+    merging only the partial states of the level below (same algebra as
+    ``hourly_bars_rollup``: min_by/max_by on carried first/last
+    sequence numbers, integer-cent volume sums). The DuckDB oracle
+    aggregates days DIRECTLY from raw ticks, so a green row proves the
+    merge is lossless through TWO re-aggregation hops — completing the
+    AggregatingMergeTree-style hierarchy the reference's MergeTree
+    schema implies (db/clickhouse.go:26-27).
+
+    Scale notes: the day level re-aggregates ~24 rows per token per day
+    (the hour bars), never the raw ticks; at 100 TB only the minute
+    level scans data, and every groupBy partial-aggregates map-side."""
+    t = ticks(spark, sf_dir)
+    minute = t.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bar_ts"), F.col("token")
+    ).agg(
+        F.min("sequence_number").alias("first_seq"),
+        F.min_by("open_price", "sequence_number").alias("open"),
+        F.max("sequence_number").alias("last_seq"),
+        F.max_by("close_price", "sequence_number").alias("close"),
+        F.max("high_price").alias("high"),
+        F.min("low_price").alias("low"),
+        F.sum(F.round(F.col("volume") * 100).cast("long")).alias("vol_cents"),
+        F.count(F.lit(1)).alias("tick_count"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("bar_ts")).alias("bar_ts"), F.col("token")
+    ).agg(
+        F.min("first_seq").alias("first_seq"),
+        F.min_by("open", "first_seq").alias("open"),
+        F.max("last_seq").alias("last_seq"),
+        F.max_by("close", "last_seq").alias("close"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.sum("vol_cents").alias("vol_cents"),
+        F.sum("tick_count").alias("tick_count"),
+    )
+    return (
+        hour.groupBy(
+            F.date_trunc("day", F.col("bar_ts")).alias("bar_ts"), F.col("token")
+        )
+        .agg(
+            F.min_by("open", "first_seq").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "last_seq").alias("close"),
+            (F.sum("vol_cents") / F.lit(100.0)).alias("total_volume"),
+            F.sum("tick_count").alias("tick_count"),
+        )
+    )
+
+
 def decode_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated wire frames (with duplicates and truncations) through
     the full decode path, aggregated per token. Oracle-checked against
@@ -169,6 +222,7 @@ def ingest_load_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "minute_bars": minute_bars_batch,
     "hourly_bars_rollup": hourly_bars_rollup,
+    "daily_bars_rollup": daily_bars_rollup,
     "decode_ticks": decode_ticks,
     "ingest_load_shed": ingest_load_shed,
 }
@@ -189,6 +243,22 @@ SELECT date_trunc('hour', ts)                 AS bar_ts,
        count(*)                               AS tick_count
 FROM ticks
 GROUP BY date_trunc('hour', ts), token
+""",
+    # days aggregated DIRECTLY from ticks: equality proves the
+    # minute->hour->day double re-aggregation lossless
+    "daily_bars_rollup": TICKS_ORACLE_CTE
+    + """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_ts,
+       token,
+       min_by(open_price, sequence_number)    AS open,
+       max(high_price)                        AS high,
+       min(low_price)                         AS low,
+       max_by(close_price, sequence_number)   AS close,
+       CAST(sum(CAST(round(volume * 100) AS BIGINT)) AS DOUBLE) / 100
+                                              AS total_volume,
+       count(*)                               AS tick_count
+FROM ticks
+GROUP BY date_trunc('day', ts), token
 """,
     "minute_bars": TICKS_ORACLE_CTE
     + """

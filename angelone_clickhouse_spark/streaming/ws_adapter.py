@@ -118,14 +118,59 @@ def ws_send(
     sock.sendall(header + body)
 
 
+def ws_send_fragmented(
+    sock: socket.socket,
+    payload: bytes,
+    n_fragments: int = 2,
+    opcode: int = OP_BINARY,
+    mask: bool = False,
+) -> None:
+    """Send one message split across ``n_fragments`` frames (first
+    frame carries the opcode with FIN=0, the rest OP_CONT, last FIN=1
+    — RFC 6455 §5.4). Used by the mock server in tests to exercise
+    reassembly; servers send unmasked (mask=False default)."""
+    n_fragments = max(1, min(n_fragments, len(payload) or 1))
+    step = (len(payload) + n_fragments - 1) // n_fragments if payload else 0
+    parts = (
+        [payload[i : i + step] for i in range(0, len(payload), step)]
+        if payload
+        else [b""]
+    )
+    for i, part in enumerate(parts):
+        fin = 0x80 if i == len(parts) - 1 else 0x00
+        op = opcode if i == 0 else OP_CONT
+        header = bytes([fin | op])
+        n = len(part)
+        mask_bit = 0x80 if mask else 0x00
+        if n < 126:
+            header += bytes([mask_bit | n])
+        elif n < 2**16:
+            header += bytes([mask_bit | 126]) + n.to_bytes(2, "big")
+        else:
+            header += bytes([mask_bit | 127]) + n.to_bytes(8, "big")
+        if mask:
+            key = os.urandom(4)
+            body = key + bytes(b ^ key[j % 4] for j, b in enumerate(part))
+        else:
+            body = part
+        sock.sendall(header + body)
+
+
 def ws_recv_frames(sock: socket.socket):
-    """Yield (opcode, payload) for incoming data frames until close/EOF.
-    Handles masked and unmasked frames, answers pings, unwraps
-    extended lengths; control frames are consumed, not yielded."""
+    """Yield (opcode, payload) for incoming data MESSAGES until
+    close/EOF. Handles masked and unmasked frames, answers pings,
+    unwraps extended lengths; control frames are consumed, not
+    yielded. Fragmented messages (FIN=0 data frame + OP_CONT
+    continuations, RFC 6455 §5.4) are reassembled and yielded once,
+    under the initial opcode — control frames may interleave between
+    fragments and are handled in place."""
+    frag_opcode: int | None = None
+    frag_parts: list[bytes] = []
     while True:
         h = _recv_exact(sock, 2)
         if len(h) < 2:
             return
+        fin = bool(h[0] & 0x80)
         opcode = h[0] & 0x0F
         masked = bool(h[1] & 0x80)
         n = h[1] & 0x7F
@@ -144,7 +189,28 @@ def ws_recv_frames(sock: socket.socket):
             continue
         if opcode == OP_PONG:
             continue
-        yield opcode, payload
+        if opcode == OP_CONT:
+            if frag_opcode is None:
+                raise ConnectionError(
+                    "websocket: continuation frame with no message in flight"
+                )
+            frag_parts.append(payload)
+            if fin:
+                msg = b"".join(frag_parts)
+                op = frag_opcode
+                frag_opcode, frag_parts = None, []
+                yield op, msg
+            continue
+        # data frame (text/binary)
+        if frag_opcode is not None:
+            raise ConnectionError(
+                "websocket: new data frame interleaved inside a "
+                "fragmented message"
+            )
+        if fin:
+            yield opcode, payload
+        else:
+            frag_opcode, frag_parts = opcode, [payload]
 
 
 class WsFrameBridge:
@@ -160,9 +226,14 @@ class WsFrameBridge:
         ws_port: int,
         path: str = "/",
         subscribe_message: str | None = None,
+        linger_secs: float | None = None,
     ) -> None:
+        """``linger_secs``: how long to hold the TCP side open after the
+        WebSocket feed ends (the socket source treats EOF as source
+        failure). Default None = until ``stop()`` is called."""
         self.ws_host, self.ws_port, self.path = ws_host, ws_port, path
         self.subscribe_message = subscribe_message
+        self.linger_secs = linger_secs
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind(("127.0.0.1", 0))
@@ -191,7 +262,7 @@ class WsFrameBridge:
                         conn.sendall(base64.b64encode(payload) + b"\n")
                     # feed ended: hold the TCP side open — the socket
                     # source treats EOF as source failure
-                    self._done.wait(timeout=300)
+                    self._done.wait(timeout=self.linger_secs)
         except BaseException as e:  # noqa: BLE001 — surfaced via .error
             self.error = e
 
@@ -201,10 +272,20 @@ class WsFrameBridge:
         return self
 
     def stop(self) -> None:
+        """Release the pump and close the relay port. A pump error is
+        logged here (it otherwise only surfaces if the caller polls
+        ``.error``) — logged, not raised, so shutdown always completes;
+        callers that must fail hard check ``.error`` after stop()."""
         self._done.set()
         self._srv.close()
         if self._thread is not None:
             self._thread.join(timeout=10)
+        if self.error is not None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "WsFrameBridge pump error: %r", self.error
+            )
 
 
 def read_frame_ws(

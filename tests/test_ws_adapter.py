@@ -15,13 +15,44 @@ from angelone_clickhouse_spark.sources.frames import frames_df, generate_frames
 from angelone_clickhouse_spark.streaming.ingest import decode_tick_stream
 from angelone_clickhouse_spark.streaming.ws_adapter import (
     OP_BINARY,
+    OP_PING,
     read_frame_ws,
     ws_accept_key,
     ws_recv_frames,
     ws_send,
+    ws_send_fragmented,
 )
 
 N_FRAMES = 300
+
+
+def test_ws_recv_reassembles_fragmented_messages():
+    """ADVICE r4: a server may legally split one message across FIN=0 +
+    OP_CONT frames (RFC 6455 §5.4) with control frames interleaved;
+    the receiver must yield ONE reassembled message, not per-fragment
+    lines."""
+    a, b = socket.socketpair()
+    try:
+        msg1 = bytes(range(200))
+        ws_send_fragmented(a, msg1, n_fragments=3)  # 3-fragment binary
+        # a ping interleaved INSIDE a fragmented message
+        big = b"x" * 70000  # forces the 64-bit extended length too
+        a.sendall(bytes([0x00 | OP_BINARY, len(big[:100])]) + big[:100])
+        a.sendall(bytes([0x80 | OP_PING, 0]))  # FIN=1 ping, empty
+        rest = big[100:]
+        a.sendall(
+            bytes([0x80 | 0x0, 127]) + len(rest).to_bytes(8, "big") + rest
+        )
+        ws_send(a, b"tail", opcode=OP_BINARY, mask=True)  # unfragmented
+        a.shutdown(socket.SHUT_WR)
+        got = list(ws_recv_frames(b))
+        assert got == [(OP_BINARY, msg1), (OP_BINARY, big), (OP_BINARY, b"tail")]
+        # the interleaved ping was answered with a pong on the reverse path
+        h = a.recv(2)
+        assert h[0] & 0x0F == 0xA
+    finally:
+        a.close()
+        b.close()
 
 
 class MockWsServer:
@@ -62,8 +93,11 @@ class MockWsServer:
             for _opcode, payload in ws_recv_frames(conn):
                 self.received_subscribe = payload.decode()
                 break
-            for f in self.frames:  # server frames are unmasked
-                ws_send(conn, f, opcode=OP_BINARY, mask=False)
+            for i, f in enumerate(self.frames):  # server frames are unmasked
+                if i % 7 == 3:  # legal per RFC 6455: fragment some messages
+                    ws_send_fragmented(conn, f, n_fragments=2)
+                else:
+                    ws_send(conn, f, opcode=OP_BINARY, mask=False)
             self._done.wait(timeout=120)
 
     def stop(self) -> None:
