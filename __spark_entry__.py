@@ -34,16 +34,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-5 window layout (VERDICT r4 items 1, 2):
 # (a) the 9 queries added late in round 4 that have never earned a driver
-#     CORRECTNESS row, plus daily_bars_rollup (new this round),
+#     CORRECTNESS row, plus the three NEW round-5 queries
+#     (daily_bars_rollup, distinct_users_hll, doc_unigram_logprob) —
+#     in the window NOW so new surface earns driver rows the round it
+#     ships (the r4 gap this verdict flagged),
 # (b) dedup_clusters_minhash — r4-green but its materialization helper
 #     moved/changed this round (materialize.py), so it re-earns its row,
-# (c) 39 of the 47 queries whose latest green row is CORRECTNESS_r03
+# (c) 37 of the 47 queries whose latest green row is CORRECTNESS_r03
 #     (includes every one whose code the checkpoint_dir threading
-#     touched: decontaminate_ngrams/_hashed). The 8 deferred to round 6
+#     touched: decontaminate_ngrams/_hashed). The 10 deferred to round 6
 #     (scalar_functions, map_functions, distinct_tokens,
 #     price_percentiles, value_dispersion, json_extract_events,
-#     corpus_top_tokens, multimodal_meta) are untouched simple-SQL
-#     entries, still guarded every pytest run by tests/test_full_parity.
+#     corpus_top_tokens, multimodal_meta, sql_grouping_sets,
+#     salted_user_stats) are untouched stable entries, still guarded
+#     every pytest run by tests/test_full_parity.
 _PRIORITY = [
     # (a) never-driver-verified (added late r4) + new this round
     "dedup_survivors",
@@ -56,6 +60,8 @@ _PRIORITY = [
     "distinct_users_theta",
     "hourly_bars_rollup",
     "daily_bars_rollup",
+    "distinct_users_hll",
+    "doc_unigram_logprob",
     # (b) re-earn after materialize refactor
     "dedup_clusters_minhash",
     # (c) r3-green rotation: declared query surface
@@ -66,8 +72,6 @@ _PRIORITY = [
     "orders_monthly_growth",
     "idle_rich_customers",
     "min_cost_suppliers",
-    "sql_grouping_sets",
-    "salted_user_stats",
     "weekly_retention",
     "event_type_funnel",
     "event_sliding_windows",

@@ -270,6 +270,62 @@ def distinct_users_theta(
     return rows.unionByName(union_row)
 
 
+HLL_EPS = 0.05  # vs default-lgk (12) HLL rsd ~1.6%
+
+
+def distinct_users_hll(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Distinct-count UNION algebra via HLL sketches (Spark 4
+    ``hll_sketch_agg`` / ``hll_union_agg``) — the union-only sibling
+    of :func:`distinct_users_theta`: HLL sketches are ~6x smaller than
+    theta at the same accuracy and merge associatively, but support no
+    intersection/difference — the right family when a 1000-executor
+    dashboard only ever rolls distinct counts UP (region -> country ->
+    global). Same oracled contract as the other sketch entries: exact
+    counts hashed, engine-specific estimates reduced to error-bound
+    verdicts.
+
+    Scale notes: per-group sketches build with map-side partial
+    aggregation; the union aggregates the (tiny, fixed-size) sketch
+    column, never re-scanning events — each rollup level re-reads only
+    the level below, exactly the bar-hierarchy pattern
+    (streaming/batch_equiv.py) applied to cardinalities."""
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per = materialize(per, checkpoint_dir)  # reused by rows + union
+    est = F.expr("hll_sketch_estimate(sk)")
+    rows = per.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(est - F.col("exact_users"))
+            <= F.lit(HLL_EPS) * F.col("exact_users")
+        ).alias("est_within_eps"),
+    )
+    total = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    union_row = (
+        per.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("uest")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("<union>").alias("event_type"),
+            "exact_users",
+            (
+                F.abs(F.col("uest") - F.col("exact_users"))
+                <= F.lit(HLL_EPS) * F.col("exact_users")
+            ).alias("est_within_eps"),
+        )
+    )
+    return rows.unionByName(union_row)
+
+
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-type function coverage: per-user event-type histograms
     built as a real Spark ``map<string,bigint>`` (map_from_entries),
@@ -318,6 +374,7 @@ QUERIES = {
     "top_tokens_sketch": top_tokens_sketch,
     "price_quantiles_kll": price_quantiles_kll,
     "distinct_users_theta": distinct_users_theta,
+    "distinct_users_hll": distinct_users_hll,
 }
 
 ORACLES = {
@@ -372,6 +429,15 @@ SELECT CAST(least({TOPK_K}, count(DISTINCT token)) AS BIGINT) AS n_returned,
 FROM ticks
 """,
     "distinct_users_theta": """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE                    AS est_within_eps
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT '<union>', count(DISTINCT user_id), TRUE FROM events
+""",
+    "distinct_users_hll": """
 SELECT event_type,
        count(DISTINCT user_id) AS exact_users,
        TRUE                    AS est_within_eps

@@ -266,10 +266,46 @@ def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the CCNet-style proxy
+    (Wenzek et al., LREC'20 use LM perplexity; the unigram variant
+    needs no external model): score each document by the average
+    log10-probability of its tokens under the corpus's own unigram
+    distribution. Rare-garbage documents (typos, boilerplate IDs,
+    non-language noise) score low; fluent repetitive text scores high.
+    Rounded to 6 decimals — each token's log10 is bit-identical
+    cross-engine, and the ~1-ulp summation-order slack is 7 orders of
+    magnitude below the rounding grid.
+
+    Scale notes: the frequency table is |vocab|-sized (groupBy token
+    with map-side combine), the scalar total broadcasts, and the
+    token->freq join shuffles on token — the same word-count shape as
+    corpus_top_tokens. No driver-side state; at 100 TB the vocab
+    table is millions of rows, still executor-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log10(F.col("c") / F.col("n_total"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 QUERIES = {
     "doc_repetition": doc_repetition,
     "dataset_split": dataset_split,
     "corpus_top_tokens": corpus_top_tokens,
+    "doc_unigram_logprob": doc_unigram_logprob,
     "pii_redact": pii_redact,
     "cap_per_source": cap_per_source,
 }
@@ -296,6 +332,18 @@ def _dup_sql(n: int) -> str:
 
 
 ORACLES = {
+    "doc_unigram_logprob": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT count(*) AS n_total FROM toks)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(log10(CAST(c AS DOUBLE) / n_total)), 6) AS avg_logprob
+FROM toks JOIN freq USING (token) CROSS JOIN tot
+GROUP BY doc_id
+""",
     "cap_per_source": f"""
 WITH scored AS (
   SELECT doc_id, source,

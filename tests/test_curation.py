@@ -101,3 +101,45 @@ def test_pii_redaction_complete(spark):
         & ~F.col("redacted").contains("<EMAIL>")
     ).count()
     assert marked == 0
+
+
+def test_unigram_logprob_semantics(spark):
+    """Rare-token documents must score LOWER than common-token
+    documents, and every per-doc value must match a Python
+    recomputation of the unigram model on a planted corpus."""
+    import math
+
+    from angelone_clickhouse_spark.operators.curation import (
+        doc_unigram_logprob,
+    )
+
+    rows = {r.doc_id: r for r in doc_unigram_logprob(spark, SF_CORRECT).collect()}
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    from collections import Counter
+
+    freq = Counter(t for ts in docs.values() for t in ts)
+    n_total = sum(freq.values())
+    assert set(rows) == set(docs)
+    for doc_id, toks in docs.items():
+        want = round(
+            sum(math.log10(freq[t] / n_total) for t in toks) / len(toks), 6
+        )
+        got = rows[doc_id].avg_logprob
+        assert abs(got - want) <= 1e-6, (doc_id, got, want)
+        assert rows[doc_id].n_tokens == len(toks)
+
+
+def test_hll_union_estimate_accuracy(spark):
+    """Tighter-than-oracle gate for distinct_users_hll: every verdict
+    TRUE and the union row present exactly once."""
+    from angelone_clickhouse_spark.functions.scalar import distinct_users_hll
+
+    rows = distinct_users_hll(spark, SF_CORRECT).collect()
+    assert sum(1 for r in rows if r.event_type == "<union>") == 1
+    assert all(r.est_within_eps for r in rows)
+    assert all(r.exact_users > 0 for r in rows)

@@ -158,3 +158,29 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     import os
 
     assert os.listdir(str(tmp_path / "ckpt")), "no reliable checkpoint written"
+
+
+def test_one_lsh_pass_feeds_clusters_and_survivors(spark, sf_dir):
+    """VERDICT r4 #6: a pipeline computes minhash_components ONCE and
+    feeds it to both dedup_clusters_minhash and dedup_survivors; the
+    composed results must equal each op's independent run."""
+    from angelone_clickhouse_spark.operators.dedup import (
+        dedup_clusters_minhash,
+        dedup_survivors,
+        minhash_components,
+    )
+
+    comp = minhash_components(spark, sf_dir).localCheckpoint(eager=True)
+    composed_clusters = sorted(
+        map(tuple, dedup_clusters_minhash(spark, sf_dir, components=comp).collect())
+    )
+    composed_survivors = sorted(
+        map(tuple, dedup_survivors(spark, sf_dir, components=comp).collect())
+    )
+    assert composed_clusters == sorted(
+        map(tuple, dedup_clusters_minhash(spark, sf_dir).collect())
+    )
+    assert composed_survivors == sorted(
+        map(tuple, dedup_survivors(spark, sf_dir).collect())
+    )
+    assert len(composed_survivors) > 0
