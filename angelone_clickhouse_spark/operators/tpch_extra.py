@@ -410,8 +410,142 @@ def min_cost_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_YEAR = 1997
+Q6_QTY = 24
+Q12_LATE_DAYS = 45  # ship-latency band edge (days after order date)
+Q17_BRAND = "Brand#13"
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from discounted small-quantity
+    lineitems in one year — the pure filter-and-aggregate query whose
+    entire cost is the scan. Every predicate (year range, discount
+    band, quantity cap) pushes to the parquet scan; no join, no
+    per-group shuffle, one exact integer sum. The discount band
+    compares integer basis points (round(d*100)) — a double-equality
+    band would be engine-dependent at the edges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{Q6_YEAR + 1}-01-01").cast("timestamp"))
+            # the exact integer-basis-point band is not scan-pushable
+            # (expression filter); the redundant coarse double range IS,
+            # so the parquet scan still prunes before the exact band
+            & (F.col("l_discount") >= 0.035)
+            & (F.col("l_discount") <= 0.065)
+            & F.round(F.col("l_discount") * 100).cast("int").isin(4, 5, 6)
+            & (F.col("l_quantity") < Q6_QTY)
+        )
+        .agg(
+            sum_fixed_round2(
+                F.col("l_extendedprice") * F.col("l_discount"), 4, "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def ship_latency_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship-latency class (the fixture has no
+    l_shipmode, so lineitems are classed by order->ship latency:
+    <= Q12_LATE_DAYS days = 'ON_TIME' else 'LATE'), count lineitems
+    from high-priority ('1-URGENT'/'2-HIGH') vs lower-priority orders
+    — the classic CASE-pivot aggregate over one fact⋈fact join.
+
+    Scale notes: the single shuffle is lineitem⋈orders on orderkey
+    (bucketing removes it); the CASE counts partial-aggregate
+    map-side to 2 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(lat <= Q12_LATE_DAYS, "ON_TIME").otherwise("LATE").alias(
+                "latency_class"
+            ),
+            high.alias("is_high"),
+        )
+        .groupBy("latency_class")
+        .agg(
+            F.sum(F.col("is_high").cast("long")).alias("high_line_count"),
+            F.sum((~F.col("is_high")).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers (the left outer join is the point
+    of the query), excluding one order class ('5-LOW' stands in for
+    the comment NOT LIKE filter the fixture lacks).
+
+    Scale notes: aggregate orders per custkey FIRST (fact collapses
+    to <= |customers| rows), then a broadcast-right LEFT join from the
+    customer dim, then the tiny histogram groupBy. The raw fact never
+    joins the dim."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("c_count")
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) for one brand
+    were not taken. The correlated per-part AVG subquery is
+    decorrelated into a grouped aggregate joined back — with the
+    threshold compare in EXACT integer units: avg(qty)/5 =
+    sum(qty)/(5*n), so qty < sum/(5n) <=> qty*5*n < sum with integral
+    quantities — no engine-dependent double division on the decision
+    boundary.
+
+    Scale notes: the per-part aggregate is |parts|-sized and
+    broadcasts back; the brand filter prunes the part dim before both
+    the fact probe and the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND
+    )
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li_b.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    return (
+        li_b.join(F.broadcast(per_part), "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("long") * 5 * F.col("n_li")
+            < F.col("sum_qty")
+        )
+        .agg(
+            sum_fixed_round2(F.col("l_extendedprice") / 7.0, 4, "avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_qty_lines"),
+        )
+    )
+
+
 QUERIES = {
     "volume_shipping": volume_shipping,
+    "forecast_revenue": forecast_revenue,
+    "ship_latency_classes": ship_latency_classes,
+    "customer_order_distribution": customer_order_distribution,
+    "small_qty_revenue": small_qty_revenue,
     "nation_profit": nation_profit,
     "returned_item_revenue": returned_item_revenue,
     "promo_revenue_share": promo_revenue_share,
@@ -426,6 +560,60 @@ QUERIES = {
 _REV = "l_extendedprice * (1 - l_discount)"
 
 ORACLES = {
+    "forecast_revenue": f"""
+SELECT {sum_fixed_round2_sql("l_extendedprice * l_discount", 4, "revenue")},
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01'
+  AND l_shipdate <  TIMESTAMP '{Q6_YEAR + 1}-01-01'
+  AND CAST(round(l_discount * 100) AS INTEGER) IN (4, 5, 6)
+  AND l_quantity < {Q6_QTY}
+""",
+    "ship_latency_classes": f"""
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) <= {Q12_LATE_DAYS}
+            THEN 'ON_TIME' ELSE 'LATE' END AS latency_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+    "customer_order_distribution": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, coalesce(n, 0) AS c_count
+  FROM customer
+  LEFT JOIN (
+    SELECT o_custkey, count(*) AS n
+    FROM orders
+    WHERE o_orderpriority <> '5-LOW'
+    GROUP BY o_custkey
+  ) oc ON c_custkey = oc.o_custkey
+)
+GROUP BY c_count
+""",
+    "small_qty_revenue": f"""
+WITH li_b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         count(*) AS n_li
+  FROM li_b GROUP BY l_partkey
+)
+SELECT {sum_fixed_round2_sql("l_extendedprice / 7.0", 4, "avg_yearly")},
+       count(*) AS n_small_qty_lines
+FROM li_b
+JOIN per_part USING (l_partkey)
+WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty
+""",
     "volume_shipping": f"""
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
