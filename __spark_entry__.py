@@ -40,15 +40,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ships (the r4 gap this verdict flagged),
 # (b) dedup_clusters_minhash — r4-green but its materialization helper
 #     moved/changed this round (materialize.py), so it re-earns its row,
-# (c) 33 of the 47 queries whose latest green row is CORRECTNESS_r03
+# (c) 28 of the 47 queries whose latest green row is CORRECTNESS_r03
 #     (includes every one whose code the checkpoint_dir threading
-#     touched: decontaminate_ngrams/_hashed). The 14 deferred to round 6
+#     touched: decontaminate_ngrams/_hashed). The 19 deferred to round 6
 #     (scalar_functions, map_functions, distinct_tokens,
 #     price_percentiles, value_dispersion, json_extract_events,
 #     corpus_top_tokens, multimodal_meta, sql_grouping_sets,
 #     salted_user_stats, vwap_daily, twap_hourly, price_histogram,
-#     price_outliers) are untouched stable entries, still guarded
-#     every pytest run by tests/test_full_parity.
+#     price_outliers, sequence_pack, doc_repetition, dataset_split,
+#     pii_redact, cap_per_source) are untouched stable entries, still
+#     guarded every pytest run by tests/test_full_parity.
 _PRIORITY = [
     # (a) never-driver-verified (added late r4) + new this round
     "dedup_survivors",
@@ -63,12 +64,19 @@ _PRIORITY = [
     "daily_bars_rollup",
     "distinct_users_hll",
     "doc_unigram_logprob",
-    # (a2) new TPC-H shape analogues (added this round, e60cab7) — in the
-    #      window so they earn driver rows the round they ship
+    # (a2) new TPC-H shape analogues (added this round) — in the
+    #      window so they earn driver rows the round they ship.
+    #      With these nine, all 22 classic TPC-H shapes have a
+    #      fixture-expressible analogue in the registry.
     "forecast_revenue",
     "ship_latency_classes",
     "customer_order_distribution",
     "small_qty_revenue",
+    "local_supplier_volume",
+    "market_share",
+    "important_brands",
+    "top_supplier_revenue",
+    "dominant_part_suppliers",
     # (b) re-earn after materialize refactor
     "dedup_clusters_minhash",
     # (c) r3-green rotation: declared query surface
@@ -95,11 +103,6 @@ _PRIORITY = [
     "decontaminate_hashed",
     "sample_stratified",
     "quality_quantile_gate",
-    "sequence_pack",
-    "doc_repetition",
-    "dataset_split",
-    "pii_redact",
-    "cap_per_source",
     # (c) r3-green rotation: timeseries / finance
     "resample_ffill",
     "asof_price_lookup",

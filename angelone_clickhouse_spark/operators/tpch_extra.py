@@ -540,6 +540,217 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q5_REGION, Q5_YEAR = "ASIA", 1997
+Q8_REGION, Q8_TYPE, Q8_NATION = "EUROPE", "STANDARD", "NATION_7"
+Q11_NUM, Q11_DEN = 42, 1000  # brand counts as "important" above 4.2% share
+Q15_Q_START, Q15_Q_END = "1997-01-01", "1997-04-01"
+Q20_TYPE, Q20_REGION, Q20_YEAR = "PROMO", "AFRICA", 1997
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from orders where the
+    customer and the supplier share that nation, within one region and
+    one order year.
+
+    Scale notes: customer/supplier/nation/region are all broadcast
+    dims; the region + year predicates land on the broadcast/scan
+    sides, so only matching fact rows reach the single
+    lineitem⋈orders shuffle. The same-nation predicate is an equality
+    between two already-joined dim columns — no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{Q5_YEAR}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{Q5_YEAR + 1}-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            sum_fixed_round2(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                4,
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    market for one part type, per order year. Share follows the Q14
+    exact pattern — both sums in integer 1e-4 grid units, ONE IEEE
+    double division of two exact longs, bit-identical cross-engine.
+
+    Scale notes: part (type-filtered), customer, both nation copies
+    and region broadcast; the customer-region filter prunes fact rows
+    before the aggregate; the single shuffle is lineitem⋈orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+    ).cast("long")
+    nation_units = F.when(
+        F.col("supp_nation") == Q8_NATION, units
+    ).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                (F.sum(nation_units) * F.lit(100)).cast("double")
+                / F.sum(units)
+            ).alias("mkt_share_pct"),
+            (F.sum(nation_units) / F.lit(10_000.0)).alias("nation_revenue"),
+            (F.sum(units) / F.lit(10_000.0)).alias("total_revenue"),
+        )
+    )
+
+
+def important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp, so inventory value is
+    p_retailprice × p_size per part): brands whose total value exceeds
+    Q11_NUM/Q11_DEN of the grand total — the groupBy-then-HAVING-vs-
+    global-scalar pattern.
+
+    The global total is a 1-row aggregate broadcast back (the scalar
+    subquery decorrelation); the threshold compare is an exact integer
+    cross-multiply (value_units·DEN > total_units·NUM) — no float
+    fraction on the decision boundary. Per-brand values are cent-grid
+    × integer size, so sums are exact longs."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        (
+            F.round(F.col("p_retailprice") * 100).cast("long")
+            * F.col("p_size").cast("long")
+        ).alias("value_units"),
+    )
+    per_brand = p.groupBy("p_brand").agg(
+        F.sum("value_units").alias("brand_units")
+    )
+    total = per_brand.agg(F.sum("brand_units").alias("total_units"))
+    return (
+        per_brand.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("brand_units") * F.lit(Q11_DEN)
+            > F.col("total_units") * F.lit(Q11_NUM)
+        )
+        .select(
+            "p_brand",
+            (F.col("brand_units") / F.lit(100.0)).alias("brand_value"),
+        )
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter (ties kept, as the spec requires). The CREATE VIEW +
+    max-scalar-subquery formulation decorrelates to: per-supplier
+    aggregate (one fact shuffle, pre-pruned by the quarter filter) →
+    1-row max broadcast back → exact integer equality (revenue is
+    summed in 1e-4 grid units, so the tie compare is exact — a double
+    max would make ties engine-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_Q_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_Q_END).cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
+            ).cast("long")
+        ).alias("rev_units")
+    )
+    top = rev.agg(F.max("rev_units").alias("max_units"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_units") == F.col("max_units"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            (F.col("rev_units") / F.lit(10_000.0)).alias("total_revenue"),
+        )
+    )
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp/availqty, so "excess stock"
+    becomes shipped-quantity dominance): suppliers from one region who
+    shipped more than half of some Q20_TYPE part's total quantity in
+    one year — the nested semi-join chain (supplier ⋉ qualifying
+    (part, supplier) pairs ⋉ per-part totals).
+
+    Scale notes: the fact collapses to (partkey, suppkey) rows FIRST
+    (one shuffle); per-part totals re-aggregate those collapsed rows
+    (tiny, ≤|parts|) and broadcast back; dominance is an exact integer
+    compare on integral quantities (2·q > total). The supplier side is
+    a broadcast dim filtered through nation→region, and the final
+    dedup is over qualifying suppkeys only — never the raw fact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{Q20_YEAR}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q20_YEAR + 1}-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q20_TYPE)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q20_REGION)
+    ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    totals = ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    dominant = (
+        ps.join(F.broadcast(totals), "l_partkey")
+        .filter(F.col("supp_qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        # dominant is bounded by |suppliers| (distinct suppkeys), a dim-
+        # sized set even at 100 TB — broadcast the probe side
+        s.join(
+            F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi"
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
 QUERIES = {
     "volume_shipping": volume_shipping,
     "forecast_revenue": forecast_revenue,
@@ -555,6 +766,11 @@ QUERIES = {
     "supplier_late_blame": supplier_late_blame,
     "idle_rich_customers": idle_rich_customers,
     "min_cost_suppliers": min_cost_suppliers,
+    "local_supplier_volume": local_supplier_volume,
+    "market_share": market_share,
+    "important_brands": important_brands,
+    "top_supplier_revenue": top_supplier_revenue,
+    "dominant_part_suppliers": dominant_part_suppliers,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -790,5 +1006,96 @@ JOIN nation   ON s_nationkey = n_nationkey
 WHERE p_size = {Q2_SIZE}
 ORDER BY min_cost ASC, p_partkey ASC
 LIMIT 100
+""",
+    "local_supplier_volume": f"""
+SELECT n_name AS nation,
+       {sum_fixed_round2_sql(_REV, 4, "revenue")},
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_YEAR}-01-01'
+  AND o_orderdate <  TIMESTAMP '{Q5_YEAR + 1}-01-01'
+GROUP BY 1
+""",
+    "market_share": f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(100 * sum(CASE WHEN supp_nation = '{Q8_NATION}'
+                           THEN units ELSE 0 END) AS DOUBLE)
+             / CAST(sum(units) AS BIGINT)                  AS mkt_share_pct,
+       CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}'
+                     THEN units ELSE 0 END) AS BIGINT)
+             / 10000.0                                     AS nation_revenue,
+       CAST(sum(units) AS BIGINT) / 10000.0                AS total_revenue
+FROM (
+  SELECT o_orderdate, n2.n_name AS supp_nation,
+         CAST(round(({_REV}) * 10000) AS BIGINT) AS units
+  FROM lineitem
+  JOIN part      ON l_partkey = p_partkey
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+)
+GROUP BY 1
+""",
+    "important_brands": f"""
+WITH per_brand AS (
+  SELECT p_brand,
+         sum(CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(p_size AS BIGINT)) AS brand_units
+  FROM part GROUP BY 1
+),
+total AS (SELECT sum(brand_units) AS total_units FROM per_brand)
+SELECT p_brand,
+       CAST(brand_units AS DOUBLE) / 100 AS brand_value
+FROM per_brand, total
+WHERE brand_units * {Q11_DEN} > total_units * {Q11_NUM}
+""",
+    "top_supplier_revenue": f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(({_REV}) * 10000) AS BIGINT)) AS rev_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_Q_START}'
+    AND l_shipdate <  TIMESTAMP '{Q15_Q_END}'
+  GROUP BY 1
+)
+SELECT l_suppkey AS s_suppkey, s_name,
+       CAST(rev_units AS DOUBLE) / 10000 AS total_revenue
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_units = (SELECT max(rev_units) FROM rev)
+""",
+    "dominant_part_suppliers": f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS BIGINT)) AS supp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{Q20_TYPE}'
+    AND l_shipdate >= TIMESTAMP '{Q20_YEAR}-01-01'
+    AND l_shipdate <  TIMESTAMP '{Q20_YEAR + 1}-01-01'
+  GROUP BY 1, 2
+),
+totals AS (SELECT l_partkey, sum(supp_qty) AS total_qty FROM ps GROUP BY 1),
+dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM ps JOIN totals USING (l_partkey)
+  WHERE supp_qty * 2 > total_qty
+)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q20_REGION}'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
 """,
 }

@@ -70,6 +70,47 @@ def test_min_cost_suppliers_dim_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_q5_q8_only_fact_join_shuffles(spark, sf_dir):
+    """Q5/Q8 analogues promise all dims broadcast: the only join
+    allowed to shuffle is lineitem⋈orders (fact⋈fact)."""
+    from angelone_clickhouse_spark.operators.tpch_extra import (
+        local_supplier_volume,
+        market_share,
+    )
+
+    for fn in (local_supplier_volume, market_share):
+        plan = _plan(fn(spark, sf_dir))
+        assert plan.count("SortMergeJoin") <= 1, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scalar_subquery_analogues_broadcast_the_scalar(spark, sf_dir):
+    """Q11/Q15 shapes: the global-aggregate side (1 row) must come
+    back as a broadcast, never a shuffled join."""
+    from angelone_clickhouse_spark.operators.tpch_extra import (
+        important_brands,
+        top_supplier_revenue,
+    )
+
+    for fn in (important_brands, top_supplier_revenue):
+        plan = _plan(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, plan
+        assert (
+            "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        ), plan
+
+
+def test_dominant_suppliers_semi_join_no_fact_smj(spark, sf_dir):
+    """Q20 shape: per-part totals broadcast back onto the collapsed
+    (part, supplier) rows; the supplier semi-join never sort-merges."""
+    from angelone_clickhouse_spark.operators.tpch_extra import (
+        dominant_part_suppliers,
+    )
+
+    plan = _plan(dominant_part_suppliers(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_fuzzy_pairs_join_key_is_content_derived(spark, sf_dir):
     """VERDICT r3 #3: the fuzzy-match candidate join must key on the
     PassJoin segment CONTENT (sub), not only on the (lang, lb) block —
