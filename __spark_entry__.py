@@ -40,16 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ships (the r4 gap this verdict flagged),
 # (b) dedup_clusters_minhash — r4-green but its materialization helper
 #     moved/changed this round (materialize.py), so it re-earns its row,
-# (c) 28 of the 47 queries whose latest green row is CORRECTNESS_r03
+# (c) 25 of the 47 queries whose latest green row is CORRECTNESS_r03
 #     (includes every one whose code the checkpoint_dir threading
-#     touched: decontaminate_ngrams/_hashed). The 19 deferred to round 6
+#     touched: decontaminate_ngrams/_hashed). The 22 deferred to round 6
 #     (scalar_functions, map_functions, distinct_tokens,
 #     price_percentiles, value_dispersion, json_extract_events,
 #     corpus_top_tokens, multimodal_meta, sql_grouping_sets,
 #     salted_user_stats, vwap_daily, twap_hourly, price_histogram,
 #     price_outliers, sequence_pack, doc_repetition, dataset_split,
-#     pii_redact, cap_per_source) are untouched stable entries, still
-#     guarded every pytest run by tests/test_full_parity.
+#     pii_redact, cap_per_source, quality_quantile_gate,
+#     weekly_retention) are untouched stable entries, still guarded
+#     every pytest run by tests/test_full_parity.
 _PRIORITY = [
     # (a) never-driver-verified (added late r4) + new this round
     "dedup_survivors",
@@ -77,6 +78,11 @@ _PRIORITY = [
     "important_brands",
     "top_supplier_revenue",
     "dominant_part_suppliers",
+    # (a3) new LLM-pipeline ops (added this round): SemDeDup,
+    #      CCNet-style corpus span dedup, cross-source contamination
+    "semdedup",
+    "span_dedup_corpus",
+    "source_overlap_matrix",
     # (b) re-earn after materialize refactor
     "dedup_clusters_minhash",
     # (c) r3-green rotation: declared query surface
@@ -87,7 +93,6 @@ _PRIORITY = [
     "orders_monthly_growth",
     "idle_rich_customers",
     "min_cost_suppliers",
-    "weekly_retention",
     "event_type_funnel",
     "event_sliding_windows",
     # (c) r3-green rotation: similarity / text / multimodal
@@ -102,7 +107,6 @@ _PRIORITY = [
     "decontaminate_ngrams",
     "decontaminate_hashed",
     "sample_stratified",
-    "quality_quantile_gate",
     # (c) r3-green rotation: timeseries / finance
     "resample_ffill",
     "asof_price_lookup",
@@ -112,7 +116,8 @@ _PRIORITY = [
     "minute_bars",
     "ingest_load_shed",
     "tick_interval_join",
-    "gap_sessions",
+    # gap_sessions already carries a green r4 row (unchanged since) —
+    # deferred to the round-6 rotation with the other stable entries
 ]
 
 

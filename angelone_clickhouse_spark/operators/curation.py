@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from angelone_clickhouse_spark.materialize import materialize
 from angelone_clickhouse_spark.sources.tables import load_table
 
 # Gopher-style gates (Rae et al. 2021 use 0.2 duplicate-2gram /
@@ -301,6 +302,126 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# span_dedup_corpus: CCNet-style corpus-level duplicate-span removal
+# (Wenzek et al., LREC'20 dedup paragraphs by hash; the single-line
+# fixture docs make the unit a non-overlapping SPAN_W-word span).
+SPAN_W = 3
+SPAN_DUP_MIN_DOCS = 2  # span is "common" when >= this many docs share it
+
+
+def span_dedup_corpus(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Corpus-level duplicate-span accounting — the CCNet/C4
+    paragraph-dedup analogue: chop each document into non-overlapping
+    SPAN_W-word spans, count how many DISTINCT documents contain each
+    exact span corpus-wide, and report per document how many of its
+    spans are corpus-common (shared by >= SPAN_DUP_MIN_DOCS docs) —
+    the spans a line-dedup pass would strip before training.
+
+    Scale notes (100 TB): span construction is shuffle-free
+    (transform+slice over the doc's own word array, map-side). The
+    span-frequency table aggregates map-side before its one shuffle on
+    span content, and the span->count join shuffles on the same key —
+    boilerplate spans are the classic skew key, which is exactly what
+    AQE skew-join splitting handles (the count side is one row per
+    distinct span, never large per key). The final per-doc rollup
+    shuffles on doc_id. No window over the corpus, no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(w) / {SPAN_W}.0) as int) - 1), "
+            f"          i -> concat_ws(' ', slice(w, i * {SPAN_W} + 1, {SPAN_W})))"
+        ).alias("spans"),
+    )
+    # materialize before explode — Generate re-evaluates its child
+    # expression per OUTPUT row (see pipeline._word_ngrams)
+    spans = materialize(spans, checkpoint_dir)
+    sp = spans.select("doc_id", F.explode("spans").alias("span"))
+    counts = sp.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        sp.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                (F.col("n_docs") >= SPAN_DUP_MIN_DOCS).cast("long")
+            ).alias("n_dup_spans"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Cross-source contamination audit: pairwise SPAN_W-gram Jaccard
+    overlap between every pair of sources — the matrix a pipeline
+    inspects to find sources that republish each other's content (and
+    would double-count under per-source sampling caps).
+
+    Scale notes (100 TB): per-source distinct gram sets are built with
+    one map-side-combined aggregate keyed on (source, gram); the
+    pairwise intersection self-joins on gram CONTENT, where each gram
+    contributes at most |sources|² pair-rows — bounded by the source
+    count (tens), never by corpus size. Per-source totals are a
+    |sources|-row broadcast. Jaccard is ONE IEEE division of exact
+    longs, rounded to 6 — bit-identical cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = ", ".join(f"w[i+{k}]" for k in range(SPAN_W))
+    grams = docs.select("source", F.split("text", " ").alias("w")).select(
+        "source",
+        F.expr(
+            f"CASE WHEN size(w) >= {SPAN_W} THEN array_distinct("
+            f"  transform(sequence(0, size(w) - {SPAN_W}), "
+            f"            i -> concat_ws(' ', {idx})))"
+            f" ELSE CAST(array() AS ARRAY<STRING>) END"
+        ).alias("grams"),
+    )
+    grams = materialize(grams, checkpoint_dir)
+    sg = (
+        grams.select("source", F.explode("grams").alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.lit(1))
+        .select("source", "gram")
+    )
+    totals = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "gram")
+    b = sg.select(F.col("source").alias("source_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ta = F.broadcast(
+        totals.select(
+            F.col("source").alias("source_a"), F.col("n_grams").alias("na")
+        )
+    )
+    tb = F.broadcast(
+        totals.select(
+            F.col("source").alias("source_b"), F.col("n_grams").alias("nb")
+        )
+    )
+    return (
+        inter.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 QUERIES = {
     "doc_repetition": doc_repetition,
     "dataset_split": dataset_split,
@@ -308,6 +429,8 @@ QUERIES = {
     "doc_unigram_logprob": doc_unigram_logprob,
     "pii_redact": pii_redact,
     "cap_per_source": cap_per_source,
+    "span_dedup_corpus": span_dedup_corpus,
+    "source_overlap_matrix": source_overlap_matrix,
 }
 
 
@@ -431,5 +554,40 @@ SELECT doc_id,
             '{PHONE_RE}', '<PHONE>', 'g'),
             '{IP_RE}', '<IP>', 'g') AS redacted
 FROM planted
+""",
+    "span_dedup_corpus": f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id,
+         array_to_string(w[(i * {SPAN_W} + 1):(i * {SPAN_W} + {SPAN_W})],
+                         ' ') AS span
+  FROM d,
+       UNNEST(range(CAST(ceil(len(w) / {SPAN_W}.0) AS BIGINT))) AS t(i)
+),
+counts AS (SELECT span, count(DISTINCT doc_id) AS n_docs FROM spans GROUP BY 1)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN n_docs >= {SPAN_DUP_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_spans
+FROM spans JOIN counts USING (span)
+GROUP BY doc_id
+""",
+    "source_overlap_matrix": f"""
+WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+sg AS (
+  SELECT DISTINCT source, gram
+  FROM d, UNNEST({_gram_sql(SPAN_W)}) AS t(gram)
+),
+totals AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY 1)
+SELECT a.source AS source_a,
+       b.source AS source_b,
+       count(*) AS n_common,
+       round(count(*) * 1.0
+             / (ta.n_grams + tb.n_grams - count(*)), 6) AS jaccard
+FROM sg a
+JOIN sg b ON a.gram = b.gram AND a.source < b.source
+JOIN totals ta ON ta.source = a.source
+JOIN totals tb ON tb.source = b.source
+GROUP BY a.source, b.source, ta.n_grams, tb.n_grams
 """,
 }

@@ -612,9 +612,115 @@ GROUP BY cent_id
     )
 
 
+SEM_TAU = 0.30  # within-cluster cosine at/above this marks the larger id a dup
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then dropping items whose
+    within-cluster cosine similarity to a lower-id item reaches
+    SEM_TAU. Per vector: its cluster and an ``is_dup`` verdict. The
+    drop rule is the anti-join relaxation (any lower-id neighbor ≥ τ
+    marks a dup, whether or not that neighbor is itself a dup) —
+    deterministic and shuffle-parallel, unlike the paper's sequential
+    greedy scan, and it drops a superset of the greedy choice.
+
+    Determinism: cluster assignment reuses :func:`kmeans_assign`'s
+    integer-grid argmin (exact long distances, cent_id tiebreak);
+    cosine is the sequential-fold double dot product that is
+    bit-identical to DuckDB's list_dot_product, rounded to 6.
+
+    Scale notes (100 TB): centroids broadcast, assignment is map-side
+    argmin + one per-vec shuffle; the pairwise stage self-joins on
+    cent_id so pair cost is bounded by cluster size (~n/k — the exact
+    contract from the paper; k grows with corpus so clusters stay
+    executor-sized). The blocked-matmul prune of dedup_embedding
+    composes here for the verify stage when clusters are large."""
+    e = load_table(spark, sf_dir, "embeddings")
+    gv = F.expr(
+        f"transform(embedding, x -> "
+        f"cast(floor(cast(x as double) * {KM_GRID}) as bigint))"
+    )
+    dv = F.expr("transform(embedding, x -> cast(x as double))")
+    vecs = e.select("vec_id", gv.alias("g"), dv.alias("v")).select(
+        "vec_id",
+        "g",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    cents = vecs.filter(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cent_id"),
+        F.col("g").alias("cg"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("g", "cg", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "cent_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "v", "nrm")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        "cent_id",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cent_id").alias("cent_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    dup = (
+        a.join(
+            b,
+            (a.cent_id == b.cent_b) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SEM_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cent_id")
+        .join(F.broadcast(dup), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.coalesce("dropped", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 QUERIES = {
     "kmeans_refine": kmeans_refine,
     "kmeans_assign": kmeans_assign,
+    "semdedup": semdedup,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -801,6 +907,40 @@ SELECT cent_id,
 FROM a1
 WHERE rn = 1
 GROUP BY cent_id
+"""
+
+ORACLES["semdedup"] = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {KM_GRID}) AS BIGINT)) AS g,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id - {N_QUERIES} AS cent_id, g AS cg FROM v
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+a AS (
+  SELECT vec_id, cent_id, v, nrm FROM (
+    SELECT v.vec_id, c.cent_id, v.v, v.nrm,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                  i -> (v.g[i] - c.cg[i]) * (v.g[i] - c.cg[i]))) AS BIGINT),
+             c.cent_id) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT qb.vec_id
+  FROM a qa JOIN a qb ON qa.cent_id = qb.cent_id AND qa.vec_id < qb.vec_id
+  WHERE round(list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm), 6)
+        >= {SEM_TAU}
+)
+SELECT vec_id, cent_id,
+       (vec_id IN (SELECT vec_id FROM dup)) AS is_dup
+FROM a
 """
 
 ORACLES["ann_ivf_topk"] = f"""
