@@ -40,16 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #     ships (the r4 gap this verdict flagged),
 # (b) dedup_clusters_minhash — r4-green but its materialization helper
 #     moved/changed this round (materialize.py), so it re-earns its row,
-# (c) 25 of the 47 queries whose latest green row is CORRECTNESS_r03
+# (c) 23 of the 47 queries whose latest green row is CORRECTNESS_r03
 #     (includes every one whose code the checkpoint_dir threading
-#     touched: decontaminate_ngrams/_hashed). The 22 deferred to round 6
+#     touched: decontaminate_ngrams/_hashed). The 24 deferred to round 6
 #     (scalar_functions, map_functions, distinct_tokens,
 #     price_percentiles, value_dispersion, json_extract_events,
 #     corpus_top_tokens, multimodal_meta, sql_grouping_sets,
 #     salted_user_stats, vwap_daily, twap_hourly, price_histogram,
 #     price_outliers, sequence_pack, doc_repetition, dataset_split,
 #     pii_redact, cap_per_source, quality_quantile_gate,
-#     weekly_retention) are untouched stable entries, still guarded
+#     weekly_retention, event_type_funnel, event_sliding_windows,
+#     gap_sessions) are untouched stable entries, still guarded
 #     every pytest run by tests/test_full_parity.
 _PRIORITY = [
     # (a) never-driver-verified (added late r4) + new this round
@@ -83,6 +84,8 @@ _PRIORITY = [
     "semdedup",
     "span_dedup_corpus",
     "source_overlap_matrix",
+    "doc_bigram_logprob",
+    "max_drawdown",
     # (b) re-earn after materialize refactor
     "dedup_clusters_minhash",
     # (c) r3-green rotation: declared query surface
@@ -93,8 +96,6 @@ _PRIORITY = [
     "orders_monthly_growth",
     "idle_rich_customers",
     "min_cost_suppliers",
-    "event_type_funnel",
-    "event_sliding_windows",
     # (c) r3-green rotation: similarity / text / multimodal
     "kmeans_assign",
     "ann_topk_quantized",

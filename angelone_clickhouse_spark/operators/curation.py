@@ -422,6 +422,56 @@ def source_overlap_matrix(
     )
 
 
+def doc_bigram_logprob(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Bigram language-model quality score — the conditional-probability
+    refinement of :func:`doc_unigram_logprob`: each document scores the
+    average log10 of p(w2|w1) = c(w1 w2) / c(w1 ·) under the corpus's
+    own bigram counts (maximum-likelihood, no smoothing — every
+    observed bigram has a positive count by construction). Word-salad
+    docs whose adjacent-word pairs are rare score low even when their
+    unigrams are common — the signal the unigram model cannot see.
+    Rounded to 6 decimals (same 1-ulp summation-slack argument as the
+    unigram op).
+
+    Scale notes: bigram construction is shuffle-free transform over
+    the doc's own words; both count tables aggregate map-side before
+    one content-keyed shuffle each, and the score join shuffles on the
+    same bigram key — the word-count shape, twice. At 100 TB the
+    bigram table is large but still groupBy-able (it is exactly what
+    an n-gram-LM training job computes); no driver state anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "  transform(sequence(0, size(w) - 2), "
+            "            i -> struct(w[i] AS w1, w[i+1] AS w2)) "
+            "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"
+        ).alias("bs"),
+    )
+    # materialize before explode — Generate re-evaluates its child
+    # expression per OUTPUT row (see pipeline._word_ngrams)
+    pairs = materialize(pairs, checkpoint_dir)
+    bg = pairs.select("doc_id", F.explode("bs").alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log10(F.col("c12") / F.col("c1"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 QUERIES = {
     "doc_repetition": doc_repetition,
     "dataset_split": dataset_split,
@@ -431,6 +481,7 @@ QUERIES = {
     "cap_per_source": cap_per_source,
     "span_dedup_corpus": span_dedup_corpus,
     "source_overlap_matrix": source_overlap_matrix,
+    "doc_bigram_logprob": doc_bigram_logprob,
 }
 
 
@@ -589,5 +640,20 @@ JOIN sg b ON a.gram = b.gram AND a.source < b.source
 JOIN totals ta ON ta.source = a.source
 JOIN totals tb ON tb.source = b.source
 GROUP BY a.source, b.source, ta.n_grams, tb.n_grams
+""",
+    "doc_bigram_logprob": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(log10(c12 * 1.0 / c1)), 6) AS avg_logprob
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
 """,
 }

@@ -189,14 +189,67 @@ def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per token: the deepest drop from a running
+    peak over the (ts, sequence_number)-ordered price path — the
+    risk metric a tick store serves after VWAP/TWAP. Exact integers
+    end-to-end: prices on the cent grid, the running peak is a
+    cumulative window max of longs, and the drawdown subtraction never
+    leaves the grid.
+
+    Scale notes: the cumulative max partitions on token — the same key
+    the final aggregate groups by, so window + groupBy share ONE
+    shuffle (the TWAP device). Per-token history must fit a partition
+    for the window; at 100 TB with date-partitioned sink files, the
+    per-(token, date) variant runs per partition and a tiny second
+    pass merges peaks across days — same algebra as the bar rollup."""
+    t = ticks(spark, sf_dir)
+    cents = F.round(F.col("last_traded_price") * 100).cast("long")
+    w = (
+        Window.partitionBy("token")
+        .orderBy("ts", "sequence_number")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    priced = t.select(
+        "token", "ts", "sequence_number", cents.alias("c")
+    ).withColumn("dd", F.max("c").over(w) - F.col("c"))
+    return priced.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        (F.max("c") / F.lit(100.0)).alias("peak_price"),
+        (F.max("dd") / F.lit(100.0)).alias("max_drawdown"),
+    )
+
+
 QUERIES = {
     "vwap_daily": vwap_daily,
     "twap_hourly": twap_hourly,
     "price_histogram": price_histogram,
     "price_outliers": price_outliers,
+    "max_drawdown": max_drawdown,
 }
 
 ORACLES = {
+    "max_drawdown": TICKS_ORACLE_CTE
+    + """
+, px AS (
+  SELECT token, ts, sequence_number,
+         CAST(round(last_traded_price * 100) AS BIGINT) AS c
+  FROM ticks
+),
+dd AS (
+  SELECT token, c,
+         max(c) OVER (PARTITION BY token ORDER BY ts, sequence_number
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - c AS d
+  FROM px
+)
+SELECT token,
+       count(*) AS n_ticks,
+       CAST(max(c) AS DOUBLE) / 100 AS peak_price,
+       CAST(max(d) AS DOUBLE) / 100 AS max_drawdown
+FROM dd
+GROUP BY token
+""",
     "vwap_daily": TICKS_ORACLE_CTE
     + """
 SELECT token,
