@@ -117,8 +117,8 @@ _PRIORITY = [
     "minute_bars",
     "ingest_load_shed",
     "tick_interval_join",
-    # gap_sessions already carries a green r4 row (unchanged since) —
-    # deferred to the round-6 rotation with the other stable entries
+    # gap_sessions (r3-green, unchanged) deferred to the round-6
+    # rotation with the other stable entries to keep the window at 50
 ]
 
 
