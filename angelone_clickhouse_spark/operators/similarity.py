@@ -631,11 +631,19 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to DuckDB's list_dot_product, rounded to 6.
 
     Scale notes (100 TB): centroids broadcast, assignment is map-side
-    argmin + one per-vec shuffle; the pairwise stage self-joins on
-    cent_id so pair cost is bounded by cluster size (~n/k — the exact
-    contract from the paper; k grows with corpus so clusters stay
-    executor-sized). The blocked-matmul prune of dedup_embedding
-    composes here for the verify stage when clusters are large."""
+    argmin + one per-vec shuffle. The pairwise stage is sound
+    prune-then-verify (the dedup_embedding device): a blocked numpy
+    matmul emits candidates at cos >= τ-ε (ε ≫ float-summation noise,
+    so no true pair is pruned), the same-cluster filter and the exact
+    sequential-fold cosine run only on those — identical output to the
+    naive within-cluster self-join at matmul speed. Pair cost is
+    bounded by both the candidate density AND cluster size (~n/k, the
+    paper's contract; k grows with corpus so clusters stay
+    executor-sized)."""
+    from angelone_clickhouse_spark.operators.embedding_fast import (
+        candidate_pairs_fast,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
     gv = F.expr(
         f"transform(embedding, x -> "
@@ -674,9 +682,12 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id", "v", "nrm")
     )
+    cand = candidate_pairs_fast(spark, sf_dir, SEM_TAU - 1e-6).select(
+        "vec_a", "vec_b"
+    )
     a = assigned.select(
         F.col("vec_id").alias("vec_a"),
-        "cent_id",
+        F.col("cent_id").alias("cent_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
@@ -696,10 +707,9 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     dup = (
-        a.join(
-            b,
-            (a.cent_id == b.cent_b) & (F.col("vec_a") < F.col("vec_b")),
-        )
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .filter(F.col("cent_a") == F.col("cent_b"))
         .select("vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= SEM_TAU)
         .select(F.col("vec_b").alias("vec_id"))
