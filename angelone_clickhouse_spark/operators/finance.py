@@ -220,15 +220,77 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOLA_N = 100  # rolling frame length in ticks
+VOLA_TOKEN_MOD = 25  # token subset (the timeseries.resample_ffill device)
+
+
+def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling price variance per token over the last VOLA_N ticks —
+    the realized-volatility input every quant pipeline derives from a
+    tick store. Deterministic despite being a float statistic: the
+    frame's count / sum / sum-of-squares are exact long sums of
+    cent-grid prices (order-independent), and the variance is ONE IEEE
+    division of exact longs, (n·Σc² − (Σc)²) / n² — no incremental
+    float accumulation anywhere. Overflow headroom: cents ≤ ~5e4, so
+    n·Σc² ≤ 2.5e13 at n=100 — long-safe by 5 orders of magnitude.
+
+    Scale notes: all three frame aggregates share ONE window spec
+    (token-partitioned, (ts, seq)-ordered ROWS frame), so Spark
+    computes them in a single pass over one token-keyed shuffle; the
+    token subset prunes the scan before the shuffle."""
+    t = ticks(spark, sf_dir).filter(
+        F.col("token").cast("long") % VOLA_TOKEN_MOD == 0
+    )
+    cents = F.round(F.col("last_traded_price") * 100).cast("long")
+    w = (
+        Window.partitionBy("token")
+        .orderBy("ts", "sequence_number")
+        .rowsBetween(-(VOLA_N - 1), 0)
+    )
+    base = t.select("token", "ts", "sequence_number", cents.alias("c"))
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("c").over(w)
+    ss = F.sum(F.col("c") * F.col("c")).over(w)
+    return base.select(
+        "token",
+        "sequence_number",
+        n.alias("n_window"),
+        ((n * ss - s * s) / (n * n)).alias("var_cents2"),
+    )
+
+
 QUERIES = {
     "vwap_daily": vwap_daily,
     "twap_hourly": twap_hourly,
     "price_histogram": price_histogram,
     "price_outliers": price_outliers,
     "max_drawdown": max_drawdown,
+    "rolling_volatility": rolling_volatility,
 }
 
 ORACLES = {
+    "rolling_volatility": TICKS_ORACLE_CTE
+    + f"""
+, px AS (
+  SELECT token, ts, sequence_number,
+         CAST(round(last_traded_price * 100) AS BIGINT) AS c
+  FROM ticks
+  WHERE CAST(token AS BIGINT) % {VOLA_TOKEN_MOD} = 0
+),
+frames AS (
+  SELECT token, sequence_number,
+         count(*) OVER w AS n,
+         CAST(sum(c) OVER w AS BIGINT) AS s,
+         CAST(sum(c * c) OVER w AS BIGINT) AS ss
+  FROM px
+  WINDOW w AS (PARTITION BY token ORDER BY ts, sequence_number
+               ROWS BETWEEN {VOLA_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT token, sequence_number,
+       n AS n_window,
+       CAST(n * ss - s * s AS DOUBLE) / (n * n) AS var_cents2
+FROM frames
+""",
     "max_drawdown": TICKS_ORACLE_CTE
     + """
 , px AS (
