@@ -50,8 +50,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     price_outliers, sequence_pack, doc_repetition, dataset_split,
 #     pii_redact, cap_per_source, quality_quantile_gate,
 #     weekly_retention, event_type_funnel, event_sliding_windows,
-#     gap_sessions, sample_stratified) are untouched stable entries,
-#     still guarded every pytest run by tests/test_full_parity.
+#     gap_sessions, sample_stratified, resample_ffill) are untouched
+#     stable entries, still guarded every pytest run by
+#     tests/test_full_parity.
 _PRIORITY = [
     # (a) never-driver-verified (added late r4) + new this round
     "dedup_survivors",
@@ -87,6 +88,7 @@ _PRIORITY = [
     "doc_bigram_logprob",
     "max_drawdown",
     "rolling_volatility",
+    "pipeline_e2e",
     # (b) re-earn after materialize refactor
     "dedup_clusters_minhash",
     # (c) r3-green rotation: declared query surface
@@ -109,7 +111,6 @@ _PRIORITY = [
     "decontaminate_ngrams",
     "decontaminate_hashed",
     # (c) r3-green rotation: timeseries / finance
-    "resample_ffill",
     "asof_price_lookup",
     # (c) r3-green rotation: decode / streaming twins
     "decode_ticks",

@@ -347,6 +347,58 @@ def decontaminate_fingerprint(
     )
 
 
+def pipeline_e2e(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """End-to-end curation pipeline composition — the proof that the
+    individual operators CHAIN into the funnel a training-data run
+    actually executes: training pool (benchmark docs held out) →
+    exact dedup (keep min doc_id per content hash) → benchmark
+    decontamination (drop any doc sharing a DECON_N-gram with the
+    held-out set) → Gopher quality gate (doc_repetition's keep rule).
+    One row per stage with the surviving doc count — the funnel
+    numbers every pipeline report leads with.
+
+    Each stage reuses the SAME operator the registry checks
+    individually (decontaminate_ngrams, doc_repetition), so a green
+    row here certifies composition, not just re-derivation.
+
+    Scale notes: stage composition is doc_id-keyed anti/semi joins —
+    at 100 TB each is one shuffle on the id (or zero with a bucketed
+    doc table); the four stage counts are single-row aggregates
+    (map-side partial count, 1-row exchange each). Nothing here adds
+    shuffle beyond what the component operators already do."""
+    from angelone_clickhouse_spark.operators.curation import doc_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    kept1 = (
+        pool.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    contaminated = decontaminate_ngrams(spark, sf_dir, checkpoint_dir).select(
+        "doc_id"
+    )
+    kept2 = kept1.join(contaminated, "doc_id", "left_anti")
+    good = doc_repetition(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    kept3 = kept2.join(good, "doc_id", "left_semi")
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+
+    return (
+        stage(pool, 0, "input")
+        .union(stage(kept1, 1, "exact_dedup"))
+        .union(stage(kept2, 2, "decontaminated"))
+        .union(stage(kept3, 3, "quality_gate"))
+    )
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "decontaminate_hashed": decontaminate_hashed,
@@ -355,6 +407,7 @@ QUERIES = {
     "quality_quantile_gate": quality_quantile_gate,
     "sequence_pack": sequence_pack,
     "chunk_documents": chunk_documents,
+    "pipeline_e2e": pipeline_e2e,
 }
 
 _PCT_CASE = (
@@ -494,3 +547,63 @@ ORACLES_R4["decontaminate_fingerprint"] = (
     .replace("__BM__", str(BENCH_MOD))
 )
 ORACLES.update(ORACLES_R4)
+
+ORACLES["pipeline_e2e"] = f"""
+WITH pool AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+),
+kept1 AS (SELECT min(doc_id) AS doc_id FROM pool GROUP BY md5(text)),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - {DECON_N - 1})) AS t(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM grams g JOIN bench b ON g.gram = b.gram
+  WHERE g.doc_id % {BENCH_MOD} <> 0
+),
+kept2 AS (
+  SELECT doc_id FROM kept1
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+rep AS (
+  SELECT doc_id FROM w
+  WHERE CASE WHEN len(ws) >= 2 THEN
+          (1000 * (len(ws) - 1
+                   - len(list_distinct(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1])))))
+            // (len(ws) - 1)
+        ELSE 0 END <= {{dup2_max}}
+    AND (1000 * list_max(list_transform(list_distinct(ws),
+           x -> len(list_filter(ws, y -> y = x))))) // len(ws)
+        <= {{top_tok_max}}
+),
+kept3 AS (
+  SELECT doc_id FROM kept2 WHERE doc_id IN (SELECT doc_id FROM rep)
+)
+SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_docs FROM pool
+UNION ALL SELECT 1, 'exact_dedup', count(*) FROM kept1
+UNION ALL SELECT 2, 'decontaminated', count(*) FROM kept2
+UNION ALL SELECT 3, 'quality_gate', count(*) FROM kept3
+"""
+
+
+def _fill_e2e_gates() -> None:
+    """The quality-gate thresholds live in curation.py; import lazily
+    to keep module import order flexible."""
+    from angelone_clickhouse_spark.operators.curation import (
+        DUP2_MAX_MILLI,
+        TOP_TOK_MAX_MILLI,
+    )
+
+    ORACLES["pipeline_e2e"] = ORACLES["pipeline_e2e"].format(
+        dup2_max=DUP2_MAX_MILLI, top_tok_max=TOP_TOK_MAX_MILLI
+    )
+
+
+_fill_e2e_gates()
