@@ -34,10 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-5 window layout (VERDICT r4 items 1, 2):
 # (a) the 9 queries added late in round 4 that have never earned a driver
-#     CORRECTNESS row, plus the three NEW round-5 queries
-#     (daily_bars_rollup, distinct_users_hll, doc_unigram_logprob) —
-#     in the window NOW so new surface earns driver rows the round it
-#     ships (the r4 gap this verdict flagged),
+#     CORRECTNESS row, plus every query NEW this round (sections a–a3:
+#     sketches, rollups, the TPC-H battery completion, the LLM-pipeline
+#     additions) — in the window NOW so new surface earns driver rows
+#     the round it ships (the r4 gap this verdict flagged),
 # (b) dedup_clusters_minhash — r4-green but its materialization helper
 #     moved/changed this round (materialize.py), so it re-earns its row,
 # (c) 23 of the 47 queries whose latest green row is CORRECTNESS_r03
@@ -50,9 +50,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     price_outliers, sequence_pack, doc_repetition, dataset_split,
 #     pii_redact, cap_per_source, quality_quantile_gate,
 #     weekly_retention, event_type_funnel, event_sliding_windows,
-#     gap_sessions, sample_stratified, resample_ffill) are untouched
-#     stable entries, still guarded every pytest run by
-#     tests/test_full_parity.
+#     gap_sessions, sample_stratified, resample_ffill,
+#     asof_price_lookup) are untouched stable entries, still guarded
+#     every pytest run by tests/test_full_parity.
 _PRIORITY = [
     # (a) never-driver-verified (added late r4) + new this round
     "dedup_survivors",
@@ -89,6 +89,7 @@ _PRIORITY = [
     "max_drawdown",
     "rolling_volatility",
     "pipeline_e2e",
+    "span_dedup_rewrite",
     # (b) re-earn after materialize refactor
     "dedup_clusters_minhash",
     # (c) r3-green rotation: declared query surface
@@ -111,7 +112,6 @@ _PRIORITY = [
     "decontaminate_ngrams",
     "decontaminate_hashed",
     # (c) r3-green rotation: timeseries / finance
-    "asof_price_lookup",
     # (c) r3-green rotation: decode / streaming twins
     "decode_ticks",
     "decode_ticks_enriched",

@@ -422,6 +422,61 @@ def source_overlap_matrix(
     )
 
 
+def span_dedup_rewrite(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """The rewrite half of :func:`span_dedup_corpus`: actually emit
+    each document's cleaned text with corpus-common spans (shared by
+    >= SPAN_DUP_MIN_DOCS docs) stripped, preserving original span
+    order — what the CCNet/C4 line-dedup pass writes back to the
+    corpus. Documents whose every span is corpus-common drop out
+    entirely (nothing left to train on).
+
+    Determinism: span order is carried as the span index and
+    reassembled via array_sort(collect_list(struct(pos, span))) — no
+    reliance on shuffle order. Scale notes: same shapes as the
+    accounting op (map-side chop, one content-keyed count shuffle, one
+    doc_id rollup); the rewrite adds no extra shuffle — the final
+    groupBy doubles as the reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(w) / {SPAN_W}.0) as int) - 1), "
+            f"          i -> concat_ws(' ', slice(w, i * {SPAN_W} + 1, {SPAN_W})))"
+        ).alias("spans"),
+    )
+    spans = materialize(spans, checkpoint_dir)
+    sp = spans.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    )
+    counts = sp.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    kept = sp.join(counts, "span").filter(
+        F.col("n_docs") < SPAN_DUP_MIN_DOCS
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_spans"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "n_kept_spans",
+            F.length("clean_text").alias("clean_chars"),
+            "clean_text",
+        )
+    )
+
+
 def doc_bigram_logprob(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -482,6 +537,7 @@ QUERIES = {
     "span_dedup_corpus": span_dedup_corpus,
     "source_overlap_matrix": source_overlap_matrix,
     "doc_bigram_logprob": doc_bigram_logprob,
+    "span_dedup_rewrite": span_dedup_rewrite,
 }
 
 
@@ -654,6 +710,28 @@ SELECT doc_id,
        count(*) AS n_bigrams,
        round(avg(log10(c12 * 1.0 / c1)), 6) AS avg_logprob
 FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+""",
+    "span_dedup_rewrite": f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[(i * {SPAN_W} + 1):(i * {SPAN_W} + {SPAN_W})],
+                         ' ') AS span
+  FROM d,
+       UNNEST(range(CAST(ceil(len(w) / {SPAN_W}.0) AS BIGINT))) AS t(i)
+),
+counts AS (SELECT span, count(DISTINCT doc_id) AS n_docs FROM spans GROUP BY 1),
+kept AS (
+  SELECT doc_id, pos, span
+  FROM spans JOIN counts USING (span)
+  WHERE n_docs < {SPAN_DUP_MIN_DOCS}
+)
+SELECT doc_id,
+       count(*) AS n_kept_spans,
+       CAST(len(string_agg(span, ' ' ORDER BY pos)) AS INT) AS clean_chars,
+       string_agg(span, ' ' ORDER BY pos) AS clean_text
+FROM kept
 GROUP BY doc_id
 """,
 }
