@@ -1,0 +1,124 @@
+"""Invariant tests for the round-5 operators, beyond the value-hash
+parity that tests/test_full_parity.py already provides: each pins a
+semantic property that would survive an (unlikely) twin bug in the
+DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_span_dedup_counts_are_consistent(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.curation import (
+        span_dedup_corpus,
+    )
+
+    rows = span_dedup_corpus(spark, sf_dir).collect()
+    assert rows, "every doc has at least one span"
+    assert all(0 <= r.n_dup_spans <= r.n_spans for r in rows)
+    # spans are non-overlapping 3-word windows: ceil(words / 3) each
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        n_words = len(docs[r.doc_id].split(" "))
+        assert r.n_spans == -(-n_words // 3), (r.doc_id, n_words, r.n_spans)
+
+
+def test_span_rewrite_keeps_unique_docs_intact(spark, sf_dir):
+    """A doc with zero corpus-common spans must round-trip unchanged,
+    and kept-span counts must agree between the accounting op and the
+    rewrite op."""
+    from angelone_clickhouse_spark.operators.curation import (
+        span_dedup_corpus,
+        span_dedup_rewrite,
+    )
+
+    acct = {r.doc_id: r for r in span_dedup_corpus(spark, sf_dir).collect()}
+    rewritten = {
+        r.doc_id: r for r in span_dedup_rewrite(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for doc_id, a in acct.items():
+        kept = a.n_spans - a.n_dup_spans
+        if kept == 0:
+            assert doc_id not in rewritten
+            continue
+        r = rewritten[doc_id]
+        assert r.n_kept_spans == kept, doc_id
+        if a.n_dup_spans == 0:
+            assert r.clean_text == docs[doc_id], doc_id
+
+
+def test_semdedup_keeps_every_cluster_min(spark, sf_dir):
+    """The lowest vec_id of each cluster can have no lower-id
+    cluster-mate, so it can never be marked duplicate; and verdicts
+    must cover the whole corpus exactly once."""
+    from angelone_clickhouse_spark.operators.similarity import semdedup
+
+    rows = semdedup(spark, sf_dir).collect()
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_corpus
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cent_id, []).append(r)
+    for members in by_cluster.values():
+        lead = min(members, key=lambda r: r.vec_id)
+        assert not lead.is_dup, lead
+
+
+def test_pipeline_e2e_funnel_is_monotonic(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.pipeline import pipeline_e2e
+
+    rows = sorted(pipeline_e2e(spark, sf_dir).collect(), key=lambda r: r.stage_idx)
+    assert [r.stage for r in rows] == [
+        "input",
+        "exact_dedup",
+        "decontaminated",
+        "quality_gate",
+    ]
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True), counts
+    assert counts[0] > 0
+
+
+def test_max_drawdown_bounds(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.finance import max_drawdown
+
+    rows = max_drawdown(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_drawdown >= 0.0
+        # a drawdown deeper than the peak would mean a negative price
+        assert r.max_drawdown <= r.peak_price + 1e-9, r
+
+
+def test_rolling_volatility_bounds(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.finance import (
+        VOLA_N,
+        rolling_volatility,
+    )
+
+    rows = rolling_volatility(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_window <= VOLA_N
+        assert r.var_cents2 >= 0.0, r
+
+
+def test_source_overlap_matrix_is_upper_triangle(spark, sf_dir):
+    from angelone_clickhouse_spark.operators.curation import (
+        source_overlap_matrix,
+    )
+
+    rows = source_overlap_matrix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_common >= 1
