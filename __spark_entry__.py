@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     moved/changed this round (materialize.py), so it re-earns its row,
 # (c) 23 of the 47 queries whose latest green row is CORRECTNESS_r03
 #     (includes every one whose code the checkpoint_dir threading
-#     touched: decontaminate_ngrams/_hashed). The 24 deferred to round 6
+#     touched: decontaminate_ngrams/_hashed). The 27 deferred to round 6
 #     (scalar_functions, map_functions, distinct_tokens,
 #     price_percentiles, value_dispersion, json_extract_events,
 #     corpus_top_tokens, multimodal_meta, sql_grouping_sets,
