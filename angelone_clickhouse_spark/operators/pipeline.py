@@ -372,16 +372,33 @@ def pipeline_e2e(
 
     docs = load_table(spark, sf_dir, "documents")
     pool = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
-    kept1 = (
+    # the stage-count union evaluates each branch independently, so
+    # without a lineage cut kept1 would recompute 3x and the gram
+    # explode inside decontaminate 2x — materialize each surviving
+    # id-set (tiny: bounded by |docs| ids) once instead
+    kept1 = materialize(
         pool.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .select("doc_id"),
+        checkpoint_dir,
     )
     contaminated = decontaminate_ngrams(spark, sf_dir, checkpoint_dir).select(
         "doc_id"
     )
-    kept2 = kept1.join(contaminated, "doc_id", "left_anti")
-    good = doc_repetition(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    kept2 = materialize(
+        kept1.join(contaminated, "doc_id", "left_anti"), checkpoint_dir
+    )
+    # materialize the gate output BEFORE filtering on it: a filter (or
+    # join predicate) over doc_repetition's `keep` column re-inlines
+    # its higher-order gram expressions (the CollapseProject hazard its
+    # docstring documents) and turns a 0.5 s scan into a ~10 s
+    # expression blow-up — the lineage cut makes the filter run on
+    # materialized rows instead
+    rep = materialize(
+        doc_repetition(spark, sf_dir).select("doc_id", "keep"),
+        checkpoint_dir,
+    )
+    good = rep.filter(F.col("keep")).select("doc_id")
     kept3 = kept2.join(good, "doc_id", "left_semi")
 
     def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
