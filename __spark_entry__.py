@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     moved/changed this round (materialize.py), so it re-earns its row,
 # (c) 23 of the 47 queries whose latest green row is CORRECTNESS_r03
 #     (includes every one whose code the checkpoint_dir threading
-#     touched: decontaminate_ngrams/_hashed). The 27 deferred to round 6
+#     touched: decontaminate_ngrams/_hashed). The 28 deferred to round 6
 #     (scalar_functions, map_functions, distinct_tokens,
 #     price_percentiles, value_dispersion, json_extract_events,
 #     corpus_top_tokens, multimodal_meta, sql_grouping_sets,
@@ -51,8 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     pii_redact, cap_per_source, quality_quantile_gate,
 #     weekly_retention, event_type_funnel, event_sliding_windows,
 #     gap_sessions, sample_stratified, resample_ffill,
-#     asof_price_lookup) are untouched stable entries, still guarded
-#     every pytest run by tests/test_full_parity.
+#     asof_price_lookup, ann_topk_fast) are untouched stable entries,
+#     still guarded every pytest run by tests/test_full_parity.
 _PRIORITY = [
     # (a) never-driver-verified (added late r4) + new this round
     "dedup_survivors",
@@ -90,6 +90,7 @@ _PRIORITY = [
     "rolling_volatility",
     "pipeline_e2e",
     "span_dedup_rewrite",
+    "ann_recall_audit",
     # (b) re-earn after materialize refactor
     "dedup_clusters_minhash",
     # (c) r3-green rotation: declared query surface
@@ -103,7 +104,6 @@ _PRIORITY = [
     # (c) r3-green rotation: similarity / text / multimodal
     "kmeans_assign",
     "ann_topk_quantized",
-    "ann_topk_fast",
     "dedup_embedding_fast",
     "text_langid",
     "text_fingerprint",

@@ -612,6 +612,43 @@ GROUP BY cent_id
     )
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN path against the exact top-k,
+    measured entirely in-engine — the audit every approximate-index
+    deployment runs before trusting the index at scale. Per query:
+    how many of the exact top-k neighbors the multi-probe LSH run
+    recovered, and the recall ratio (one IEEE division of exact
+    longs).
+
+    Both sides are the registry's own operators, so a green row here
+    certifies the exact/approx pair agree on their shared contract
+    (ids, ranking ties) — composition, like pipeline_e2e.
+
+    Scale notes: both operand plans keep their own scale contracts
+    (corpus never shuffled for scoring, queries broadcast); the audit
+    adds one join keyed on (query_id, neighbor_id) — both sides are
+    k·|queries| rows, tiny by construction — and a |queries|-row
+    rollup."""
+    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_matched"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_matched",
+            (F.col("n_matched") / F.col("k")).alias("recall"),
+        )
+    )
+
+
 SEM_TAU = 0.30  # within-cluster cosine at/above this marks the larger id a dup
 
 
@@ -731,6 +768,7 @@ QUERIES = {
     "kmeans_refine": kmeans_refine,
     "kmeans_assign": kmeans_assign,
     "semdedup": semdedup,
+    "ann_recall_audit": ann_recall_audit,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -819,6 +857,23 @@ WHERE rank <= {TOP_K}
 
 
 ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
+
+# the audit composes the two ANN oracles verbatim as CTE bodies, so a
+# drift in either operand's oracle surfaces here too
+ORACLES["ann_recall_audit"] = f"""
+WITH exact_r AS ({ORACLES["ann_topk_cosine"]}),
+approx_r AS ({ORACLES["ann_lsh_topk"]})
+SELECT e.query_id,
+       count(*) AS k,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS recall
+FROM exact_r e
+LEFT JOIN approx_r a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
 
 ORACLES["ann_topk_quantized"] = f"""
 WITH e AS (
