@@ -111,6 +111,31 @@ def test_dominant_suppliers_semi_join_no_fact_smj(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_drawdown_and_volatility_share_one_shuffle(spark, sf_dir):
+    """Both ops promise the cumulative window and the final aggregate
+    share ONE token-keyed exchange — the TWAP device."""
+    from angelone_clickhouse_spark.operators.finance import (
+        max_drawdown,
+        rolling_volatility,
+    )
+
+    for fn in (max_drawdown, rolling_volatility):
+        plan = _plan(fn(spark, sf_dir))
+        assert plan.count("Exchange") == 1, (fn.__name__, plan)
+
+
+def test_recall_audit_no_cartesian(spark, sf_dir):
+    """The audit join must stay keyed on (query_id, neighbor_id) —
+    a nested-loop over the two k·|queries| sides would silently become
+    quadratic in k."""
+    from angelone_clickhouse_spark.operators.similarity import (
+        ann_recall_audit,
+    )
+
+    plan = _plan(ann_recall_audit(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_fuzzy_pairs_join_key_is_content_derived(spark, sf_dir):
     """VERDICT r3 #3: the fuzzy-match candidate join must key on the
     PassJoin segment CONTENT (sub), not only on the (lang, lb) block —
