@@ -95,6 +95,24 @@ def ticks(
 
 # DuckDB rendition of ticks() — MUST stay semantically identical to the
 # DataFrame plan above; every oracle in operators/queries.py prepends it.
+def trunc_ntz(unit: str, col_name: str):
+    """Timezone-independent truncation for TIMESTAMP_NTZ columns.
+
+    ``F.date_trunc`` interprets an NTZ input in the session timezone
+    and returns an *instant* (TIMESTAMP), so collected labels — and,
+    for sub-hour-offset zones, the bucket boundaries themselves —
+    shift with ``spark.sql.session.timeZone`` (the sessionize NTZ
+    lesson, ROUND4.md #1). This helper stays in pure NTZ arithmetic
+    (timestampdiff/timestampadd never leave naive time), matching
+    DuckDB's naive ``date_trunc`` bit-for-bit under ANY session zone.
+    """
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    return F.expr(
+        f"timestampadd({unit}, timestampdiff({unit}, {epoch}, {col_name}),"
+        f" {epoch})"
+    )
+
+
 TICKS_ORACLE_CTE = """
 WITH ticks AS (
   SELECT

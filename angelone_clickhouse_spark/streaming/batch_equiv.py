@@ -30,7 +30,11 @@ from angelone_clickhouse_spark.sources.frames import (
     generate_frames_and_truth,
     write_truth_sidecar,
 )
-from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks
+from angelone_clickhouse_spark.sources.tables import (
+    TICKS_ORACLE_CTE,
+    ticks,
+    trunc_ntz,
+)
 
 from angelone_clickhouse_spark.sources.frames import truth_sidecar_path
 
@@ -65,7 +69,7 @@ def minute_bars_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ticks(spark, sf_dir)
     return (
         t.groupBy(
-            F.date_trunc("minute", F.col("ts")).alias("bar_ts"), F.col("token")
+            trunc_ntz("MINUTE", "ts").alias("bar_ts"), F.col("token")
         )
         .agg(
             F.min_by("open_price", "sequence_number").alias("open"),
@@ -94,7 +98,7 @@ def hourly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side."""
     t = ticks(spark, sf_dir)
     minute = t.groupBy(
-        F.date_trunc("minute", F.col("ts")).alias("bar_ts"), F.col("token")
+        trunc_ntz("MINUTE", "ts").alias("bar_ts"), F.col("token")
     ).agg(
         F.min("sequence_number").alias("first_seq"),
         F.min_by("open_price", "sequence_number").alias("open"),
@@ -107,7 +111,7 @@ def hourly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         minute.groupBy(
-            F.date_trunc("hour", F.col("bar_ts")).alias("bar_ts"), F.col("token")
+            trunc_ntz("HOUR", "bar_ts").alias("bar_ts"), F.col("token")
         )
         .agg(
             F.min_by("open", "first_seq").alias("open"),
@@ -135,7 +139,7 @@ def daily_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     level scans data, and every groupBy partial-aggregates map-side."""
     t = ticks(spark, sf_dir)
     minute = t.groupBy(
-        F.date_trunc("minute", F.col("ts")).alias("bar_ts"), F.col("token")
+        trunc_ntz("MINUTE", "ts").alias("bar_ts"), F.col("token")
     ).agg(
         F.min("sequence_number").alias("first_seq"),
         F.min_by("open_price", "sequence_number").alias("open"),
@@ -147,7 +151,7 @@ def daily_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tick_count"),
     )
     hour = minute.groupBy(
-        F.date_trunc("hour", F.col("bar_ts")).alias("bar_ts"), F.col("token")
+        trunc_ntz("HOUR", "bar_ts").alias("bar_ts"), F.col("token")
     ).agg(
         F.min("first_seq").alias("first_seq"),
         F.min_by("open", "first_seq").alias("open"),
@@ -160,7 +164,7 @@ def daily_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hour.groupBy(
-            F.date_trunc("day", F.col("bar_ts")).alias("bar_ts"), F.col("token")
+            trunc_ntz("DAY", "bar_ts").alias("bar_ts"), F.col("token")
         )
         .agg(
             F.min_by("open", "first_seq").alias("open"),
@@ -209,7 +213,7 @@ def ingest_load_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ticks(spark, sf_dir)
     shed = shed_overflow(t, SHED_CAP_PER_HOUR, "hour")
     return (
-        shed.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        shed.groupBy(trunc_ntz("HOUR", "ts").alias("hour_ts"))
         .agg(
             F.count(F.lit(1)).alias("n_arrived"),
             F.sum((~F.col("is_shed")).cast("long")).alias("n_kept"),

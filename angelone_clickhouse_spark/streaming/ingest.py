@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from angelone_clickhouse_spark.sources.tables import trunc_ntz
+
 from angelone_clickhouse_spark.sources.decoder import decode_frames, wire_to_ticks
 
 FRAME_STREAM_SCHEMA = "frame binary"
@@ -151,7 +153,7 @@ def shed_overflow(
     partitioning, so at 100 TB the exchange is reused by the write;
     per-interval row counts are bounded by wall-clock density, not
     data size, so the window never skews."""
-    w = Window.partitionBy(F.date_trunc(interval, F.col("ts"))).orderBy(
+    w = Window.partitionBy(trunc_ntz(interval.upper(), "ts")).orderBy(
         "sequence_number", "token"
     )
     return (

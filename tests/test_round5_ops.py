@@ -111,6 +111,41 @@ def test_rolling_volatility_bounds(spark, sf_dir):
         assert r.var_cents2 >= 0.0, r
 
 
+def test_bar_family_is_session_timezone_independent(spark, sf_dir):
+    """date_trunc on a TIMESTAMP_NTZ input interprets it in the
+    session zone and returns an instant, so bar labels used to shift
+    with spark.sql.session.timeZone (the sessionize NTZ lesson).
+    trunc_ntz must make every bar level identical under any zone."""
+    from angelone_clickhouse_spark.streaming.batch_equiv import (
+        daily_bars_rollup,
+        hourly_bars_rollup,
+        ingest_load_shed,
+        minute_bars_batch,
+    )
+
+    def snapshot():
+        out = {}
+        for fn in (
+            minute_bars_batch,
+            hourly_bars_rollup,
+            daily_bars_rollup,
+            ingest_load_shed,
+        ):
+            rows = fn(spark, sf_dir).collect()
+            out[fn.__name__] = sorted(map(tuple, rows))
+        return out
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    utc = snapshot()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = snapshot()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    for name in utc:
+        assert utc[name] == ny[name], name
+
+
 def test_source_overlap_matrix_is_upper_triangle(spark, sf_dir):
     from angelone_clickhouse_spark.operators.curation import (
         source_overlap_matrix,
