@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks
+from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks, trunc_ntz
 
 
 def asof_join(
@@ -88,7 +88,7 @@ def asof_price_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("last_traded_price", "sequence_number").alias("ltp")
     )
     probes = t.select(
-        "token", F.date_trunc("hour", "ts").alias("probe_ts")
+        "token", trunc_ntz("HOUR", "ts").alias("probe_ts")
     ).distinct()
     return asof_join(
         probes,

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks
+from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks, trunc_ntz
 
 TOKEN_MOD = 25  # resample tokens where int(token) % TOKEN_MOD == 0
 
@@ -39,7 +39,7 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ticks(spark, sf_dir).filter(
         F.col("token").cast("int") % TOKEN_MOD == 0
     )
-    hour = F.date_trunc("hour", F.col("ts"))
+    hour = trunc_ntz("HOUR", "ts")
     w_last = Window.partitionBy("token", "hour_ts").orderBy(
         F.desc("ts"), F.desc("sequence_number")
     )
@@ -63,8 +63,11 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "hour_ts", "px", "cnt")
     )
     bounds = t.groupBy("token").agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        F.min("ts").alias("lo_ts"), F.max("ts").alias("hi_ts")
+    ).select(
+        "token",
+        trunc_ntz("HOUR", "lo_ts").alias("lo"),
+        trunc_ntz("HOUR", "hi_ts").alias("hi"),
     )
     grid = bounds.select(
         "token",

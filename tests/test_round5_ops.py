@@ -116,6 +116,8 @@ def test_bar_family_is_session_timezone_independent(spark, sf_dir):
     session zone and returns an instant, so bar labels used to shift
     with spark.sql.session.timeZone (the sessionize NTZ lesson).
     trunc_ntz must make every bar level identical under any zone."""
+    from angelone_clickhouse_spark.operators.asof import asof_price_lookup
+    from angelone_clickhouse_spark.operators.timeseries import resample_ffill
     from angelone_clickhouse_spark.streaming.batch_equiv import (
         daily_bars_rollup,
         hourly_bars_rollup,
@@ -130,6 +132,8 @@ def test_bar_family_is_session_timezone_independent(spark, sf_dir):
             hourly_bars_rollup,
             daily_bars_rollup,
             ingest_load_shed,
+            resample_ffill,
+            asof_price_lookup,
         ):
             rows = fn(spark, sf_dir).collect()
             out[fn.__name__] = sorted(map(tuple, rows))
