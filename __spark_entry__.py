@@ -50,9 +50,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     price_outliers, sequence_pack, doc_repetition, dataset_split,
 #     pii_redact, cap_per_source, quality_quantile_gate,
 #     weekly_retention, event_type_funnel, event_sliding_windows,
-#     gap_sessions, sample_stratified, resample_ffill,
-#     asof_price_lookup, ann_topk_fast) are untouched stable entries,
-#     still guarded every pytest run by tests/test_full_parity.
+#     gap_sessions, sample_stratified,
+#     ann_topk_fast, text_langid, multimodal_features) are untouched
+#     stable entries, still guarded every pytest run by
+#     tests/test_full_parity.
 _PRIORITY = [
     # (a) never-driver-verified (added late r4) + new this round
     "dedup_survivors",
@@ -105,13 +106,14 @@ _PRIORITY = [
     "kmeans_assign",
     "ann_topk_quantized",
     "dedup_embedding_fast",
-    "text_langid",
     "text_fingerprint",
-    "multimodal_features",
     # (c) r3-green rotation: LLM pipeline / curation
     "decontaminate_ngrams",
     "decontaminate_hashed",
-    # (c) r3-green rotation: timeseries / finance
+    # (c) r3-green rotation: timeseries / finance — resample/asof
+    #     changed this round (trunc_ntz), so they re-earn rows
+    "resample_ffill",
+    "asof_price_lookup",
     # (c) r3-green rotation: decode / streaming twins
     "decode_ticks",
     "decode_ticks_enriched",
