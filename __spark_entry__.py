@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the round it ships (the r4 gap this verdict flagged),
 # (b) dedup_clusters_minhash — r4-green but its materialization helper
 #     moved/changed this round (materialize.py), so it re-earns its row,
-# (c) 23 of the 47 queries whose latest green row is CORRECTNESS_r03
+# (c) 19 of the 47 queries whose latest green row is CORRECTNESS_r03
 #     (includes every one whose code the checkpoint_dir threading
 #     touched: decontaminate_ngrams/_hashed). The 28 deferred to round 6
 #     (scalar_functions, map_functions, distinct_tokens,

@@ -309,6 +309,26 @@ SPAN_W = 3
 SPAN_DUP_MIN_DOCS = 2  # span is "common" when >= this many docs share it
 
 
+def _doc_spans(docs: DataFrame, checkpoint_dir: str | None):
+    """doc_id -> (pos, span): each doc chopped into non-overlapping
+    SPAN_W-word spans — the single source of the span unit both the
+    accounting op and the rewrite op must agree on (their lockstep is
+    what test_span_rewrite_keeps_unique_docs_intact asserts)."""
+    spans = docs.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(w) / {SPAN_W}.0) as int) - 1), "
+            f"          i -> concat_ws(' ', slice(w, i * {SPAN_W} + 1, {SPAN_W})))"
+        ).alias("spans"),
+    )
+    # materialize before explode — Generate re-evaluates its child
+    # expression per OUTPUT row (see pipeline._word_ngrams)
+    spans = materialize(spans, checkpoint_dir)
+    return spans.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    )
+
+
 def span_dedup_corpus(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -328,17 +348,7 @@ def span_dedup_corpus(
     distinct span, never large per key). The final per-doc rollup
     shuffles on doc_id. No window over the corpus, no driver state."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = docs.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, cast(ceil(size(w) / {SPAN_W}.0) as int) - 1), "
-            f"          i -> concat_ws(' ', slice(w, i * {SPAN_W} + 1, {SPAN_W})))"
-        ).alias("spans"),
-    )
-    # materialize before explode — Generate re-evaluates its child
-    # expression per OUTPUT row (see pipeline._word_ngrams)
-    spans = materialize(spans, checkpoint_dir)
-    sp = spans.select("doc_id", F.explode("spans").alias("span"))
+    sp = _doc_spans(docs, checkpoint_dir).select("doc_id", "span")
     counts = sp.groupBy("span").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -381,12 +391,9 @@ def source_overlap_matrix(
         ).alias("grams"),
     )
     grams = materialize(grams, checkpoint_dir)
-    sg = (
-        grams.select("source", F.explode("grams").alias("gram"))
-        .groupBy("source", "gram")
-        .agg(F.lit(1))
-        .select("source", "gram")
-    )
+    sg = grams.select(
+        "source", F.explode("grams").alias("gram")
+    ).distinct()
     totals = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = sg.select(F.col("source").alias("source_a"), "gram")
     b = sg.select(F.col("source").alias("source_b"), "gram")
@@ -439,17 +446,7 @@ def span_dedup_rewrite(
     doc_id rollup); the rewrite adds no extra shuffle — the final
     groupBy doubles as the reassembly."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = docs.select("doc_id", F.split("text", " ").alias("w")).select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, cast(ceil(size(w) / {SPAN_W}.0) as int) - 1), "
-            f"          i -> concat_ws(' ', slice(w, i * {SPAN_W} + 1, {SPAN_W})))"
-        ).alias("spans"),
-    )
-    spans = materialize(spans, checkpoint_dir)
-    sp = spans.select(
-        "doc_id", F.posexplode("spans").alias("pos", "span")
-    )
+    sp = _doc_spans(docs, checkpoint_dir)
     counts = sp.groupBy("span").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )

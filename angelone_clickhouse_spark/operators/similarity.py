@@ -678,6 +678,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paper's contract; k grows with corpus so clusters stay
     executor-sized)."""
     from angelone_clickhouse_spark.operators.embedding_fast import (
+        _PRUNE_EPS,
         candidate_pairs_fast,
     )
 
@@ -719,7 +720,10 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id", "v", "nrm")
     )
-    cand = candidate_pairs_fast(spark, sf_dir, SEM_TAU - 1e-6).select(
+    # _PRUNE_EPS (two 1e-6 grid steps + noise) is the sound widening —
+    # numpy and JVM cosines can round one grid step apart, so a 1-step
+    # margin would leave soundness to ~1-ulp luck at the boundary
+    cand = candidate_pairs_fast(spark, sf_dir, SEM_TAU - _PRUNE_EPS).select(
         "vec_a", "vec_b"
     )
     a = assigned.select(

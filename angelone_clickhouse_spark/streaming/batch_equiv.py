@@ -65,21 +65,59 @@ def _decode_inputs() -> list[bytes]:
     return frames
 
 
-def minute_bars_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = ticks(spark, sf_dir)
-    return (
-        t.groupBy(
-            trunc_ntz("MINUTE", "ts").alias("bar_ts"), F.col("token")
-        )
-        .agg(
-            F.min_by("open_price", "sequence_number").alias("open"),
-            F.max("high_price").alias("high"),
-            F.min("low_price").alias("low"),
-            F.max_by("close_price", "sequence_number").alias("close"),
-            F.round(F.sum("volume"), 2).alias("total_volume"),
-            F.count(F.lit(1)).alias("tick_count"),
-        )
+def _minute_bar_partials(t: DataFrame) -> DataFrame:
+    """Minute-level bar PARTIAL states — the single source of truth
+    for the whole bar hierarchy (one copy; the rollup family's
+    lossless-merge proof depends on every level sharing this exact
+    algebra): open/close carried with their first/last sequence
+    numbers, volume summed in exact integer cents."""
+    return t.groupBy(
+        trunc_ntz("MINUTE", "ts").alias("bar_ts"), F.col("token")
+    ).agg(
+        F.min("sequence_number").alias("first_seq"),
+        F.min_by("open_price", "sequence_number").alias("open"),
+        F.max("sequence_number").alias("last_seq"),
+        F.max_by("close_price", "sequence_number").alias("close"),
+        F.max("high_price").alias("high"),
+        F.min("low_price").alias("low"),
+        F.sum(F.round(F.col("volume") * 100).cast("long")).alias("vol_cents"),
+        F.count(F.lit(1)).alias("tick_count"),
     )
+
+
+def _merge_bars(partials: DataFrame, unit: str) -> DataFrame:
+    """Merge bar partial states up one level (minute->hour,
+    hour->day), PRESERVING partial form so levels chain."""
+    return partials.groupBy(
+        trunc_ntz(unit, "bar_ts").alias("bar_ts"), F.col("token")
+    ).agg(
+        F.min("first_seq").alias("first_seq"),
+        F.min_by("open", "first_seq").alias("open"),
+        F.max("last_seq").alias("last_seq"),
+        F.max_by("close", "last_seq").alias("close"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.sum("vol_cents").alias("vol_cents"),
+        F.sum("tick_count").alias("tick_count"),
+    )
+
+
+def _finalize_bars(partials: DataFrame) -> DataFrame:
+    """Partial states -> the public bar schema."""
+    return partials.select(
+        "bar_ts",
+        "token",
+        "open",
+        "high",
+        "low",
+        "close",
+        (F.col("vol_cents") / F.lit(100.0)).alias("total_volume"),
+        "tick_count",
+    )
+
+
+def minute_bars_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _finalize_bars(_minute_bar_partials(ticks(spark, sf_dir)))
 
 
 def hourly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,32 +134,8 @@ def hourly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     each level re-aggregates the (tiny) level below; the minute level
     is the only scan of raw data, and both groupBys partial-aggregate
     map-side."""
-    t = ticks(spark, sf_dir)
-    minute = t.groupBy(
-        trunc_ntz("MINUTE", "ts").alias("bar_ts"), F.col("token")
-    ).agg(
-        F.min("sequence_number").alias("first_seq"),
-        F.min_by("open_price", "sequence_number").alias("open"),
-        F.max("sequence_number").alias("last_seq"),
-        F.max_by("close_price", "sequence_number").alias("close"),
-        F.max("high_price").alias("high"),
-        F.min("low_price").alias("low"),
-        F.sum(F.round(F.col("volume") * 100).cast("long")).alias("vol_cents"),
-        F.count(F.lit(1)).alias("tick_count"),
-    )
-    return (
-        minute.groupBy(
-            trunc_ntz("HOUR", "bar_ts").alias("bar_ts"), F.col("token")
-        )
-        .agg(
-            F.min_by("open", "first_seq").alias("open"),
-            F.max("high").alias("high"),
-            F.min("low").alias("low"),
-            F.max_by("close", "last_seq").alias("close"),
-            (F.sum("vol_cents") / F.lit(100.0)).alias("total_volume"),
-            F.sum("tick_count").alias("tick_count"),
-        )
-    )
+    minute = _minute_bar_partials(ticks(spark, sf_dir))
+    return _finalize_bars(_merge_bars(minute, "HOUR"))
 
 
 def daily_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,44 +151,8 @@ def daily_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: the day level re-aggregates ~24 rows per token per day
     (the hour bars), never the raw ticks; at 100 TB only the minute
     level scans data, and every groupBy partial-aggregates map-side."""
-    t = ticks(spark, sf_dir)
-    minute = t.groupBy(
-        trunc_ntz("MINUTE", "ts").alias("bar_ts"), F.col("token")
-    ).agg(
-        F.min("sequence_number").alias("first_seq"),
-        F.min_by("open_price", "sequence_number").alias("open"),
-        F.max("sequence_number").alias("last_seq"),
-        F.max_by("close_price", "sequence_number").alias("close"),
-        F.max("high_price").alias("high"),
-        F.min("low_price").alias("low"),
-        F.sum(F.round(F.col("volume") * 100).cast("long")).alias("vol_cents"),
-        F.count(F.lit(1)).alias("tick_count"),
-    )
-    hour = minute.groupBy(
-        trunc_ntz("HOUR", "bar_ts").alias("bar_ts"), F.col("token")
-    ).agg(
-        F.min("first_seq").alias("first_seq"),
-        F.min_by("open", "first_seq").alias("open"),
-        F.max("last_seq").alias("last_seq"),
-        F.max_by("close", "last_seq").alias("close"),
-        F.max("high").alias("high"),
-        F.min("low").alias("low"),
-        F.sum("vol_cents").alias("vol_cents"),
-        F.sum("tick_count").alias("tick_count"),
-    )
-    return (
-        hour.groupBy(
-            trunc_ntz("DAY", "bar_ts").alias("bar_ts"), F.col("token")
-        )
-        .agg(
-            F.min_by("open", "first_seq").alias("open"),
-            F.max("high").alias("high"),
-            F.min("low").alias("low"),
-            F.max_by("close", "last_seq").alias("close"),
-            (F.sum("vol_cents") / F.lit(100.0)).alias("total_volume"),
-            F.sum("tick_count").alias("tick_count"),
-        )
-    )
+    minute = _minute_bar_partials(ticks(spark, sf_dir))
+    return _finalize_bars(_merge_bars(_merge_bars(minute, "HOUR"), "DAY"))
 
 
 def decode_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:

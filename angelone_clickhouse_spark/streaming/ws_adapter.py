@@ -130,9 +130,12 @@ def ws_send_fragmented(
     — RFC 6455 §5.4). Used by the mock server in tests to exercise
     reassembly; servers send unmasked (mask=False default)."""
     n_fragments = max(1, min(n_fragments, len(payload) or 1))
-    step = (len(payload) + n_fragments - 1) // n_fragments if payload else 0
+    # even-split boundaries yield EXACTLY n_fragments parts (a
+    # ceil-step slicing can emit fewer for many (len, n) combinations,
+    # silently weakening a test that asked for n-fragment reassembly)
+    bounds = [len(payload) * i // n_fragments for i in range(n_fragments + 1)]
     parts = (
-        [payload[i : i + step] for i in range(0, len(payload), step)]
+        [payload[bounds[i] : bounds[i + 1]] for i in range(n_fragments)]
         if payload
         else [b""]
     )
@@ -270,6 +273,14 @@ class WsFrameBridge:
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._thread.start()
         return self
+
+    # context-manager form so a raising caller can't leak the pump
+    # thread / relay port when linger_secs=None (wait-until-stop)
+    def __enter__(self) -> "WsFrameBridge":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
 
     def stop(self) -> None:
         """Release the pump and close the relay port. A pump error is
