@@ -150,6 +150,56 @@ def test_bar_family_is_session_timezone_independent(spark, sf_dir):
         assert utc[name] == ny[name], name
 
 
+def test_trunc_ntz_matches_python_floor(spark):
+    """trunc_ntz must equal naive Python datetime flooring for every
+    unit, on a deterministic pseudo-random grid that includes exact
+    boundaries, one-microsecond-before-boundary values, and leap-day
+    neighborhoods — under BOTH a UTC and a non-UTC session zone."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    vals = [base + dt.timedelta(seconds=rng.randrange(0, 120 * 86400),
+                                microseconds=rng.randrange(0, 1_000_000))
+            for _ in range(300)]
+    vals += [
+        dt.datetime(2024, 2, 29, 0, 0, 0),
+        dt.datetime(2024, 2, 29, 23, 59, 59, 999999),
+        dt.datetime(2024, 3, 1, 0, 0, 0),
+        dt.datetime(2024, 6, 15, 13, 0, 0),
+        dt.datetime(2024, 6, 15, 13, 59, 59, 999999),
+    ]
+
+    def pyfloor(t: dt.datetime, unit: str) -> dt.datetime:
+        if unit == "MINUTE":
+            return t.replace(second=0, microsecond=0)
+        if unit == "HOUR":
+            return t.replace(minute=0, second=0, microsecond=0)
+        return t.replace(hour=0, minute=0, second=0, microsecond=0)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType
+
+    from angelone_clickhouse_spark.sources.tables import trunc_ntz
+
+    df = spark.createDataFrame(
+        [(v,) for v in vals],
+        StructType([StructField("ts", TimestampNTZType())]),
+    )
+    out_cols = [trunc_ntz(u, "ts").alias(u) for u in ("MINUTE", "HOUR", "DAY")]
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for zone in (tz, "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", zone)
+            rows = df.select("ts", *out_cols).collect()
+            for r in rows:
+                for u in ("MINUTE", "HOUR", "DAY"):
+                    assert r[u] == pyfloor(r["ts"], u), (zone, u, r)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
 def test_source_overlap_matrix_is_upper_triangle(spark, sf_dir):
     from angelone_clickhouse_spark.operators.curation import (
         source_overlap_matrix,
