@@ -757,9 +757,13 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("dropped", F.lit(True))
     )
+    # No broadcast hint on dup: it is bounded by corpus size (worst
+    # case nearly every vec_id is a duplicate), so forcing a broadcast
+    # would OOM executors at 100 TB; AQE picks broadcast when the
+    # verdict set is actually small (ADVICE r5).
     return (
         assigned.select("vec_id", "cent_id")
-        .join(F.broadcast(dup), "vec_id", "left")
+        .join(dup, "vec_id", "left")
         .select(
             "vec_id",
             "cent_id",

@@ -95,7 +95,7 @@ def ticks(
 
 # DuckDB rendition of ticks() — MUST stay semantically identical to the
 # DataFrame plan above; every oracle in operators/queries.py prepends it.
-def trunc_ntz(unit: str, col_name: str):
+def trunc_ntz(unit: str, col):
     """Timezone-independent truncation for TIMESTAMP_NTZ columns.
 
     ``F.date_trunc`` interprets an NTZ input in the session timezone
@@ -105,12 +105,15 @@ def trunc_ntz(unit: str, col_name: str):
     lesson, ROUND4.md #1). This helper stays in pure NTZ arithmetic
     (timestampdiff/timestampadd never leave naive time), matching
     DuckDB's naive ``date_trunc`` bit-for-bit under ANY session zone.
+
+    ``col`` may be a Column or a column name (any identifier — the
+    name is resolved via ``F.col``, not interpolated into SQL text,
+    so backtick-worthy names and expressions both work; ADVICE r5).
     """
-    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
-    return F.expr(
-        f"timestampadd({unit}, timestampdiff({unit}, {epoch}, {col_name}),"
-        f" {epoch})"
-    )
+    if isinstance(col, str):
+        col = F.col(col)
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_add(unit, F.timestamp_diff(unit, epoch, col), epoch)
 
 
 TICKS_ORACLE_CTE = """

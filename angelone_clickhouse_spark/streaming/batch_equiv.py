@@ -250,7 +250,8 @@ SELECT date_trunc('minute', ts)               AS bar_ts,
        max(high_price)                        AS high,
        min(low_price)                         AS low,
        max_by(close_price, sequence_number)   AS close,
-       round(sum(volume), 2)                  AS total_volume,
+       CAST(sum(CAST(round(volume * 100) AS BIGINT)) AS DOUBLE) / 100
+                                              AS total_volume,
        count(*)                               AS tick_count
 FROM ticks
 GROUP BY date_trunc('minute', ts), token

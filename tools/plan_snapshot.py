@@ -18,22 +18,38 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Substring-counted metrics. "Exchange" alone would conflate shuffle
+# exchanges with BroadcastExchange/ReusedExchange (ADVICE r5), so
+# shuffles are counted by the regex below and broadcasts separately.
 METRICS = {
-    "exchanges": "Exchange",
     "smj": "SortMergeJoin",
     "bhj": "BroadcastHashJoin",
     "bnlj": "BroadcastNestedLoopJoin",
     "cartesian": "CartesianProduct",
+    "broadcast_exchanges": "BroadcastExchange",
 }
+
+# A shuffle exchange line is "Exchange hashpartitioning(...)" /
+# "Exchange rangepartitioning(...)" / "Exchange SinglePartition" /
+# "Exchange RoundRobinPartitioning(...)"; the negative lookbehind
+# excludes BroadcastExchange and ReusedExchange nodes.
+_SHUFFLE_RE = re.compile(
+    r"(?<![A-Za-z])Exchange\s+"
+    r"(?:hashpartitioning|rangepartitioning|SinglePartition|"
+    r"RoundRobinPartitioning)"
+)
 
 
 def plan_metrics(df) -> dict[str, int]:
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return {k: plan.count(tok) for k, tok in METRICS.items()}
+    out = {k: plan.count(tok) for k, tok in METRICS.items()}
+    out["exchanges"] = len(_SHUFFLE_RE.findall(plan))
+    return out
 
 
 def snapshot(spark, sf_dir: str) -> dict[str, dict[str, int]]:
