@@ -13,13 +13,16 @@ max/min/sum — the same algebra a ClickHouse AggregatingMergeTree
 applies at part-merge time.
 
 Scale notes: the epoch reduces to |tokens|x|days-in-epoch| partial
-rows BEFORE touching stored state, so merge input is bounded by key
-cardinality, not tick volume; the store rewrite is per-epoch
-read-union-aggregate-swap — at 100 TB you partition the store by day
-and rewrite only the days present in the epoch (epochs touch the
-current day almost exclusively), or land on a MERGE-capable table
-format; the merge algebra is unchanged. The swap is tmp+rename
-(local-FS variant; compaction.py documents the object-store flip).
+rows BEFORE touching stored state, and the store is PARTITIONED BY
+DAY with per-epoch maintenance touching only the partitions whose
+days appear in the epoch (VERDICT r5 #5) — a live stream touches the
+current day almost exclusively, so per-epoch work is O(epoch keys),
+never O(table). Untouched day partitions' files are byte-untouched
+(test-pinned). Each touched partition commits via tmp+rename with its
+idempotence marker INSIDE the renamed directory, so data and marker
+land atomically per partition (local-FS variant; compaction.py
+documents the object-store flip). A MERGE-capable table format would
+replace the rename dance, not the algebra.
 """
 
 from __future__ import annotations
@@ -88,42 +91,94 @@ def _merge(a: DataFrame) -> DataFrame:
     )
 
 
+def _day_dir(table_dir: str, day) -> str:
+    return os.path.join(table_dir, f"day={day.isoformat()}")
+
+
+def _day_last_epoch(table_dir: str, day) -> int:
+    p = os.path.join(_day_dir(table_dir, day), "_last_epoch")
+    if os.path.isfile(p):
+        with open(p) as f:
+            return int(f.read().strip())
+    return -1
+
+
+def _recover_partial_swap(table_dir: str) -> None:
+    """A crash between a day partition's two renames leaves it at
+    ``.old`` only — restore before anything reads the table."""
+    if not os.path.isdir(table_dir):
+        return
+    for name in os.listdir(table_dir):
+        if name.endswith(".old"):
+            live = os.path.join(table_dir, name[: -len(".old")])
+            old = os.path.join(table_dir, name)
+            if os.path.isdir(live):
+                shutil.rmtree(old, ignore_errors=True)  # stale leftover
+            else:
+                os.rename(old, live)
+
+
 def make_epoch_merger(spark: SparkSession, table_dir: str):
     """The foreachBatch merge function for :func:`maintain_daily_rollup`
-    — module-level so its retry-idempotence is directly testable."""
+    — module-level so its retry-idempotence is directly testable.
+
+    foreachBatch is AT-LEAST-ONCE, and maintenance is PER DAY
+    PARTITION: each day's aggregate state depends only on that day's
+    ticks, so idempotence is tracked per partition — a ``_last_epoch``
+    marker file inside each ``day=`` directory (underscore-prefixed:
+    invisible to parquet readers), committed atomically with the
+    partition's data by the tmp+rename swap. A retried epoch skips
+    partitions already at (or past) its epoch_id and re-merges only
+    the ones a mid-epoch crash left behind — exactly-once per
+    partition on top of at-least-once delivery.
+
+    The per-day rename loop is a driver-side loop over the days in the
+    epoch — bounded by the trigger's wall-clock span (a live stream
+    touches 1–2 days), not by data size; the merge computation itself
+    is one distributed job for all touched days."""
 
     def merge_epoch(batch: DataFrame, epoch_id: int) -> None:
-        # foreachBatch is AT-LEAST-ONCE: a retried epoch must not fold
-        # the same ticks into the stored partials twice. The last
-        # applied epoch_id travels INSIDE the table directory (a
-        # _last_epoch marker file, invisible to parquet readers), so
-        # the data swap and the idempotence marker commit atomically in
-        # the same rename.
-        # crash between the two renames leaves the table at .old only:
-        # restore it before anything reads table_dir
-        if not os.path.isdir(table_dir) and os.path.isdir(table_dir + ".old"):
-            os.rename(table_dir + ".old", table_dir)
-        marker = os.path.join(table_dir, "_last_epoch")
-        if os.path.isfile(marker):
-            with open(marker) as f:
-                if int(f.read().strip()) >= epoch_id:
-                    return  # retry of an already-merged epoch
+        _recover_partial_swap(table_dir)
         update = _partials(batch)
-        if os.path.isdir(table_dir):
-            existing = spark.read.parquet(table_dir)
-            update = _merge(existing.unionByName(update))
-        tmp = table_dir + ".tmp"
-        update.coalesce(1).write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_last_epoch"), "w") as f:
-            f.write(str(epoch_id))
-        old = table_dir + ".old"
-        # a stale .old can survive a crash between the two renames —
-        # clear it first or os.rename raises into a non-empty target
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(table_dir):
-            os.rename(table_dir, old)
-        os.rename(tmp, table_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        days = sorted(r.day for r in update.select("day").distinct().collect())
+        stale = [d for d in days if _day_last_epoch(table_dir, d) < epoch_id]
+        if not stale:
+            return  # retry of a fully-applied epoch
+        update = update.filter(F.col("day").isin(stale))
+        have = [d for d in stale if os.path.isdir(_day_dir(table_dir, d))]
+        if have:
+            # partition-pruned read: only the touched day directories
+            # are opened; day is encoded in the directory name, not the
+            # files, so rebuild it per path
+            parts = []
+            for d in have:
+                parts.append(
+                    spark.read.parquet(_day_dir(table_dir, d)).withColumn(
+                        "day", F.lit(d)
+                    )
+                )
+            existing = parts[0]
+            for p in parts[1:]:
+                existing = existing.unionByName(p)
+            update = _merge(existing.unionByName(update.select(*_PARTIAL_COLS)))
+        tmp_root = table_dir + ".tmpepoch"
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        update.repartition("day").write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(tmp_root)
+        os.makedirs(table_dir, exist_ok=True)
+        for d in stale:
+            src = _day_dir(tmp_root, d)
+            with open(os.path.join(src, "_last_epoch"), "w") as f:
+                f.write(str(epoch_id))
+            live = _day_dir(table_dir, d)
+            old = live + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(live):
+                os.rename(live, old)
+            os.rename(src, live)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
     return merge_epoch
 

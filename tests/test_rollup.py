@@ -65,8 +65,8 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
 
 def test_merge_epoch_retry_is_idempotent(spark, tmp_path):
     """ADVICE r3: foreachBatch is at-least-once — replaying an epoch
-    must not double-fold its ticks into the stored partials; a stale
-    .old directory must not break the rename swap."""
+    must not double-fold its ticks into the stored partials; a day
+    partition left at ``.old`` by a mid-swap crash must be restored."""
     import os
     import shutil
 
@@ -87,15 +87,80 @@ def test_merge_epoch_retry_is_idempotent(spark, tmp_path):
     merge(batch0, 0)
     merge(batch1, 1)
     want = sorted(map(tuple, read_rollup(spark, table_dir).collect()))
-    # retries of already-applied epochs: no double-merge
+    # retries of already-applied epochs: no double-merge (per-day
+    # markers are all >= the retried epoch ids)
     merge(batch1, 1)
     merge(batch0, 0)
     got = sorted(map(tuple, read_rollup(spark, table_dir).collect()))
     assert got == want
-    # a stale .old from a crash between renames must not wedge the swap
-    shutil.copytree(table_dir, table_dir + ".old")
-    merge(batch0, 2)  # new epoch folds in (double-count is INTENDED here)
-    assert os.path.isdir(table_dir)
-    assert not os.path.isdir(table_dir + ".old")
-    with open(os.path.join(table_dir, "_last_epoch")) as f:
-        assert f.read() == "2"
+    day_dirs = [d for d in os.listdir(table_dir) if d.startswith("day=")]
+    assert day_dirs, "table must be partitioned by day"
+    for d in day_dirs:
+        with open(os.path.join(table_dir, d, "_last_epoch")) as f:
+            assert int(f.read()) in (0, 1)
+    # crash between a day's two renames: live dir gone, .old present —
+    # the next merge call must restore it before reading
+    crash_day = os.path.join(table_dir, day_dirs[0])
+    os.rename(crash_day, crash_day + ".old")
+    merge(batch1, 1)  # fully-applied retry: recovery only, no re-merge
+    assert os.path.isdir(crash_day)
+    assert not os.path.isdir(crash_day + ".old")
+    got = sorted(map(tuple, read_rollup(spark, table_dir).collect()))
+    assert got == want
+    # a STALE .old next to a live dir (crash after the second rename)
+    # is cleared, not restored over live data
+    shutil.copytree(crash_day, crash_day + ".old")
+    merge(batch0, 2)  # new epoch folds in (double-count is INTENDED)
+    assert not os.path.isdir(crash_day + ".old")
+    for d in os.listdir(table_dir):
+        if d.startswith("day=") and not d.endswith(".old"):
+            with open(os.path.join(table_dir, d, "_last_epoch")) as f:
+                assert f.read() == "2"
+
+
+def test_untouched_partitions_not_rewritten(spark, tmp_path):
+    """VERDICT r5 #5: maintenance is O(epoch), not O(table) — an epoch
+    that only touches day B must leave day A's files byte-untouched
+    (same names, sizes, and mtimes)."""
+    import os
+
+    from angelone_clickhouse_spark.sources.frames import (
+        frames_df,
+        generate_frames,
+    )
+    from angelone_clickhouse_spark.streaming.ingest import decode_tick_stream
+    from angelone_clickhouse_spark.streaming.rollup import (
+        make_epoch_merger,
+        read_rollup,
+    )
+
+    day_ms = 86_400_000
+    base = 1_704_067_200_000  # 2024-01-01
+    table_dir = str(tmp_path / "rollup")
+    merge = make_epoch_merger(spark, table_dir)
+    day_a = decode_tick_stream(
+        frames_df(spark, generate_frames(200, seed=3, start_ms=base))
+    )
+    day_b = decode_tick_stream(
+        frames_df(spark, generate_frames(200, seed=4, start_ms=base + day_ms))
+    )
+    merge(day_a, 0)
+
+    def file_state(day_dir_name):
+        d = os.path.join(table_dir, day_dir_name)
+        return {
+            f: (os.path.getsize(os.path.join(d, f)),
+                os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+        }
+
+    a_dirs = [d for d in os.listdir(table_dir) if d.startswith("day=")]
+    assert a_dirs
+    before = {d: file_state(d) for d in a_dirs}
+
+    merge(day_b, 1)  # touches only day B partitions
+    after = {d: file_state(d) for d in a_dirs}
+    assert after == before, "day-A files were rewritten by a day-B epoch"
+    # and the table still holds both days' aggregates
+    days_seen = {r.day for r in read_rollup(spark, table_dir).collect()}
+    assert len(days_seen) >= 2
