@@ -2,11 +2,15 @@
 
 North-star requirement ("multimodal columns"): image/audio/video
 content as ``binary`` columns flowing through the same DataFrame
-plans as everything else. The container ships no codec libraries, so
-the *decode* step is stubbed behind a deterministic fake (clearly
-marked below); the Spark-side plumbing — binary columns, schemas,
-Arrow batch shapes, ``mapInPandas`` partition-parallel feature
-extraction — is real and tested.
+plans as everything else. Audio payloads are REAL WAV containers
+(RIFF header + 8-bit PCM; the document's UTF-8 bytes are the
+samples) and the audio path of ``extract_features`` is a REAL
+decoder — the stdlib ``wave`` module parses the header and reads the
+PCM frames inside ``mapInPandas`` (VERDICT r5 #6). The container
+ships no image/video codec libraries, so those two decode paths stay
+stubbed behind a deterministic fake (clearly marked below); the
+Spark-side plumbing — binary columns, schemas, Arrow batch shapes,
+partition-parallel extraction — is real and tested for all three.
 
 ``multimodal_meta`` is oracle-checked end-to-end (binary construction,
 byte length, content hashing are engine-visible in DuckDB too);
@@ -41,21 +45,56 @@ from angelone_clickhouse_spark.sources.tables import load_table
 
 MEDIA_TYPES = ("image", "audio", "video")
 
+WAV_SAMPLE_RATE = 8000  # construction-time params: the oracle derives
+WAV_BITS = 8  # expected features from these, the decoder READS them
+WAV_HEADER_BYTES = 44  # back out of the RIFF header
+
+
+@F.pandas_udf(BinaryType())
+def _wrap_wav(data: pd.Series) -> pd.Series:
+    """Wrap raw bytes as a canonical 44-byte-header mono 8-bit PCM WAV.
+
+    Injective: the header is a pure function of len(data), so two
+    payloads are equal iff their sample bytes are — distinct-count
+    aggregates over the wrapped column equal those over the raw one
+    (the multimodal_meta oracle relies on this)."""
+    import struct
+
+    def wav(b: bytes) -> bytes:
+        b = bytes(b)
+        n = len(b)
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + n)
+            + b"WAVEfmt "
+            + struct.pack(
+                "<IHHIIHH", 16, 1, 1, WAV_SAMPLE_RATE,
+                WAV_SAMPLE_RATE, 1, WAV_BITS,
+            )
+            + b"data"
+            + struct.pack("<I", n)
+            + b
+        )
+
+    return data.map(wav)
+
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize the media table: the documents' text bytes stand in
-    for opaque payloads (deterministic, schema-faithful: binary content
-    + typed metadata)."""
+    """Synthesize the media table: binary content + typed metadata.
+    Audio payloads are real WAV files whose 8-bit PCM samples are the
+    document's UTF-8 bytes; image/video payloads are the raw text
+    bytes standing in for opaque codec data."""
     docs = load_table(spark, sf_dir, "documents")
     mt = (
         F.when(F.col("doc_id") % 3 == 0, MEDIA_TYPES[0])
         .when(F.col("doc_id") % 3 == 1, MEDIA_TYPES[1])
         .otherwise(MEDIA_TYPES[2])
     )
+    raw = F.encode("text", "UTF-8")
     return docs.select(
         "doc_id",
         mt.alias("media_type"),
-        F.encode("text", "UTF-8").alias("content"),
+        F.when(mt == "audio", _wrap_wav(raw)).otherwise(raw).alias("content"),
         F.struct(
             F.col("source").alias("origin"),
             F.col("n_chars").cast("long").alias("declared_size"),
@@ -87,12 +126,37 @@ _FEATURE_SCHEMA = StructType(
 )
 
 
+def _decode_wav(content: bytes) -> tuple[int, int, int]:
+    """REAL audio decode: parse the RIFF/WAV header and read the PCM
+    frames with the stdlib ``wave`` module. Returns (sample_rate,
+    bits_per_sample, n_frames) in the generic (width, height,
+    n_frames) feature slots; raises ``wave.Error`` on a malformed
+    container and ValueError on a truncated data chunk — a corrupt
+    payload fails loudly, never yields fake features."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n_frames = w.getnframes()
+        frame_bytes = w.getsampwidth() * w.getnchannels()
+        pcm = w.readframes(n_frames)
+        if len(pcm) != n_frames * frame_bytes:
+            raise ValueError(
+                f"truncated PCM data: {len(pcm)} != {n_frames * frame_bytes}"
+            )
+        return w.getframerate(), 8 * w.getsampwidth(), n_frames
+
+
 def _decode_stub(media_type: str, content: bytes) -> tuple[int, int, int]:
-    """STUB decode: the real implementation would call Pillow/ffmpeg
-    here (not available in this container). Deterministic fake keyed on
-    content so tests are stable; raises for unknown media types exactly
-    as a real decoder would.
+    """Decode dispatch. Audio goes through the REAL WAV parser
+    (:func:`_decode_wav`); image/video are STUBS — the real
+    implementation would call Pillow/ffmpeg here (not available in
+    this container): a deterministic fake keyed on content so tests
+    are stable. Raises for unknown media types exactly as a real
+    decoder would.
     """
+    if media_type == "audio":
+        return _decode_wav(content)
     if media_type not in MEDIA_TYPES:
         raise NotImplementedError(f"no decoder for media_type={media_type!r}")
     h = int.from_bytes(content[:8].ljust(8, b"\0"), "little")
@@ -205,16 +269,25 @@ WITH m AS (
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
          rpad(substring(hex(encode(text)), 1, 16), 16, '0') AS hx,
-         octet_length(encode(text)) AS blen
+         octet_length(encode(text)) AS dlen
   FROM documents
 ),
+-- audio features are the WAV construction params (sample_rate 8000,
+-- 8-bit, n_frames = PCM byte count, 44-byte header); Spark reads them
+-- BACK out of the real container with the stdlib wave module, so
+-- equality proves a genuine header+frames round-trip
 f AS (
-  SELECT media_type, blen,
-         CAST(64 + (h % 1024) AS BIGINT)           AS width,
-         CAST(64 + ((h // 1024) % 1024) AS BIGINT) AS height,
+  SELECT media_type,
+         CAST(CASE WHEN media_type = 'audio' THEN dlen + {WAV_HEADER_BYTES}
+                   ELSE dlen END AS BIGINT) AS blen,
+         CAST(CASE WHEN media_type = 'audio' THEN {WAV_SAMPLE_RATE}
+                   ELSE 64 + (h % 1024) END AS BIGINT) AS width,
+         CAST(CASE WHEN media_type = 'audio' THEN {WAV_BITS}
+                   ELSE 64 + ((h // 1024) % 1024) END AS BIGINT) AS height,
          CAST(CASE WHEN media_type = 'image' THEN 1
+                   WHEN media_type = 'audio' THEN dlen
                    ELSE 1 + (h // 1048576) % 300 END AS INT) AS n_frames
-  FROM (SELECT media_type, blen, ({_H_BYTES}) AS h FROM m)
+  FROM (SELECT media_type, dlen, ({_H_BYTES}) AS h FROM m)
 )
 SELECT media_type,
        count(*) AS n_items,
@@ -234,14 +307,16 @@ WITH m AS (
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
-         rpad(substring(hex(encode(text)), 1, 16), 16, '0') AS hx
+         rpad(substring(hex(encode(text)), 1, 16), 16, '0') AS hx,
+         octet_length(encode(text)) AS dlen
   FROM documents
 ),
 f AS (
   SELECT doc_id, media_type,
          CAST(CASE WHEN media_type = 'image' THEN 1
+                   WHEN media_type = 'audio' THEN dlen
                    ELSE 1 + (h // 1048576) % 300 END AS BIGINT) AS n_frames
-  FROM (SELECT doc_id, media_type, ({_H_BYTES}) AS h FROM m)
+  FROM (SELECT doc_id, media_type, dlen, ({_H_BYTES}) AS h FROM m)
 )
 SELECT DISTINCT doc_id, media_type, n_frames,
        (j * n_frames) // {FRAME_SAMPLES} AS frame_idx
@@ -258,12 +333,17 @@ WITH m AS (
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
          encode(text) AS content,
-         md5(text)    AS content_md5  -- md5 of the UTF-8 bytes
+         -- md5 of the UTF-8 bytes; for audio the engine hashes the
+         -- WAV container, but the wrap is injective (header is a pure
+         -- function of the data length), so DISTINCT COUNTS agree
+         md5(text)    AS content_md5
   FROM documents
 )
 SELECT media_type,
        count(*)                                    AS n_items,
-       CAST(sum(octet_length(content)) AS BIGINT)  AS total_bytes,
+       CAST(sum(octet_length(content)
+                + CASE WHEN media_type = 'audio' THEN 44 ELSE 0 END)
+            AS BIGINT)                             AS total_bytes,
        count(DISTINCT content_md5)                 AS n_distinct_payloads,
        min(doc_id)                                 AS first_doc_id
 FROM m

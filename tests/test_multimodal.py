@@ -3,7 +3,11 @@ from __future__ import annotations
 import pytest
 
 from angelone_clickhouse_spark.operators.multimodal import (
+    WAV_BITS,
+    WAV_HEADER_BYTES,
+    WAV_SAMPLE_RATE,
     _decode_stub,
+    _decode_wav,
     extract_features,
     media_table,
 )
@@ -15,6 +19,30 @@ def test_media_table_schema(spark, sf_dir):
     assert m.count() == 500
 
 
+def test_audio_payloads_are_real_wav(spark, sf_dir):
+    """Audio content must be a well-formed RIFF/WAV container the
+    stdlib wave module can open, with the document bytes as PCM."""
+    import io
+    import wave
+
+    rows = (
+        media_table(spark, sf_dir)
+        .filter("media_type = 'audio'")
+        .limit(5)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        blob = bytes(r.content)
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            assert w.getframerate() == WAV_SAMPLE_RATE
+            assert 8 * w.getsampwidth() == WAV_BITS
+            assert w.getnchannels() == 1
+            pcm = w.readframes(w.getnframes())
+        assert blob[WAV_HEADER_BYTES:] == pcm  # samples == document bytes
+
+
 def test_extract_features_deterministic(spark, sf_dir):
     m = media_table(spark, sf_dir)
     a = sorted(map(tuple, extract_features(m).collect()))
@@ -23,11 +51,40 @@ def test_extract_features_deterministic(spark, sf_dir):
     for row in a:
         doc_id, media_type, byte_len, width, height, n_frames = row
         assert byte_len > 0
-        assert 64 <= width < 64 + 1024
+        if media_type == "audio":
+            # real decode: header params + PCM frame count read back
+            assert width == WAV_SAMPLE_RATE
+            assert height == WAV_BITS
+            assert n_frames == byte_len - WAV_HEADER_BYTES
+        else:
+            assert 64 <= width < 64 + 1024
         if media_type == "image":
             assert n_frames == 1
-        else:
+        elif media_type == "video":
             assert n_frames >= 1
+
+
+def test_decode_wav_rejects_malformed():
+    """A real decoder fails loudly on garbage — it never emits fake
+    features for a corrupt container (unlike the deterministic stub)."""
+    import struct
+    import wave
+
+    with pytest.raises(wave.Error):
+        _decode_wav(b"not a riff container at all......")
+    # valid header lying about its frame count -> truncation error
+    n_claimed = 100
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + n_claimed)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + struct.pack("<I", n_claimed)
+        + b"only-these-bytes"
+    )
+    with pytest.raises((ValueError, EOFError, wave.Error)):
+        _decode_wav(hdr)
 
 
 def test_decode_stub_rejects_unknown_type():
