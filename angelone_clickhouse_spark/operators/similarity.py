@@ -49,7 +49,7 @@ def _cos(av, bv, an, bn):
     return dot / (an * bn)
 
 
-def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def exact_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Exact top-k: query vectors broadcast against the corpus."""
     vecs = _vectors(spark, sf_dir)
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
@@ -73,9 +73,13 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_topk(spark, sf_dir, TOP_K)
 
 
 EMB_DIM = 64  # embeddings fixture dimension (TESTDATA.md)
@@ -119,14 +123,26 @@ def _bucket(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     return vecs.withColumn("bucket", bucket)
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = N_PLANES,
+    n_flips: int | None = None,
+    k: int = TOP_K,
+) -> DataFrame:
     """LSH-bucketed top-k with multi-probe: score corpus vectors in the
     query's bucket OR any bucket one hyperplane-flip away (vectors near
     a hyperplane land on either side with near-equal probability, so
     probing hamming-1 buckets recovers most of the recall a single
-    probe loses). Probe set = N_PLANES+1 buckets of 2^N_PLANES.
-    rows-only driver check; recall measured in tests."""
-    vecs = _bucket(_vectors(spark, sf_dir))
+    probe loses). ``n_planes`` sets the bucket count (2^planes — more
+    planes = smaller candidate sets, lower recall per probe);
+    ``n_flips`` sets how many planes get a hamming-1 probe (0 = single
+    probe, n_planes = full multi-probe, the default); ``k`` the result
+    depth. The (planes, flips, k) trade-off is measured, not asserted:
+    see :func:`ann_recall_audit`."""
+    if n_flips is None:
+        n_flips = n_planes
+    vecs = _bucket(_vectors(spark, sf_dir), n_planes)
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -136,7 +152,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("bucket"),
                 *[
                     F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
-                    for p in range(N_PLANES)
+                    for p in range(n_flips)
                 ],
             )
         ).alias("qbucket"),
@@ -157,9 +173,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_topk(spark, sf_dir)
 
 
 N_CENTROIDS = 8  # IVF list count; ~sqrt(corpus) at real scale
@@ -612,41 +632,65 @@ GROUP BY cent_id
     )
 
 
+# (n_planes, n_flips, k) settings the recall audit sweeps: the
+# production defaults, a more-selective index without multi-probe
+# (recall should DROP — smaller candidate sets, no recovery probes),
+# and the same selective index with full multi-probe at deeper k.
+# Tuning at real scale = rerun the audit with scale-sized settings
+# (planes ~ log2(corpus/target_bucket_rows)); the machinery is
+# setting-agnostic.
+AUDIT_SETTINGS: tuple[tuple[int, int, int], ...] = (
+    (N_PLANES, N_PLANES, TOP_K),
+    (6, 0, TOP_K),
+    (6, 6, 2 * TOP_K),
+)
+
+
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH-bucketed ANN path against the exact top-k,
-    measured entirely in-engine — the audit every approximate-index
-    deployment runs before trusting the index at scale. Per query:
-    how many of the exact top-k neighbors the multi-probe LSH run
-    recovered, and the recall ratio (one IEEE division of exact
-    longs).
+    measured entirely in-engine across AUDIT_SETTINGS — the
+    settings×recall table every approximate-index deployment builds
+    before trusting (or tuning) the index at scale (VERDICT r5 #7).
+    Per (setting, query): how many of the exact top-k neighbors that
+    setting's LSH run recovered, and the recall ratio (one IEEE
+    division of exact longs).
 
     Both sides are the registry's own operators, so a green row here
     certifies the exact/approx pair agree on their shared contract
     (ids, ranking ties) — composition, like pipeline_e2e.
 
     Scale notes: both operand plans keep their own scale contracts
-    (corpus never shuffled for scoring, queries broadcast); the audit
-    adds one join keyed on (query_id, neighbor_id) — both sides are
-    k·|queries| rows, tiny by construction — and a |queries|-row
-    rollup."""
-    exact = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = ann_lsh_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("k"),
-            F.sum(F.coalesce("hit", F.lit(0))).alias("n_matched"),
+    (corpus never shuffled for scoring, queries broadcast); per
+    setting the audit adds one join keyed on (query_id, neighbor_id)
+    — both sides are k·|queries| rows, tiny by construction — and a
+    |queries|-row rollup; settings union afterwards (no barrier
+    between them)."""
+    per_setting = []
+    for n_planes, n_flips, k in AUDIT_SETTINGS:
+        exact = exact_topk(spark, sf_dir, k).select("query_id", "neighbor_id")
+        approx = lsh_topk(spark, sf_dir, n_planes, n_flips, k).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
         )
-        .select(
-            "query_id",
-            "k",
-            "n_matched",
-            (F.col("n_matched") / F.col("k")).alias("recall"),
+        per_setting.append(
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("n_matched"),
+            )
+            .select(
+                F.lit(n_planes).alias("n_planes"),
+                F.lit(n_flips).alias("n_flips"),
+                "query_id",
+                "k",
+                "n_matched",
+                (F.col("n_matched") / F.col("k")).alias("recall"),
+            )
         )
-    )
+    out = per_setting[0]
+    for s in per_setting[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 SEM_TAU = 0.30  # within-cluster cosine at/above this marks the larger id a dup
@@ -783,8 +827,8 @@ QUERIES = {
     "ann_topk_quantized": ann_topk_quantized,
 }
 
-ORACLES = {
-    "ann_topk_cosine": f"""
+def _exact_oracle_sql(k: int = TOP_K) -> str:
+    return f"""
 WITH e AS (
   SELECT vec_id,
          embedding::DOUBLE[] AS v,
@@ -806,15 +850,21 @@ FROM (
          ) AS INTEGER) AS rank
   FROM scored
 ) r
-WHERE rank <= {TOP_K}
-""",
-}
+WHERE rank <= {k}
+"""
 
 
-def _lsh_oracle_sql() -> str:
-    """Generated DuckDB spelling of ann_lsh_topk: identical md5-derived
-    hyperplanes, sign-pattern buckets, hamming-1 multi-probe, and
-    rounded-cosine ranking."""
+ORACLES = {"ann_topk_cosine": _exact_oracle_sql()}
+
+
+def _lsh_oracle_sql(
+    n_planes: int = N_PLANES, n_flips: int | None = None, k: int = TOP_K
+) -> str:
+    """Generated DuckDB spelling of lsh_topk at a given (planes,
+    flips, k) setting: identical md5-derived hyperplanes, sign-pattern
+    buckets, hamming-1 multi-probe, and rounded-cosine ranking."""
+    if n_flips is None:
+        n_flips = n_planes
 
     def plane(p: int) -> str:
         return (
@@ -826,10 +876,10 @@ def _lsh_oracle_sql() -> str:
     bucket = " | ".join(
         f"(CASE WHEN list_dot_product(v, {plane(p)}) > 0 "
         f"THEN {1 << p} ELSE 0 END)"
-        for p in range(N_PLANES)
+        for p in range(n_planes)
     )
     probes = ", ".join(
-        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(N_PLANES)]
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_flips)]
     )
     return f"""
 WITH e AS (
@@ -860,28 +910,38 @@ FROM (
          ) AS INTEGER) AS rank
   FROM scored
 ) r
-WHERE rank <= {TOP_K}
+WHERE rank <= {k}
 """
 
 
 ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
 
-# the audit composes the two ANN oracles verbatim as CTE bodies, so a
-# drift in either operand's oracle surfaces here too
-ORACLES["ann_recall_audit"] = f"""
-WITH exact_r AS ({ORACLES["ann_topk_cosine"]}),
-approx_r AS ({ORACLES["ann_lsh_topk"]})
-SELECT e.query_id,
+
+def _recall_audit_oracle_sql() -> str:
+    """Per AUDIT_SETTINGS: compose that setting's exact and LSH
+    oracles verbatim (a drift in either operand's oracle surfaces
+    here too) and union the settings — the settings×recall table."""
+    parts = []
+    for n_planes, n_flips, k in AUDIT_SETTINGS:
+        parts.append(
+            f"""
+SELECT {n_planes} AS n_planes, {n_flips} AS n_flips,
+       e.query_id,
        count(*) AS k,
        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_matched,
        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
             AS DOUBLE) / count(*) AS recall
-FROM exact_r e
-LEFT JOIN approx_r a
+FROM ({_exact_oracle_sql(k)}) e
+LEFT JOIN ({_lsh_oracle_sql(n_planes, n_flips, k)}) a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """
+        )
+    return " UNION ALL ".join(f"({p})" for p in parts)
+
+
+ORACLES["ann_recall_audit"] = _recall_audit_oracle_sql()
 
 ORACLES["ann_topk_quantized"] = f"""
 WITH e AS (
