@@ -136,6 +136,41 @@ def main() -> None:
     best = min(ingest_runs)
     ingest_rps = round(n_frames / best, 1)
 
+    # skew-stress: the heavy-hitter variant (one user owns ~50% of
+    # events). Times the salted two-phase aggregate vs the plain
+    # group-by over the SAME skewed data — the per-round evidence that
+    # the salted path holds under an actual hot key (VERDICT r5 #3).
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.operators.skew import salted_user_stats
+    from angelone_clickhouse_spark.sources.skewed import write_skewed_fixture
+
+    skew_secs: dict[str, float] = {}
+    with tempfile.TemporaryDirectory() as d:
+        write_skewed_fixture(spark, SF_DIR, d)
+        for label, frame in (
+            ("salted", lambda: salted_user_stats(spark, d)),
+            (
+                "plain",
+                lambda: spark.read.parquet(f"{d}/events.parquet")
+                .groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    (
+                        F.sum(F.round(F.col("value") * 100).cast("long"))
+                        / F.lit(100.0)
+                    ).alias("total_value"),
+                    F.max("value").alias("max_value"),
+                ),
+            ),
+        ):
+            runs = []
+            for _ in range(RUNS):
+                t0 = time.time()
+                frame().write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            skew_secs[label] = round(statistics.median(runs), 3)
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "wall_clock_all_queries",
@@ -153,6 +188,10 @@ def main() -> None:
         # and the rows/s figure is startup-bound, not throughput
         "ingest_warm_pass_sec": round(ingest_warm, 3),
         "ingest_run_secs": [round(r, 3) for r in ingest_runs],
+        # salted vs plain aggregate over the heavy-hitter fixture (one
+        # user owns ~50% of events): the salted path's overhead vs the
+        # straight group-by on the same skewed data
+        "skew_secs": skew_secs,
         # queries whose interleaved runs spread > VARIANCE_RATIO: their
         # medians carry host noise — compare those across rounds with
         # care (full run arrays are in query_run_secs)
@@ -181,6 +220,7 @@ def main() -> None:
         "n_queries": len(timings),
         "bench_runs": RUNS,
         "ingest_rows_per_sec": ingest_rps,
+        "skew_secs": skew_secs,
         "n_failures": len(failures),
         "n_high_variance": len(high_variance),
         "detail_file": "bench_full.json",
