@@ -102,6 +102,7 @@ def generate_frames_and_truth(
     duplicate_every: int = 0,
     corrupt_every: int = 0,
     start_ms: int = EPOCH_2024_MS,
+    seq_start: int = 0,
 ) -> tuple[list[bytes], list[dict]]:
     """Deterministic frame stream plus its ground truth: per-token price
     random walks, mixed mode-1/mode-3 frames, optional duplicated
@@ -129,7 +130,11 @@ def generate_frames_and_truth(
             mode=mode,
             exchange_type=exch,
             token=token,
-            sequence_number=i,
+            # seq_start lets multi-segment fixtures (e.g. one call per
+            # day) keep (token, sequence_number) globally unique — the
+            # stream dedup key; overlapping ranges would be dropped as
+            # retransmits by design
+            sequence_number=seq_start + i,
             exchange_timestamp_ms=ts,
             ltp_paise=px,
             ltq=rng.randint(1, 1000),
@@ -184,9 +189,10 @@ def generate_frames(
     duplicate_every: int = 0,
     corrupt_every: int = 0,
     start_ms: int = EPOCH_2024_MS,
+    seq_start: int = 0,
 ) -> list[bytes]:
     return generate_frames_and_truth(
-        n, seed, duplicate_every, corrupt_every, start_ms
+        n, seed, duplicate_every, corrupt_every, start_ms, seq_start
     )[0]
 
 
@@ -254,3 +260,30 @@ def write_frames_parquet(spark, frames: list[bytes], path: str, n_files: int = 4
     (each micro-batch picks up whole files — deterministic, unlike a
     socket)."""
     frames_df(spark, frames).repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def write_frames_parquet_ordered(frames: list[bytes], path: str, n_files: int = 4):
+    """Time-ordered replay fixture: file i holds the i-th contiguous
+    chunk of ``frames``, written sequentially so the file stream source
+    (oldest-modified first) replays event time monotonically.
+
+    ``write_frames_parquet``'s repartition round-robins rows across
+    files, which interleaves the whole time span into every micro-batch
+    — fine for single-interval fixtures, but a multi-day replay then
+    advances the watermark to the end on epoch 0 and every subsequent
+    earlier-day row is dropped as late. Long-haul soak tests need this
+    ordered variant (the contract a real catch-up replay satisfies:
+    bounded disorder within the watermark delay)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    per = (len(frames) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = frames[i * per : (i + 1) * per]
+        pq.write_table(
+            pa.table({"frame": pa.array(chunk, type=pa.binary())}),
+            os.path.join(path, f"file{i:03d}.parquet"),
+        )

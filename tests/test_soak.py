@@ -1,0 +1,184 @@
+"""Streaming long-haul soak (VERDICT r5 #8): >= 20 micro-batch
+triggers through the maintained rollup and the stateful gap-session
+operator, with a mid-stream stop/restart injected, asserting the end
+state equals a one-shot batch recomputation.
+
+This hardens the at-least-once idempotence machinery (per-partition
+_last_epoch markers, checkpointed operator state, file-sink commit
+log) beyond the 2-4-epoch tests: a restart lands between epochs with
+state half-built, and any double-fold, lost epoch, or resurrected
+duplicate shows up as a value diff against the batch recompute.
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from angelone_clickhouse_spark.sources.decoder import decode_frames, wire_to_ticks
+from angelone_clickhouse_spark.sources.frames import (
+    EPOCH_2024_MS,
+    frames_df,
+    generate_frames,
+    write_frames_parquet_ordered,
+)
+from angelone_clickhouse_spark.sources.tables import load_table
+
+MIN_TRIGGERS = 20
+
+
+def _run_until_progress(query, n_progress: int, timeout_s: float = 90.0) -> int:
+    """Let a streaming query run until it has reported ``n_progress``
+    batch progresses (or finished), then stop it. Returns how many
+    progresses it logged."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if not query.isActive:
+            break
+        if len(query.recentProgress) >= n_progress:
+            break
+        time.sleep(0.2)
+    n = len(query.recentProgress)
+    if query.isActive:
+        query.stop()
+    query.awaitTermination(60)
+    return n
+
+
+def test_rollup_soak_with_restart(spark, tmp_path):
+    """24 single-file epochs over 3 days of frames; the maintainer is
+    killed mid-run and restarted on the same checkpoint + table. The
+    maintained table must equal the batch rollup over all frames."""
+    from angelone_clickhouse_spark.streaming.rollup import (
+        maintain_daily_rollup,
+        read_rollup,
+    )
+
+    day_ms = 86_400_000
+    frames = []
+    for day, seed in enumerate((41, 42, 43)):
+        # disjoint seq_start per day: (token, sequence_number) is the
+        # stream's dedup key, so reused ranges would be dropped as
+        # retransmits
+        frames += generate_frames(
+            1200,
+            seed=seed,
+            start_ms=EPOCH_2024_MS + day * day_ms,
+            seq_start=day * 1_000_000,
+        )
+    d = str(tmp_path)
+    # time-ordered files: a multi-day replay must advance the
+    # watermark monotonically or earlier days arrive "late" and the
+    # stream dedup drops them (see write_frames_parquet_ordered)
+    write_frames_parquet_ordered(frames, f"{d}/in", n_files=24)
+
+    q1 = maintain_daily_rollup(
+        spark, f"{d}/in", f"{d}/table", f"{d}/ckpt", max_files_per_trigger=1
+    )
+    n1 = _run_until_progress(q1, 8)  # injected mid-stream stop
+    q2 = maintain_daily_rollup(
+        spark, f"{d}/in", f"{d}/table", f"{d}/ckpt", max_files_per_trigger=1
+    )
+    q2.awaitTermination(240)
+    n2 = len(q2.recentProgress)
+    assert n1 + n2 >= MIN_TRIGGERS, (n1, n2)
+
+    got = sorted(map(tuple, read_rollup(spark, f"{d}/table").collect()))
+    ticks = wire_to_ticks(decode_frames(frames_df(spark, frames))).dropDuplicates(
+        ["token", "sequence_number"]
+    )
+    expected = sorted(
+        map(
+            tuple,
+            ticks.groupBy("token", F.to_date("ts").alias("day"))
+            .agg(
+                F.min_by("open_price", "sequence_number").alias("open"),
+                F.max_by("close_price", "sequence_number").alias("close"),
+                F.max("high_price").alias("high"),
+                F.min("low_price").alias("low"),
+                F.sum("volume").alias("total_volume"),
+                F.count(F.lit(1)).alias("n_ticks"),
+            )
+            .select(
+                "token", "day", "open", "close", "high", "low",
+                "total_volume", "n_ticks",
+            )
+            .collect(),
+        )
+    )
+    assert len(got) > 3
+    assert got == expected
+
+
+def test_gap_sessions_soak_with_restart(spark, sf_dir, tmp_path):
+    """Events replayed as 20 time-ordered single-file epochs into the
+    applyInPandasWithState sessionizer with an exactly-once file sink;
+    killed mid-run, restarted on the same checkpoint. Emitted sessions
+    must equal the batch sessionization minus each user's final
+    (still-open) session."""
+    from angelone_clickhouse_spark.operators.sessionize import sessionize_events
+    from angelone_clickhouse_spark.streaming.sessions import streaming_sessionize
+
+    d = str(tmp_path)
+    ev = load_table(spark, sf_dir, "events")
+    # 20 time-ordered chunks: ntile over event-time order
+    ranked = ev.withColumn(
+        "_chunk", F.ntile(MIN_TRIGGERS).over(Window.orderBy("ts", "event_id"))
+    )
+    for c in range(1, MIN_TRIGGERS + 1):
+        ranked.filter(F.col("_chunk") == c).drop("_chunk").coalesce(1).write.parquet(
+            f"{d}/stage/p{c:02d}"
+        )
+    import os
+
+    os.makedirs(f"{d}/in", exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(f"{d}/stage/p*/part-*.parquet"))):
+        shutil.move(f, f"{d}/in/file{i:02d}.parquet")
+    shutil.rmtree(f"{d}/stage")
+
+    def start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/in")
+        )
+        return (
+            streaming_sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", f"{d}/out")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    n1 = _run_until_progress(q1, 7)  # injected mid-stream stop
+    q2 = start()
+    q2.awaitTermination(240)
+    n2 = len(q2.recentProgress)
+    assert n1 + n2 >= MIN_TRIGGERS, (n1, n2)
+
+    # batch read honors the file sink's _spark_metadata commit log, so
+    # an uncommitted replayed epoch can never leak duplicates
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(f"{d}/out").collect()
+    }
+    batch = sessionize_events(spark, sf_dir)
+    last = batch.groupBy("user_id").agg(F.max("session_seq").alias("last_seq"))
+    closed = batch.join(
+        last,
+        (batch.user_id == last.user_id) & (batch.session_seq == last.last_seq),
+        "left_anti",
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in closed.collect()
+    }
+    assert len(got) > 0
+    assert got == expected
