@@ -32,96 +32,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # row — sits inside that window; everything else rotates behind position 50
 # (kept registered: they still run in bench.py, pytest, and check_parity).
 #
-# Round-5 window layout (VERDICT r4 items 1, 2):
-# (a) the 9 queries added late in round 4 that have never earned a driver
-#     CORRECTNESS row, plus every query NEW this round (sections a–a3:
-#     sketches, rollups, the TPC-H battery completion, the LLM-pipeline
-#     additions) — in the window NOW so new surface earns driver rows
-#     the round it ships (the r4 gap this verdict flagged),
-# (b) dedup_clusters_minhash — r4-green but its materialization helper
-#     moved/changed this round (materialize.py), so it re-earns its row,
-# (c) 19 of the 47 queries whose latest green row is CORRECTNESS_r03
-#     (includes every one whose code the checkpoint_dir threading
-#     touched: decontaminate_ngrams/_hashed). The 28 deferred to round 6
-#     (scalar_functions, map_functions, distinct_tokens,
-#     price_percentiles, value_dispersion, json_extract_events,
-#     corpus_top_tokens, multimodal_meta, sql_grouping_sets,
-#     salted_user_stats, vwap_daily, twap_hourly, price_histogram,
-#     price_outliers, sequence_pack, doc_repetition, dataset_split,
-#     pii_redact, cap_per_source, quality_quantile_gate,
-#     weekly_retention, event_type_funnel, event_sliding_windows,
-#     gap_sessions, sample_stratified,
-#     ann_topk_fast, text_langid, multimodal_features) are untouched
-#     stable entries, still guarded every pytest run by
-#     tests/test_full_parity.
+# Round-6 window layout (VERDICT r5 items 1, plus this round's edits):
+# (a) all 28 entries whose latest green row is CORRECTNESS_r03 — the
+#     rotation debt VERDICT r5 named; after this round nothing in the
+#     registry is more than two rounds stale,
+# (b) the 2 entries NEW this round (skew-stress aggregate, epoch cap),
+# (c) every entry whose implementation changed this round and so
+#     re-earns its row: the trunc_ntz rewrite (minute/hourly/daily
+#     bars, ingest_load_shed, resample_ffill, asof_price_lookup,
+#     tick_interval_join), the semdedup broadcast removal, the
+#     ANN parameterization (ann_recall_audit/ann_lsh_topk/
+#     ann_topk_cosine), and the real-WAV multimodal change
+#     (frame_sample; multimodal_meta/features are in (a)),
+# (d) 8 filler slots rotating the oldest untouched r4-green entries
+#     (dedup family, sessionize, tokens_by_exchange).
+# Everything outside the window is still guarded every pytest run by
+# tests/test_full_parity at sf0.001.
 _PRIORITY = [
-    # (a) never-driver-verified (added late r4) + new this round
-    "dedup_survivors",
-    "chunk_documents",
-    "decontaminate_fingerprint",
-    "event_transitions",
-    "frame_sample",
-    "top_tokens_sketch",
-    "price_quantiles_kll",
-    "distinct_users_theta",
+    # (a) r3-green rotation — scalar/relational/event surface
+    "scalar_functions",
+    "map_functions",
+    "distinct_tokens",
+    "price_percentiles",
+    "value_dispersion",
+    "json_extract_events",
+    "sql_grouping_sets",
+    "salted_user_stats",
+    "weekly_retention",
+    "event_type_funnel",
+    "event_sliding_windows",
+    "gap_sessions",
+    # (a) r3-green rotation — timeseries / finance
+    "vwap_daily",
+    "twap_hourly",
+    "price_histogram",
+    "price_outliers",
+    # (a) r3-green rotation — LLM pipeline / curation / text
+    "corpus_top_tokens",
+    "sequence_pack",
+    "doc_repetition",
+    "dataset_split",
+    "pii_redact",
+    "cap_per_source",
+    "quality_quantile_gate",
+    "sample_stratified",
+    "text_langid",
+    # (a) r3-green rotation — similarity / multimodal
+    "ann_topk_fast",
+    "multimodal_meta",
+    "multimodal_features",
+    # (b) new this round
+    "skewed_hot_user_stats",
+    "epoch_cap_events",
+    # (c) re-earn: trunc_ntz rewrite touched these plans
+    "minute_bars",
     "hourly_bars_rollup",
     "daily_bars_rollup",
-    "distinct_users_hll",
-    "doc_unigram_logprob",
-    # (a2) new TPC-H shape analogues (added this round) — in the
-    #      window so they earn driver rows the round they ship.
-    #      With these nine, all 22 classic TPC-H shapes have a
-    #      fixture-expressible analogue in the registry.
-    "forecast_revenue",
-    "ship_latency_classes",
-    "customer_order_distribution",
-    "small_qty_revenue",
-    "local_supplier_volume",
-    "market_share",
-    "important_brands",
-    "top_supplier_revenue",
-    "dominant_part_suppliers",
-    # (a3) new LLM-pipeline ops (added this round): SemDeDup,
-    #      CCNet-style corpus span dedup, cross-source contamination
-    "semdedup",
-    "span_dedup_corpus",
-    "source_overlap_matrix",
-    "doc_bigram_logprob",
-    "max_drawdown",
-    "rolling_volatility",
-    "pipeline_e2e",
-    "span_dedup_rewrite",
-    "ann_recall_audit",
-    # (b) re-earn after materialize refactor
-    "dedup_clusters_minhash",
-    # (c) r3-green rotation: declared query surface
-    "q1_latest_tick",
-    "q5_daily_ohlcv",
-    "q8_token_stats",
-    # (c) r3-green rotation: relational / window / skew
-    "orders_monthly_growth",
-    "idle_rich_customers",
-    "min_cost_suppliers",
-    # (c) r3-green rotation: similarity / text / multimodal
-    "kmeans_assign",
-    "ann_topk_quantized",
-    "dedup_embedding_fast",
-    "text_fingerprint",
-    # (c) r3-green rotation: LLM pipeline / curation
-    "decontaminate_ngrams",
-    "decontaminate_hashed",
-    # (c) r3-green rotation: timeseries / finance — resample/asof
-    #     changed this round (trunc_ntz), so they re-earn rows
+    "ingest_load_shed",
     "resample_ffill",
     "asof_price_lookup",
-    # (c) r3-green rotation: decode / streaming twins
-    "decode_ticks",
-    "decode_ticks_enriched",
-    "minute_bars",
-    "ingest_load_shed",
     "tick_interval_join",
-    # gap_sessions (r3-green, unchanged) deferred to the round-6
-    # rotation with the other stable entries to keep the window at 50
+    # (c) re-earn: semdedup join change, ANN parameterization,
+    #     real-WAV decode path
+    "semdedup",
+    "ann_recall_audit",
+    "ann_lsh_topk",
+    "ann_topk_cosine",
+    "frame_sample",
+    # (d) oldest untouched r4-green rotation filler
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_embedding",
+    "sessionize_events",
+    "tokens_by_exchange",
 ]
 
 

@@ -80,7 +80,37 @@ def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"salted_user_stats": salted_user_stats}
+def skewed_hot_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted path under an ACTUAL heavy hitter: per-user stats
+    over the skew-stress variant of events (sources/skewed.py — one
+    user owns ~50% of rows). The oracle replays the deterministic
+    remap inline, so a green driver row certifies the two-phase
+    aggregate end-to-end on skewed data, not just on the near-uniform
+    base fixture (VERDICT r5 #3)."""
+    from angelone_clickhouse_spark.sources.skewed import skew_events
+
+    ev = skew_events(load_table(spark, sf_dir, "events"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = salted_group_sum(
+        ev,
+        "user_id",
+        n_salts=16,
+        n_events=F.count(F.lit(1)),
+        sum_value_cents=F.sum(cents),
+        max_value=F.max("value"),
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.col("sum_value_cents") / F.lit(100.0)).alias("total_value"),
+        "max_value",
+    )
+
+
+QUERIES = {
+    "salted_user_stats": salted_user_stats,
+    "skewed_hot_user_stats": skewed_hot_user_stats,
+}
 
 ORACLES = {
     "salted_user_stats": """
@@ -91,5 +121,15 @@ SELECT user_id,
        max("value")                                               AS max_value
 FROM events
 GROUP BY user_id
+""",
+    # HOT_USER = 7 (sources/skewed.py): even event_ids remapped
+    "skewed_hot_user_stats": """
+SELECT CASE WHEN event_id % 2 = 0 THEN 7 ELSE user_id END          AS user_id,
+       count(*)                                                   AS n_events,
+       CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS DOUBLE) / 100
+                                                                  AS total_value,
+       max("value")                                               AS max_value
+FROM events
+GROUP BY CASE WHEN event_id % 2 = 0 THEN 7 ELSE user_id END
 """,
 }

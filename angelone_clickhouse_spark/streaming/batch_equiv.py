@@ -201,7 +201,28 @@ def ingest_load_shed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_CAP = 1000  # rows kept of the epoch in global event order
+
+
+def epoch_cap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-queue epoch cap (cap_in_event_order,
+    streaming/ingest.py): keep the first EPOCH_CAP ticks in global
+    (ts, sequence_number, token) order WITHOUT a global sort —
+    per-interval count preaggregation plus a boundary-interval-only
+    rank (VERDICT r5 #4). The oracle is the straight ORDER BY/LIMIT
+    spelling, so a green row proves the boundary decomposition exact
+    (the (ts, seq, token) triple is a total order: no ties to
+    tie-break)."""
+    from angelone_clickhouse_spark.streaming.ingest import cap_in_event_order
+
+    t = ticks(spark, sf_dir)
+    return cap_in_event_order(t, EPOCH_CAP, "hour").select(
+        "token", "ts", "sequence_number", "last_traded_price"
+    )
+
+
 QUERIES = {
+    "epoch_cap_events": epoch_cap_events,
     "minute_bars": minute_bars_batch,
     "hourly_bars_rollup": hourly_bars_rollup,
     "daily_bars_rollup": daily_bars_rollup,
@@ -210,6 +231,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "epoch_cap_events": TICKS_ORACLE_CTE
+    + f"""
+SELECT token, ts, sequence_number, last_traded_price
+FROM ticks
+ORDER BY ts, sequence_number, token
+LIMIT {EPOCH_CAP}
+""",
     # the oracle aggregates hours DIRECTLY from ticks: equality proves
     # the minute->hour partial-merge algebra lossless
     "hourly_bars_rollup": TICKS_ORACLE_CTE

@@ -44,7 +44,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-FULL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+FULL_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_OUT",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+)
 SUMMARY_BUDGET = 1500  # bytes; driver tail window is ~2000
 TOP_K = 30  # slowest-K queries named in the summary line
 VARIANCE_RATIO = 1.5  # max/min spread beyond this flags a noisy median
