@@ -88,7 +88,15 @@ def main() -> int:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+        # realistic file/row-group counts: a naive union writes one file
+        # per upstream partition (documents -> ~1 row group), which
+        # serializes CPU-dense per-row ops into one task — an artifact
+        # 100 TB data doesn't have (millions of row groups). 32 files
+        # matches local[32] the way a real table's row-group count
+        # saturates a cluster.
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
         n = spark.read.parquet(os.path.join(out_dir, f"{t}.parquet")).count()
         print(f"{t}: {n} rows")
     print(f"sf1.0 -> {out_dir}")
