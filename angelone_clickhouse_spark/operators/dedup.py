@@ -84,9 +84,10 @@ def _shingles(docs: DataFrame) -> DataFrame:
     return sh.select("doc_id", F.explode("shingles").alias("shingle"))
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise 3-gram Jaccard >= threshold, with PPJoin-style
-    prefix filtering (Xiao et al., WWW'08).
+def _pairwise_jaccard(docs: DataFrame) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard >= threshold over a
+    (doc_id, text) frame, with PPJoin-style prefix filtering
+    (Xiao et al., WWW'08). Returns (doc_a, doc_b, jaccard).
 
     Candidate generation joins only each document's PREFIX shingles
     instead of all of them: order every doc's shingle set by a global
@@ -98,7 +99,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves, shrinking the dominant shuffle ~4x with identical output
     (verification computes the true intersection on the full sets).
     """
-    docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.split("text", " ").alias("w"))
     sets = w.select(
         "doc_id",
@@ -168,6 +168,84 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "jaccard"
     )
+
+
+def _grouped_pairwise(docs: DataFrame) -> DataFrame:
+    """DUPLICATE-GROUP COLLAPSE around :func:`_pairwise_jaccard`:
+    n-gram Jaccard is a pure function of the text, so byte-identical
+    documents are grouped first (one md5 group-by), the quadratic
+    PPJoin pairwise pass runs on ONE representative per distinct text,
+    and the pair list expands back afterwards: cross-group pairs
+    inherit the representatives' jaccard, within-group pairs are
+    exactly the identical-text pairs at jaccard 1.0 (iff the text has
+    >= 3 words — an empty shingle set never pairs, matching the
+    pairwise spelling's semantics).
+
+    Provably identical output to running the pairwise pass on all
+    docs (tests/test_dedup.py pins it on a duplicated corpus), at
+    cost quadratic in DISTINCT texts instead of total docs: the sf1.0
+    scale run (SCALE.md) showed the naive spelling going super-linear
+    exactly because replication creates 10-deep duplicate groups —
+    real corpora are worse (30%+ exact dups). Expansion is linear in
+    OUTPUT pairs, which is the operator's contract; the clusters
+    consumer (dedup_clusters) would use star edges instead if groups
+    were ever deep enough for C(n,2) to dominate."""
+    groups = docs.groupBy(F.md5("text").alias("tkey")).agg(
+        F.min("doc_id").alias("rep"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+    groups = groups.localCheckpoint(eager=True)  # reused by both branches
+    rep_pairs = _pairwise_jaccard(
+        groups.select(F.col("rep").alias("doc_id"), "text")
+    )
+    mem_a = groups.select(
+        F.col("rep").alias("doc_a"), F.col("members").alias("mem_a")
+    )
+    mem_b = groups.select(
+        F.col("rep").alias("doc_b"), F.col("members").alias("mem_b")
+    )
+    cross = (
+        rep_pairs.join(mem_a, "doc_a")
+        .join(mem_b, "doc_b")
+        .select(
+            F.explode("mem_a").alias("a"), F.col("mem_b"), "jaccard"
+        )
+        .select(
+            F.col("a"), F.explode("mem_b").alias("b"), "jaccard"
+        )
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        groups.filter(
+            (F.size("members") >= 2) & (F.size(F.split("text", " ")) >= 3)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(members) - 2),"
+                    " i -> transform(slice(members, i + 2, size(members) - i - 1),"
+                    "      x -> struct(members[i] AS doc_a, x AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard >= threshold via duplicate-group
+    collapse (see :func:`_grouped_pairwise`)."""
+    return _grouped_pairwise(load_table(spark, sf_dir, "documents"))
 
 
 # --- MinHash + LSH ----------------------------------------------------------

@@ -184,3 +184,45 @@ def test_one_lsh_pass_feeds_clusters_and_survivors(spark, sf_dir):
         map(tuple, dedup_survivors(spark, sf_dir).collect())
     )
     assert len(composed_survivors) > 0
+
+
+def test_grouped_pairwise_equals_naive_on_duplicated_corpus(spark, sf_dir):
+    """The duplicate-group collapse must be output-identical to the
+    naive all-docs pairwise pass on a corpus WITH exact duplicates
+    (the base fixture has none, so this path needs its own corpus):
+    group sizes 1, 2, and 3, plus a duplicated short (<3-word) doc
+    whose identical pair must NOT appear (empty shingle sets never
+    pair)."""
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.operators.dedup import (
+        _grouped_pairwise,
+        _pairwise_jaccard,
+    )
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copy1 = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    copy2 = (
+        base.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    )
+    shorty = spark.createDataFrame(
+        [(9_000_001, "two words"), (9_000_002, "two words")],
+        "doc_id long, text string",
+    )
+    corpus = base.unionByName(copy1).unionByName(copy2).unionByName(shorty)
+
+    naive = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _pairwise_jaccard(corpus).collect()
+    }
+    collapsed = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _grouped_pairwise(corpus).collect()
+    }
+    assert collapsed == naive
+    # the duplicated groups actually produced within-group pairs ...
+    assert any(j == 1.0 for _, _, j in collapsed)
+    # ... but not for the <3-word duplicated doc
+    assert not any(a == 9_000_001 or b == 9_000_002 for a, b, _ in collapsed)
