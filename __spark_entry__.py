@@ -84,6 +84,7 @@ _PRIORITY = [
     # (b) new this round
     "skewed_hot_user_stats",
     "epoch_cap_events",
+    "doc_containment",
     # (c) re-earn: trunc_ntz rewrite touched these plans
     "minute_bars",
     "hourly_bars_rollup",
@@ -107,7 +108,8 @@ _PRIORITY = [
     "dedup_clusters",
     "dedup_embedding",
     "sessionize_events",
-    "tokens_by_exchange",
+    # tokens_by_exchange rotates next round: displaced by
+    # doc_containment so new surface earns its driver row this round
 ]
 
 

@@ -422,7 +422,74 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_TAU = 0.5  # fraction of src fingerprints found in dst
+
+
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment detection over winnowing fingerprints
+    (the curation op next to span dedup: a doc whose fingerprint set
+    is mostly inside another's is a quote/mirror/superset candidate):
+    emit (doc_src, doc_dst) where |fp(src) ∩ fp(dst)| / |fp(src)| >=
+    CONTAIN_TAU, src != dst. Containment is asymmetric — a short doc
+    quoted whole inside a long one scores 1.0 forward, low backward —
+    which is exactly what symmetric Jaccard dedup misses.
+
+    Shape: inverted fingerprint index self-join (fp -> docs) + a
+    count aggregate per directed pair — one shuffle on the
+    fingerprint, one on the pair; no arrays carried through the join.
+    Scale notes: winnowing already thins shingles ~1/FP_WINDOW; at
+    100 TB add a document-frequency cap on the inverted index (drop
+    fingerprints appearing in more than ~10^3 docs — stopword-like
+    n-grams carry no containment signal and create the only hot
+    postings). Division is exact-int -> one IEEE divide, rounded to 6
+    on both engines; the threshold filters the ROUNDED value so the
+    boundary is engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(w) >= 3 THEN "
+            "transform(sequence(0, size(w) - 3), "
+            "i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2])))"
+            " ELSE CAST(array() AS ARRAY<STRING>) END"
+        ).alias("hs"),
+    ).filter(F.size("hs") >= FP_WINDOW)
+    fps = hashed.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(hs) - {FP_WINDOW}), "
+                f"i -> array_min(slice(hs, i + 1, {FP_WINDOW})))"
+            )
+        ).alias("fp"),
+    ).withColumn("n_fp", F.size("fp"))
+    fps = fps.localCheckpoint(eager=True)  # feeds both join sides + sizes
+    inv = fps.select("doc_id", F.explode("fp").alias("f"))
+    a = inv.select(F.col("doc_id").alias("doc_src"), "f")
+    b = inv.select(F.col("doc_id").alias("doc_dst"), "f")
+    common = (
+        a.join(b, "f")
+        .filter(F.col("doc_src") != F.col("doc_dst"))
+        .groupBy("doc_src", "doc_dst")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = fps.select(
+        F.col("doc_id").alias("doc_src"), F.col("n_fp").alias("n_src")
+    )
+    return (
+        common.join(sizes, "doc_src")
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_src"), 6)
+        )
+        .filter(F.col("containment") >= CONTAIN_TAU)
+        .select("doc_src", "doc_dst", "n_common", "containment")
+    )
+
+
 QUERIES = {
+    "doc_containment": doc_containment,
     "text_token_stats": text_token_stats,
     "text_tokenize_regex": text_tokenize_regex,
     "text_quality": text_quality,
@@ -433,6 +500,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_containment": f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(generate_series(1, len(ws) - 2),
+                          i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         ELSE [] END AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(hs) - {FP_WINDOW - 1}),
+           i -> list_aggregate(hs[i:i+{FP_WINDOW - 1}], 'min'))) AS fp
+  FROM sh WHERE len(hs) >= {FP_WINDOW}
+),
+inv AS (SELECT doc_id, unnest(fp) AS f FROM fp),
+common AS (
+  SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.f = b.f AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_src, doc_dst, n_common, containment
+FROM (
+  SELECT c.doc_src, c.doc_dst,
+         CAST(c.n_common AS BIGINT) AS n_common,
+         round(c.n_common / len(f.fp), 6) AS containment
+  FROM common c JOIN fp f ON f.doc_id = c.doc_src
+)
+WHERE containment >= {CONTAIN_TAU}
+""",
     "fuzzy_prefix_pairs": f"""
 WITH t AS (
   SELECT doc_id, lang,
