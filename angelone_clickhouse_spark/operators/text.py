@@ -272,7 +272,7 @@ def _fuzzy_seg_bounds() -> list[tuple[int, int, int]]:
     return out
 
 
-def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fuzzy_pairs_core(t: DataFrame) -> DataFrame:
     """Fuzzy string matching — edit-distance self-join with
     CONTENT-DERIVED blocking (PassJoin segment signatures), the
     entity-resolution primitive next to the set-based dedup ladder.
@@ -309,13 +309,6 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated pair set. A skewed segment key (stop-word segment)
     would be handled by AQE skew-join like the dedup ladder's bucket
     skew story."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        "lang",
-        F.expr(f"n_chars div {FUZZY_BLOCK_CHARS}").alias("lb"),
-        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("pfx"),
-    )
     bounds = _fuzzy_seg_bounds()
     full = t.filter(F.length("pfx") == FUZZY_PREFIX_LEN)
     short = t.filter(F.length("pfx") < FUZZY_PREFIX_LEN)
@@ -420,6 +413,76 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`_fuzzy_pairs_core` with DUPLICATE-GROUP COLLAPSE (the
+    dedup.py _grouped_pairwise device): pair membership and the
+    reported distance depend only on (lang, length-bucket, prefix),
+    so docs identical on that key are grouped, the PassJoin core runs
+    on one representative per group, and pairs expand back — cross-
+    group pairs inherit the representatives' distance, within-group
+    pairs are the identical-key pairs at distance 0 (always included:
+    both the full-prefix and short-prefix paths pair identical keys).
+    Output-identical to running the core on all docs (test-pinned on
+    a duplicated corpus); cost quadratic in DISTINCT keys, linear in
+    output pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"n_chars div {FUZZY_BLOCK_CHARS}").alias("lb"),
+        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("pfx"),
+    )
+    groups = (
+        t.groupBy("lang", "lb", "pfx")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint(eager=True)  # feeds core + both expansions
+    )
+    rep_pairs = _fuzzy_pairs_core(
+        groups.select("doc_id", "lang", "lb", "pfx")
+    )
+    mem_a = groups.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("members").alias("mem_a")
+    )
+    mem_b = groups.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("members").alias("mem_b")
+    )
+    cross = (
+        rep_pairs.join(mem_a, "doc_id_a")
+        .join(mem_b, "doc_id_b")
+        .select(F.explode("mem_a").alias("a"), "mem_b", "lang", "dist")
+        .select("a", F.explode("mem_b").alias("b"), "lang", "dist")
+        .select(
+            F.least("a", "b").alias("doc_id_a"),
+            F.greatest("a", "b").alias("doc_id_b"),
+            "lang",
+            "dist",
+        )
+    )
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(members) - 2),"
+                    " i -> transform(slice(members, i + 2, size(members) - i - 1),"
+                    "      x -> struct(members[i] AS doc_a, x AS doc_b))))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("p.doc_a").alias("doc_id_a"),
+            F.col("p.doc_b").alias("doc_id_b"),
+            "lang",
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 CONTAIN_TAU = 0.5  # fraction of src fingerprints found in dst

@@ -36,3 +36,80 @@ def test_fingerprints_stable_and_bounded(spark, sf_dir):
     rows = text_fingerprint(spark, sf_dir).collect()
     for r in rows:
         assert 1 <= r.n_fingerprints <= r.n_shingles
+
+
+def test_fuzzy_pairs_collapse_equals_core_on_duplicated_corpus(spark, sf_dir):
+    """fuzzy_prefix_pairs' duplicate-group collapse must be output-
+    identical to running the PassJoin core on every doc, on a corpus
+    WITH duplicated (lang, length-bucket, prefix) keys."""
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.operators.text import (
+        FUZZY_BLOCK_CHARS,
+        FUZZY_PREFIX_LEN,
+        _fuzzy_pairs_core,
+    )
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", "n_chars", "text")
+    copy1 = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    copy2 = (
+        base.filter(F.col("doc_id") % 4 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    )
+    corpus = base.unionByName(copy1).unionByName(copy2)
+    t = corpus.select(
+        "doc_id",
+        "lang",
+        F.expr(f"n_chars div {FUZZY_BLOCK_CHARS}").alias("lb"),
+        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("pfx"),
+    )
+    naive = {tuple(r) for r in _fuzzy_pairs_core(t).collect()}
+
+    # collapsed spelling, inlined over the synthetic corpus
+    groups = t.groupBy("lang", "lb", "pfx").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+    rep_pairs = _fuzzy_pairs_core(groups.select("doc_id", "lang", "lb", "pfx"))
+    mem_a = groups.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("members").alias("mem_a")
+    )
+    mem_b = groups.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("members").alias("mem_b")
+    )
+    cross = (
+        rep_pairs.join(mem_a, "doc_id_a")
+        .join(mem_b, "doc_id_b")
+        .select(F.explode("mem_a").alias("a"), "mem_b", "lang", "dist")
+        .select("a", F.explode("mem_b").alias("b"), "lang", "dist")
+        .select(
+            F.least("a", "b").alias("doc_id_a"),
+            F.greatest("a", "b").alias("doc_id_b"),
+            "lang",
+            "dist",
+        )
+    )
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(members) - 2),"
+                    " i -> transform(slice(members, i + 2, size(members) - i - 1),"
+                    "      x -> struct(members[i] AS doc_a, x AS doc_b))))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("p.doc_a").alias("doc_id_a"),
+            F.col("p.doc_b").alias("doc_id_b"),
+            "lang",
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    collapsed = {tuple(r) for r in cross.unionByName(within).collect()}
+    assert collapsed == naive
+    assert any(d == 0 for *_, d in collapsed)  # within-group pairs exercised
