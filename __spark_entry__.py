@@ -94,7 +94,8 @@ _PRIORITY = [
     "asof_price_lookup",
     "tick_interval_join",
     # (c) re-earn: semdedup join change, ANN parameterization,
-    #     real-WAV decode path
+    #     real-WAV decode path, fuzzy collapse rewrite
+    "fuzzy_prefix_pairs",
     "semdedup",
     "ann_recall_audit",
     "ann_lsh_topk",
@@ -107,9 +108,9 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_embedding",
-    "sessionize_events",
-    # tokens_by_exchange rotates next round: displaced by
-    # doc_containment so new surface earns its driver row this round
+    # sessionize_events and tokens_by_exchange rotate next round:
+    # displaced by doc_containment and the fuzzy_prefix_pairs re-earn
+    # so new/changed surface gets driver rows this round
 ]
 
 
