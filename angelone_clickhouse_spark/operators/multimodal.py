@@ -50,6 +50,33 @@ WAV_BITS = 8  # expected features from these, the decoder READS them
 WAV_HEADER_BYTES = 44  # back out of the RIFF header
 
 
+PPM_WIDTH = 32  # fixed image width; height = ceil(data / (3*width))
+
+
+@F.pandas_udf(BinaryType())
+def _wrap_ppm(data: pd.Series) -> pd.Series:
+    """Wrap raw bytes as a binary PPM (P6) image: fixed width
+    PPM_WIDTH, height = ceil(len/3*width), pixel buffer = the bytes
+    zero-padded to exactly w*h*3.
+
+    Injective for NUL-free inputs (UTF-8 text never contains 0x00):
+    equal payloads need equal heights, and within a height the
+    zero-padding cannot collide two distinct texts — so distinct-count
+    aggregates over the wrapped column equal those over the raw
+    text (multimodal_meta relies on this, same as _wrap_wav)."""
+
+    def ppm(b: bytes) -> bytes:
+        b = bytes(b)
+        row = 3 * PPM_WIDTH
+        h = max(1, -(-len(b) // row))
+        return (
+            f"P6\n{PPM_WIDTH} {h}\n255\n".encode("ascii")
+            + b.ljust(h * row, b"\0")
+        )
+
+    return data.map(ppm)
+
+
 @F.pandas_udf(BinaryType())
 def _wrap_wav(data: pd.Series) -> pd.Series:
     """Wrap raw bytes as a canonical 44-byte-header mono 8-bit PCM WAV.
@@ -82,8 +109,10 @@ def _wrap_wav(data: pd.Series) -> pd.Series:
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the media table: binary content + typed metadata.
     Audio payloads are real WAV files whose 8-bit PCM samples are the
-    document's UTF-8 bytes; image/video payloads are the raw text
-    bytes standing in for opaque codec data."""
+    document's UTF-8 bytes; image payloads are real binary PPM (P6)
+    files whose pixel buffer is those bytes zero-padded to the raster;
+    video payloads are the raw text bytes standing in for opaque codec
+    data (no stdlib-parsable video container exists)."""
     docs = load_table(spark, sf_dir, "documents")
     mt = (
         F.when(F.col("doc_id") % 3 == 0, MEDIA_TYPES[0])
@@ -94,7 +123,10 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         mt.alias("media_type"),
-        F.when(mt == "audio", _wrap_wav(raw)).otherwise(raw).alias("content"),
+        F.when(mt == "audio", _wrap_wav(raw))
+        .when(mt == "image", _wrap_ppm(raw))
+        .otherwise(raw)
+        .alias("content"),
         F.struct(
             F.col("source").alias("origin"),
             F.col("n_chars").cast("long").alias("declared_size"),
@@ -147,22 +179,46 @@ def _decode_wav(content: bytes) -> tuple[int, int, int]:
         return w.getframerate(), 8 * w.getsampwidth(), n_frames
 
 
+def _decode_ppm(content: bytes) -> tuple[int, int, int]:
+    """REAL image decode: parse the PPM (P6) header and verify the
+    pixel raster. Returns (width, height, 1); raises ValueError on a
+    malformed header, unsupported maxval, or truncated raster — a
+    corrupt payload fails loudly, never yields fake features."""
+    parts = content.split(b"\n", 3)
+    if len(parts) != 4 or parts[0] != b"P6":
+        raise ValueError(f"not a binary PPM: {content[:16]!r}")
+    try:
+        w, h = (int(x) for x in parts[1].split())
+    except Exception as e:  # noqa: BLE001 — normalize header errors
+        raise ValueError(f"bad PPM dims: {parts[1]!r}") from e
+    if parts[2] != b"255":
+        raise ValueError(f"unsupported maxval: {parts[2]!r}")
+    if w <= 0 or h <= 0 or len(parts[3]) != w * h * 3:
+        raise ValueError(
+            f"truncated raster: {len(parts[3])} != {w}*{h}*3"
+        )
+    return w, h, 1
+
+
 def _decode_stub(media_type: str, content: bytes) -> tuple[int, int, int]:
     """Decode dispatch. Audio goes through the REAL WAV parser
-    (:func:`_decode_wav`); image/video are STUBS — the real
-    implementation would call Pillow/ffmpeg here (not available in
-    this container): a deterministic fake keyed on content so tests
-    are stable. Raises for unknown media types exactly as a real
-    decoder would.
+    (:func:`_decode_wav`) and image through the REAL PPM parser
+    (:func:`_decode_ppm`); video is the one remaining STUB — the real
+    implementation would call ffmpeg here (no stdlib video codec
+    exists): a deterministic fake keyed on content so tests are
+    stable. Raises for unknown media types exactly as a real decoder
+    would.
     """
     if media_type == "audio":
         return _decode_wav(content)
+    if media_type == "image":
+        return _decode_ppm(content)
     if media_type not in MEDIA_TYPES:
         raise NotImplementedError(f"no decoder for media_type={media_type!r}")
     h = int.from_bytes(content[:8].ljust(8, b"\0"), "little")
     width = 64 + (h % 1024)
     height = 64 + ((h >> 10) % 1024)
-    n_frames = 1 if media_type == "image" else 1 + (h >> 20) % 300
+    n_frames = 1 + (h >> 20) % 300
     return width, height, n_frames
 
 
@@ -272,22 +328,33 @@ WITH m AS (
          octet_length(encode(text)) AS dlen
   FROM documents
 ),
--- audio features are the WAV construction params (sample_rate 8000,
--- 8-bit, n_frames = PCM byte count, 44-byte header); Spark reads them
--- BACK out of the real container with the stdlib wave module, so
--- equality proves a genuine header+frames round-trip
+-- audio/image features are the WAV/PPM construction params (sample
+-- rate, bits, PCM byte count / raster dims); Spark reads them BACK
+-- out of the real containers (stdlib wave module, P6 header parse),
+-- so equality proves genuine header+payload round-trips. himg =
+-- PPM height = ceil(data/96) at fixed width 32; the PPM header
+-- 'P6\\n32 {{h}}\\n255\\n' is 11 + len(str(h)) bytes
 f AS (
   SELECT media_type,
          CAST(CASE WHEN media_type = 'audio' THEN dlen + {WAV_HEADER_BYTES}
+                   WHEN media_type = 'image'
+                     THEN 11 + length(CAST(himg AS VARCHAR)) + himg * {3 * PPM_WIDTH}
                    ELSE dlen END AS BIGINT) AS blen,
          CAST(CASE WHEN media_type = 'audio' THEN {WAV_SAMPLE_RATE}
+                   WHEN media_type = 'image' THEN {PPM_WIDTH}
                    ELSE 64 + (h % 1024) END AS BIGINT) AS width,
          CAST(CASE WHEN media_type = 'audio' THEN {WAV_BITS}
+                   WHEN media_type = 'image' THEN himg
                    ELSE 64 + ((h // 1024) % 1024) END AS BIGINT) AS height,
          CAST(CASE WHEN media_type = 'image' THEN 1
                    WHEN media_type = 'audio' THEN dlen
                    ELSE 1 + (h // 1048576) % 300 END AS INT) AS n_frames
-  FROM (SELECT media_type, dlen, ({_H_BYTES}) AS h FROM m)
+  FROM (SELECT media_type, dlen,
+               CASE WHEN dlen = 0 THEN 1
+                    ELSE (dlen + {3 * PPM_WIDTH - 1}) // {3 * PPM_WIDTH} END
+                 AS himg,
+               ({_H_BYTES}) AS h
+        FROM m)
 )
 SELECT media_type,
        count(*) AS n_items,
@@ -326,27 +393,38 @@ FROM f, UNNEST(generate_series(0, {FRAME_SAMPLES - 1})) AS t(j)
 ORACLES = {
     "multimodal_features": _FEATURES_ORACLE,
     "frame_sample": _FRAME_SAMPLE_ORACLE,
-    "multimodal_meta": """
+    "multimodal_meta": f"""
 WITH m AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
          encode(text) AS content,
-         -- md5 of the UTF-8 bytes; for audio the engine hashes the
-         -- WAV container, but the wrap is injective (header is a pure
-         -- function of the data length), so DISTINCT COUNTS agree
+         -- md5 of the UTF-8 bytes; for audio/image the engine hashes
+         -- the WAV/PPM container, but both wraps are injective
+         -- (headers are pure functions of the data length; PPM NUL
+         -- padding cannot collide NUL-free UTF-8 text), so DISTINCT
+         -- COUNTS agree
          md5(text)    AS content_md5
   FROM documents
 )
 SELECT media_type,
        count(*)                                    AS n_items,
-       CAST(sum(octet_length(content)
-                + CASE WHEN media_type = 'audio' THEN 44 ELSE 0 END)
+       CAST(sum(CASE media_type
+                WHEN 'audio' THEN octet_length(content) + {WAV_HEADER_BYTES}
+                WHEN 'image' THEN 11 + length(CAST(himg AS VARCHAR))
+                                  + himg * {3 * PPM_WIDTH}
+                ELSE octet_length(content) END)
             AS BIGINT)                             AS total_bytes,
        count(DISTINCT content_md5)                 AS n_distinct_payloads,
        min(doc_id)                                 AS first_doc_id
-FROM m
+FROM (
+  SELECT *,
+         CASE WHEN octet_length(content) = 0 THEN 1
+              ELSE (octet_length(content) + {3 * PPM_WIDTH - 1})
+                   // {3 * PPM_WIDTH} END AS himg
+  FROM m
+)
 GROUP BY media_type
 """,
 }

@@ -3,9 +3,11 @@ from __future__ import annotations
 import pytest
 
 from angelone_clickhouse_spark.operators.multimodal import (
+    PPM_WIDTH,
     WAV_BITS,
     WAV_HEADER_BYTES,
     WAV_SAMPLE_RATE,
+    _decode_ppm,
     _decode_stub,
     _decode_wav,
     extract_features,
@@ -56,11 +58,14 @@ def test_extract_features_deterministic(spark, sf_dir):
             assert width == WAV_SAMPLE_RATE
             assert height == WAV_BITS
             assert n_frames == byte_len - WAV_HEADER_BYTES
+        elif media_type == "image":
+            # real decode: P6 header dims + verified raster
+            assert width == PPM_WIDTH
+            assert height >= 1
+            assert n_frames == 1
+            assert byte_len == 11 + len(str(height)) + height * 3 * PPM_WIDTH
         else:
             assert 64 <= width < 64 + 1024
-        if media_type == "image":
-            assert n_frames == 1
-        elif media_type == "video":
             assert n_frames >= 1
 
 
@@ -85,6 +90,37 @@ def test_decode_wav_rejects_malformed():
     )
     with pytest.raises((ValueError, EOFError, wave.Error)):
         _decode_wav(hdr)
+
+
+def test_image_payloads_are_real_ppm(spark, sf_dir):
+    """Image content must be a well-formed binary PPM the real parser
+    decodes, with the document bytes as the raster prefix."""
+    rows = (
+        media_table(spark, sf_dir)
+        .filter("media_type = 'image'")
+        .limit(5)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        blob = bytes(r.content)
+        assert blob.startswith(b"P6\n")
+        w, h, n = _decode_ppm(blob)
+        assert (w, n) == (PPM_WIDTH, 1)
+        raster = blob.split(b"\n", 3)[3]
+        assert len(raster) == w * h * 3
+        assert raster.rstrip(b"\0") or h == 1  # text prefix + NUL pad
+
+
+def test_decode_ppm_rejects_malformed():
+    with pytest.raises(ValueError):
+        _decode_ppm(b"JFIF not a ppm")
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n4 x\n255\nxxxx")
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n2 2\n255\nshort")  # truncated raster
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 12)  # bad maxval
 
 
 def test_decode_stub_rejects_unknown_type():
