@@ -279,11 +279,21 @@ def write_frames_parquet_ordered(frames: list[bytes], path: str, n_files: int = 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import time
+
     os.makedirs(path, exist_ok=True)
     per = (len(frames) + n_files - 1) // n_files
+    base = time.time() - n_files  # strictly past, 1 s apart
     for i in range(n_files):
         chunk = frames[i * per : (i + 1) * per]
+        fp = os.path.join(path, f"file{i:03d}.parquet")
         pq.write_table(
-            pa.table({"frame": pa.array(chunk, type=pa.binary())}),
-            os.path.join(path, f"file{i:03d}.parquet"),
+            pa.table({"frame": pa.array(chunk, type=pa.binary())}), fp
         )
+        # FileStreamSource orders ONLY by modification time, and
+        # back-to-back writes tie at ms granularity — ties replay in
+        # arbitrary order, and a next-day file picked before the prior
+        # day's last files pushes the watermark ~24 h ahead, late-
+        # dropping them (observed: exactly one repro in ~3 soak runs).
+        # Explicit 1 s-spaced mtimes make the replay order total.
+        os.utime(fp, (base + i, base + i))

@@ -23,6 +23,16 @@ shuffles on the dedup key with watermark-bounded state; the sink writes
 one file per partition per epoch — at 100 TB you'd widen
 `trigger(processingTime)` and compact small files asynchronously, but
 the plan shape is unchanged.
+
+Operational note (multi-day catch-up replay): the file stream source
+orders files ONLY by modification time, and ties replay in arbitrary
+order. A replay spanning more event time than the watermark delay
+must therefore guarantee strictly increasing mtimes in event-time
+order (or widen the watermark for the backfill) — a next-day file
+picked up before the prior day's last files advances the watermark
+past them and the dedup operator late-drops whole files. Found by
+the round-6 restart soak; `write_frames_parquet_ordered` (fixtures)
+stamps explicit 1 s-spaced mtimes for exactly this reason.
 """
 
 from __future__ import annotations

@@ -31,6 +31,16 @@ from angelone_clickhouse_spark.sources.tables import load_table
 MIN_TRIGGERS = 20
 
 
+def _n_commits(ckpt_dir: str) -> int:
+    """Committed micro-batches in a checkpoint (both queries share
+    it, so this counts triggers across the restart)."""
+    import os
+
+    return len(
+        [f for f in os.listdir(f"{ckpt_dir}/commits") if f.isdigit()]
+    )
+
+
 def _run_until_progress(query, n_progress: int, timeout_s: float = 90.0) -> int:
     """Let a streaming query run until it has reported ``n_progress``
     batch progresses (or finished), then stop it. Returns how many
@@ -85,7 +95,8 @@ def test_rollup_soak_with_restart(spark, tmp_path):
     )
     q2.awaitTermination(240)
     n2 = len(q2.recentProgress)
-    assert n1 + n2 >= MIN_TRIGGERS, (n1, n2)
+    assert _n_commits(f"{d}/ckpt") >= MIN_TRIGGERS, (n1, n2)
+    assert n1 >= 2 and n2 >= 2, (n1, n2)  # the stop landed mid-stream
 
     got = sorted(map(tuple, read_rollup(spark, f"{d}/table").collect()))
     ticks = wire_to_ticks(decode_frames(frames_df(spark, frames))).dropDuplicates(
@@ -136,8 +147,15 @@ def test_gap_sessions_soak_with_restart(spark, sf_dir, tmp_path):
     import os
 
     os.makedirs(f"{d}/in", exist_ok=True)
+    base = time.time() - MIN_TRIGGERS
     for i, f in enumerate(sorted(glob.glob(f"{d}/stage/p*/part-*.parquet"))):
-        shutil.move(f, f"{d}/in/file{i:02d}.parquet")
+        dst = f"{d}/in/file{i:02d}.parquet"
+        shutil.move(f, dst)
+        # strict 1 s-spaced mtimes: the file source orders by modTime
+        # only, and tied mtimes replay in arbitrary order — an
+        # out-of-order chunk beyond the watermark delay would be
+        # late-dropped (the write_frames_parquet_ordered lesson)
+        os.utime(dst, (base + i, base + i))
     shutil.rmtree(f"{d}/stage")
 
     def start():
@@ -161,7 +179,11 @@ def test_gap_sessions_soak_with_restart(spark, sf_dir, tmp_path):
     q2 = start()
     q2.awaitTermination(240)
     n2 = len(q2.recentProgress)
-    assert n1 + n2 >= MIN_TRIGGERS, (n1, n2)
+    # commit-log count, not progress counts: the replayed boundary
+    # batch may bundle two files, so progress totals can undershoot
+    # the file count by one even though every file was processed
+    assert _n_commits(f"{d}/ckpt") >= MIN_TRIGGERS - 1, (n1, n2)
+    assert n1 >= 2 and n2 >= 2, (n1, n2)  # the stop landed mid-stream
 
     # batch read honors the file sink's _spark_metadata commit log, so
     # an uncommitted replayed epoch can never leak duplicates
