@@ -488,26 +488,9 @@ def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAIN_TAU = 0.5  # fraction of src fingerprints found in dst
 
 
-def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed near-containment detection over winnowing fingerprints
-    (the curation op next to span dedup: a doc whose fingerprint set
-    is mostly inside another's is a quote/mirror/superset candidate):
-    emit (doc_src, doc_dst) where |fp(src) ∩ fp(dst)| / |fp(src)| >=
-    CONTAIN_TAU, src != dst. Containment is asymmetric — a short doc
-    quoted whole inside a long one scores 1.0 forward, low backward —
-    which is exactly what symmetric Jaccard dedup misses.
-
-    Shape: inverted fingerprint index self-join (fp -> docs) + a
-    count aggregate per directed pair — one shuffle on the
-    fingerprint, one on the pair; no arrays carried through the join.
-    Scale notes: winnowing already thins shingles ~1/FP_WINDOW; at
-    100 TB add a document-frequency cap on the inverted index (drop
-    fingerprints appearing in more than ~10^3 docs — stopword-like
-    n-grams carry no containment signal and create the only hot
-    postings). Division is exact-int -> one IEEE divide, rounded to 6
-    on both engines; the threshold filters the ROUNDED value so the
-    boundary is engine-independent."""
-    docs = load_table(spark, sf_dir, "documents")
+def _fp_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp array, n_fp) winnowing fingerprint sets for a
+    (doc_id, text) frame; docs with no fingerprints are absent."""
     hashed = docs.select(
         "doc_id", F.split("text", " ").alias("w")
     ).select(
@@ -528,7 +511,30 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     ).withColumn("n_fp", F.size("fp"))
-    fps = fps.localCheckpoint(eager=True)  # feeds both join sides + sizes
+    # feeds both join sides + sizes in the core (and the collapse's
+    # within-group branch)
+    return fps.localCheckpoint(eager=True)
+
+
+def _containment_core(docs: DataFrame) -> DataFrame:
+    """Directed near-containment over winnowing fingerprints for a
+    (doc_id, text) frame: (doc_src, doc_dst, n_common, containment)
+    where |fp(src) ∩ fp(dst)| / |fp(src)| >= CONTAIN_TAU, src != dst.
+
+    Shape: inverted fingerprint index self-join (fp -> docs) + a
+    count aggregate per directed pair — one shuffle on the
+    fingerprint, one on the pair; no arrays carried through the join.
+    Scale notes: winnowing already thins shingles ~1/FP_WINDOW; at
+    100 TB add a document-frequency cap on the inverted index (drop
+    fingerprints appearing in more than ~10^3 docs — stopword-like
+    n-grams carry no containment signal and create the only hot
+    postings). Division is exact-int -> one IEEE divide, rounded to 6
+    on both engines; the threshold filters the ROUNDED value so the
+    boundary is engine-independent."""
+    return _containment_from_fps(_fp_sets(docs))
+
+
+def _containment_from_fps(fps: DataFrame) -> DataFrame:
     inv = fps.select("doc_id", F.explode("fp").alias("f"))
     a = inv.select(F.col("doc_id").alias("doc_src"), "f")
     b = inv.select(F.col("doc_id").alias("doc_dst"), "f")
@@ -549,6 +555,73 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAIN_TAU)
         .select("doc_src", "doc_dst", "n_common", "containment")
     )
+
+
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation op next to span dedup: a doc whose fingerprint set
+    is mostly inside another's is a quote/mirror/superset candidate.
+    Containment is asymmetric — a short doc quoted whole inside a long
+    one scores 1.0 forward, low backward — exactly what symmetric
+    Jaccard dedup misses.
+
+    Runs :func:`_containment_core` under DUPLICATE-GROUP COLLAPSE
+    (the dedup.py device, DIRECTED variant): containment is a pure
+    function of (text_src, text_dst), so the inverted-index self-join
+    runs on one representative per distinct text and pairs expand
+    back keeping orientation — cross-group pairs inherit the
+    representatives' (n_common, containment) in both directions the
+    core emitted, within-group pairs are all ORDERED pairs of
+    identical docs at containment 1.0 with n_common = the group's
+    fingerprint count (only for texts that have fingerprints, matching
+    the core's semantics). Output-identical to the core on all docs
+    (duplicated-corpus test); cost quadratic in distinct texts."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.groupBy(F.md5("text").alias("tkey"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint(eager=True)  # feeds core + both expansions
+    )
+    rep_fps = _fp_sets(groups.select("doc_id", "text"))
+    rep_pairs = _containment_from_fps(rep_fps)
+    mem_src = groups.select(
+        F.col("doc_id").alias("doc_src"), F.col("members").alias("mem_s")
+    )
+    mem_dst = groups.select(
+        F.col("doc_id").alias("doc_dst"), F.col("members").alias("mem_d")
+    )
+    cross = (
+        rep_pairs.join(mem_src, "doc_src")
+        .join(mem_dst, "doc_dst")
+        .select(
+            F.explode("mem_s").alias("s"), "mem_d", "n_common", "containment"
+        )
+        .select(
+            F.col("s").alias("doc_src"),
+            F.explode("mem_d").alias("doc_dst"),
+            "n_common",
+            "containment",
+        )
+    )
+    rep_nfp = rep_fps.select("doc_id", "n_fp")
+    within = (
+        groups.join(rep_nfp, "doc_id")
+        .filter(F.size("members") >= 2)
+        .select(
+            F.explode("members").alias("doc_src"), "members", "n_fp"
+        )
+        .select(
+            "doc_src",
+            F.explode("members").alias("doc_dst"),
+            F.col("n_fp").cast("long").alias("n_common"),
+            F.lit(1.0).alias("containment"),
+        )
+        .filter(F.col("doc_src") != F.col("doc_dst"))
+    )
+    return cross.unionByName(within)
 
 
 QUERIES = {

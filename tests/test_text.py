@@ -113,3 +113,74 @@ def test_fuzzy_pairs_collapse_equals_core_on_duplicated_corpus(spark, sf_dir):
     collapsed = {tuple(r) for r in cross.unionByName(within).collect()}
     assert collapsed == naive
     assert any(d == 0 for *_, d in collapsed)  # within-group pairs exercised
+
+
+def test_containment_collapse_equals_core_on_duplicated_corpus(spark, sf_dir):
+    """doc_containment's directed duplicate-group collapse must be
+    output-identical to the inverted-index core on every doc, on a
+    corpus with duplicate texts — including the ORDERED within-group
+    pairs at containment 1.0 and the fingerprint-less short docs."""
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.operators.text import (
+        _containment_core,
+        _fp_sets,
+        _containment_from_fps,
+    )
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copy1 = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    shorty = spark.createDataFrame(
+        [(9_000_001, "just two"), (9_000_002, "just two")],
+        "doc_id long, text string",
+    )
+    corpus = base.unionByName(copy1).unionByName(shorty)
+    naive = {tuple(r) for r in _containment_core(corpus).collect()}
+
+    groups = corpus.groupBy(F.md5("text").alias("tkey")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+    rep_fps = _fp_sets(groups.select("doc_id", "text"))
+    rep_pairs = _containment_from_fps(rep_fps)
+    mem_s = groups.select(
+        F.col("doc_id").alias("doc_src"), F.col("members").alias("mem_s")
+    )
+    mem_d = groups.select(
+        F.col("doc_id").alias("doc_dst"), F.col("members").alias("mem_d")
+    )
+    cross = (
+        rep_pairs.join(mem_s, "doc_src")
+        .join(mem_d, "doc_dst")
+        .select(F.explode("mem_s").alias("s"), "mem_d", "n_common", "containment")
+        .select(
+            F.col("s").alias("doc_src"),
+            F.explode("mem_d").alias("doc_dst"),
+            "n_common",
+            "containment",
+        )
+    )
+    within = (
+        groups.join(rep_fps.select("doc_id", "n_fp"), "doc_id")
+        .filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("doc_src"), "members", "n_fp")
+        .select(
+            "doc_src",
+            F.explode("members").alias("doc_dst"),
+            F.col("n_fp").cast("long").alias("n_common"),
+            F.lit(1.0).alias("containment"),
+        )
+        .filter(F.col("doc_src") != F.col("doc_dst"))
+    )
+    collapsed = {
+        tuple(r) for r in cross.unionByName(within).collect()
+    }
+    assert collapsed == naive
+    assert any(c == 1.0 for *_, c in collapsed)  # within-group exercised
+    # fingerprint-less duplicated docs never pair
+    assert not any(
+        s in (9_000_001, 9_000_002) or d in (9_000_001, 9_000_002)
+        for s, d, *_ in collapsed
+    )
