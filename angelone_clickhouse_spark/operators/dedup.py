@@ -170,76 +170,144 @@ def _pairwise_jaccard(docs: DataFrame) -> DataFrame:
     )
 
 
-def _grouped_pairwise(docs: DataFrame) -> DataFrame:
+# Duplicate groups DEEPER than this collapse to star edges instead of
+# full C(n,2) expansion (see _grouped_pairwise). 32 keeps every group
+# in the driver's data exact-expanded (max observed depth: 2 at sf0.1,
+# 10 at the replicated sf1.0) while bounding any single group's
+# expansion at C(32,2) = 496 rows — a billion-member group at 100 TB
+# emits 10^9 star edges, not 5*10^17 pairs.
+DEEP_GROUP_BOUND = 32
+
+
+def _grouped_pairwise(
+    docs: DataFrame, bound: int = DEEP_GROUP_BOUND
+) -> DataFrame:
     """DUPLICATE-GROUP COLLAPSE around :func:`_pairwise_jaccard`:
     n-gram Jaccard is a pure function of the text, so byte-identical
     documents are grouped first (one md5 group-by), the quadratic
     PPJoin pairwise pass runs on ONE representative per distinct text,
-    and the pair list expands back afterwards: cross-group pairs
-    inherit the representatives' jaccard, within-group pairs are
-    exactly the identical-text pairs at jaccard 1.0 (iff the text has
-    >= 3 words — an empty shingle set never pairs, matching the
-    pairwise spelling's semantics).
+    and the pair list expands back afterwards via JOINS on the group
+    key — the membership table is never collected into an array, so
+    no single row/task ever holds a whole duplicate group (the r6
+    spelling's `collect_list(members)` + in-row C(n,2) generation
+    put a billion-member group in one task; VERDICT r6 item 5).
 
-    Provably identical output to running the pairwise pass on all
-    docs (tests/test_dedup.py pins it on a duplicated corpus), at
-    cost quadratic in DISTINCT texts instead of total docs: the sf1.0
-    scale run (SCALE.md) showed the naive spelling going super-linear
-    exactly because replication creates 10-deep duplicate groups —
-    real corpora are worse (30%+ exact dups). Expansion is linear in
-    OUTPUT pairs, which is the operator's contract; the clusters
-    consumer (dedup_clusters) would use star edges instead if groups
-    were ever deep enough for C(n,2) to dominate."""
-    groups = docs.groupBy(F.md5("text").alias("tkey")).agg(
+    Expansion semantics, group depth n vs ``bound``:
+
+    * cross-group pairs — each side expands to all its members iff
+      its group is SHALLOW (n <= bound); a DEEP side contributes only
+      its representative. Output: (least, greatest, rep-pair jaccard).
+    * within-group, shallow — all C(n,2) identical-text pairs at
+      jaccard 1.0 (iff the text has >= 3 words: an empty shingle set
+      never pairs, matching the pairwise spelling's semantics).
+    * within-group, deep — STAR edges rep -> member at jaccard 1.0
+      (rep = min doc_id, so rep < member and the (least, greatest)
+      orientation is preserved).
+
+    With every group shallow this is provably identical to running
+    the pairwise pass on all docs (tests/test_dedup.py pins it on a
+    duplicated corpus); with deep groups the pair set is the bounded
+    representation whose transitive closure is UNCHANGED (star edges
+    keep each group connected, rep-level edges keep near-dup groups
+    connected), so the dedup_clusters consumer is exact either way.
+    The DuckDB oracle expresses the same bounded semantics, keeping
+    the differential meaningful on deep fixtures too. Cost: pairwise
+    quadratic in DISTINCT texts; expansion linear in OUTPUT pairs
+    with per-task fan-out capped by ``bound`` on the shallow branches
+    and by 1 on the deep ones."""
+    keyed = docs.select("doc_id", F.md5("text").alias("tkey"), "text")
+    groups = keyed.groupBy("tkey").agg(
         F.min("doc_id").alias("rep"),
         F.min_by("text", "doc_id").alias("text"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.count(F.lit(1)).alias("n"),
     )
-    groups = groups.localCheckpoint(eager=True)  # reused by both branches
+    # Materialize once: feeds the pairwise pass, the rep->group-key
+    # maps, and both within branches. Fixed-width rows (no member
+    # arrays) — a group's size costs 8 bytes here no matter how deep.
+    groups = groups.localCheckpoint(eager=True)
+    members = keyed.select("tkey", "doc_id")
     rep_pairs = _pairwise_jaccard(
         groups.select(F.col("rep").alias("doc_id"), "text")
     )
-    mem_a = groups.select(
-        F.col("rep").alias("doc_a"), F.col("members").alias("mem_a")
-    )
-    mem_b = groups.select(
-        F.col("rep").alias("doc_b"), F.col("members").alias("mem_b")
-    )
-    cross = (
-        rep_pairs.join(mem_a, "doc_a")
-        .join(mem_b, "doc_b")
-        .select(
-            F.explode("mem_a").alias("a"), F.col("mem_b"), "jaccard"
+    rp = (
+        rep_pairs.join(
+            groups.select(
+                F.col("rep").alias("doc_a"),
+                F.col("tkey").alias("tkey_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "doc_a",
         )
-        .select(
-            F.col("a"), F.explode("mem_b").alias("b"), "jaccard"
-        )
-        .select(
-            F.least("a", "b").alias("doc_a"),
-            F.greatest("a", "b").alias("doc_b"),
-            "jaccard",
+        .join(
+            groups.select(
+                F.col("rep").alias("doc_b"),
+                F.col("tkey").alias("tkey_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "doc_b",
         )
     )
-    within = (
-        groups.filter(
-            (F.size("members") >= 2) & (F.size(F.split("text", " ")) >= 3)
+    # side A: shallow groups fan out to members through a join on the
+    # group key (distributed: one shuffle, each group's expansion in
+    # its own task, <= bound rows per probe); deep groups stay as rep
+    exp_a = rp.filter(F.col("n_a") <= bound).join(
+        members.select(
+            F.col("tkey").alias("tkey_a"), F.col("doc_id").alias("a")
+        ),
+        "tkey_a",
+    ).select("a", "tkey_b", "n_b", "jaccard").unionByName(
+        rp.filter(F.col("n_a") > bound).select(
+            F.col("doc_a").alias("a"), "tkey_b", "n_b", "jaccard"
+        )
+    )
+    cross = exp_a.filter(F.col("n_b") <= bound).join(
+        members.select(
+            F.col("tkey").alias("tkey_b"), F.col("doc_id").alias("b")
+        ),
+        "tkey_b",
+    ).select("a", "b", "jaccard").unionByName(
+        exp_a.filter(F.col("n_b") > bound)
+        .join(
+            groups.select(
+                F.col("tkey").alias("tkey_b"), F.col("rep").alias("b")
+            ),
+            "tkey_b",
+        )
+        .select("a", "b", "jaccard")
+    ).select(
+        F.least("a", "b").alias("doc_a"),
+        F.greatest("a", "b").alias("doc_b"),
+        "jaccard",
+    )
+    paired = groups.filter(
+        (F.col("n") >= 2) & (F.size(F.split("text", " ")) >= 3)
+    ).select("tkey", "rep", "n")
+    sm = members.join(
+        paired.filter(F.col("n") <= bound).select("tkey"), "tkey"
+    )
+    within_shallow = (
+        sm.alias("x")
+        .join(
+            sm.alias("y"),
+            (F.col("x.tkey") == F.col("y.tkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(members) - 2),"
-                    " i -> transform(slice(members, i + 2, size(members) - i - 1),"
-                    "      x -> struct(members[i] AS doc_a, x AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return cross.unionByName(within)
+    within_deep = (
+        members.join(paired.filter(F.col("n") > bound), "tkey")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within_shallow).unionByName(within_deep)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,8 +855,21 @@ SELECT md5(text)    AS text_hash,
 FROM documents
 GROUP BY md5(text)
 """,
+    # Same bounded duplicate-group-collapse semantics as
+    # _grouped_pairwise: pairwise jaccard on one representative per
+    # distinct text, join expansion with the DEEP_GROUP_BOUND
+    # shallow/deep split — so the differential stays meaningful on
+    # fixtures with deep duplicate groups (tests/test_dedup.py runs
+    # this SQL against a 10k-deep group). With every group shallow
+    # (all driver SFs) the output equals the naive all-pairs form.
     "dedup_ngram_jaccard": f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+WITH g AS (
+  SELECT md5(text) AS tkey, min(doc_id) AS rep, count(*) AS n,
+         min_by(text, doc_id) AS text
+  FROM documents GROUP BY md5(text)
+),
+m AS (SELECT md5(text) AS tkey, doc_id FROM documents),
+w AS (SELECT rep AS doc_id, string_split(text, ' ') AS ws FROM g),
 sh AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
   FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
@@ -798,13 +879,57 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+rp AS (
+  SELECT doc_a, doc_b,
+         round(n_common * 1.0 / (ca.n + cb.n - n_common), 6) AS jaccard
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE round(n_common * 1.0 / (ca.n + cb.n - n_common), 6)
+        >= {JACCARD_THRESHOLD}
+),
+rpx AS (
+  SELECT rp.doc_a, rp.doc_b, rp.jaccard,
+         ga.tkey AS tkey_a, ga.n AS n_a,
+         gb.tkey AS tkey_b, gb.n AS n_b
+  FROM rp
+  JOIN g ga ON ga.rep = rp.doc_a
+  JOIN g gb ON gb.rep = rp.doc_b
+),
+ea AS (
+  SELECT m.doc_id AS a, rpx.tkey_b, rpx.n_b, rpx.doc_b, rpx.jaccard
+  FROM rpx JOIN m ON m.tkey = rpx.tkey_a
+  WHERE rpx.n_a <= {DEEP_GROUP_BOUND}
+  UNION ALL
+  SELECT rpx.doc_a AS a, rpx.tkey_b, rpx.n_b, rpx.doc_b, rpx.jaccard
+  FROM rpx WHERE rpx.n_a > {DEEP_GROUP_BOUND}
+),
+eab AS (
+  SELECT ea.a, m.doc_id AS b, ea.jaccard
+  FROM ea JOIN m ON m.tkey = ea.tkey_b
+  WHERE ea.n_b <= {DEEP_GROUP_BOUND}
+  UNION ALL
+  SELECT ea.a, ea.doc_b AS b, ea.jaccard
+  FROM ea WHERE ea.n_b > {DEEP_GROUP_BOUND}
+),
+paired AS (
+  SELECT tkey, rep, n FROM g
+  WHERE n >= 2 AND len(string_split(text, ' ')) >= 3
 )
-SELECT doc_a, doc_b,
-       round(n_common * 1.0 / (ca.n + cb.n - n_common), 6) AS jaccard
-FROM inter
-JOIN cnt ca ON ca.doc_id = doc_a
-JOIN cnt cb ON cb.doc_id = doc_b
-WHERE round(n_common * 1.0 / (ca.n + cb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+SELECT least(a, b) AS doc_a, greatest(a, b) AS doc_b, jaccard FROM eab
+UNION ALL
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(1.0 AS DOUBLE) AS jaccard
+FROM m x
+JOIN m y ON x.tkey = y.tkey AND x.doc_id < y.doc_id
+JOIN paired p ON p.tkey = x.tkey
+WHERE p.n <= {DEEP_GROUP_BOUND}
+UNION ALL
+SELECT p.rep AS doc_a, m.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM paired p
+JOIN m ON m.tkey = p.tkey AND m.doc_id <> p.rep
+WHERE p.n > {DEEP_GROUP_BOUND}
 """,
     "dedup_embedding": f"""
 WITH e AS (
