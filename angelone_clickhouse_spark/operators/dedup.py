@@ -847,22 +847,23 @@ QUERIES = {
     "dedup_survivors": dedup_survivors,
 }
 
-ORACLES = {
-    "dedup_exact": """
-SELECT md5(text)    AS text_hash,
-       min(doc_id)  AS keep_doc_id,
-       count(*)     AS n_copies
-FROM documents
-GROUP BY md5(text)
-""",
-    # Same bounded duplicate-group-collapse semantics as
-    # _grouped_pairwise: pairwise jaccard on one representative per
-    # distinct text, join expansion with the DEEP_GROUP_BOUND
-    # shallow/deep split — so the differential stays meaningful on
-    # fixtures with deep duplicate groups (tests/test_dedup.py runs
-    # this SQL against a 10k-deep group). With every group shallow
-    # (all driver SFs) the output equals the naive all-pairs form.
-    "dedup_ngram_jaccard": f"""
+def ngram_jaccard_oracle_sql(bound: int = DEEP_GROUP_BOUND) -> str:
+    """DuckDB twin of :func:`_grouped_pairwise` at the given depth
+    bound: pairwise jaccard on one representative per distinct text,
+    then join expansion with the shallow/deep split (g/m/rpx/ea/eab
+    mirror groups/members/rp/exp_a/cross one-to-one).  Because this
+    SQL mirrors the implementation's expansion structure, the driver
+    differential alone cannot catch an expansion bug expressed
+    identically in both engines; the INDEPENDENT pins live in
+    tests/test_dedup.py — shallow corpora are asserted equal to the
+    naive all-pairs pass (test_grouped_pairwise_equals_naive_...),
+    and the deep branches are pinned by
+    test_grouped_pairwise_deep_group_bounded, which runs this SQL at
+    bound=4 against a 6-deep duplicate group and asserts row-set
+    equality with the Spark output plus transitive-closure equality
+    with the naive pair set.  With every group shallow (all driver
+    SFs) the output equals the naive all-pairs form."""
+    return f"""
 WITH g AS (
   SELECT md5(text) AS tkey, min(doc_id) AS rep, count(*) AS n,
          min_by(text, doc_id) AS text
@@ -900,18 +901,18 @@ rpx AS (
 ea AS (
   SELECT m.doc_id AS a, rpx.tkey_b, rpx.n_b, rpx.doc_b, rpx.jaccard
   FROM rpx JOIN m ON m.tkey = rpx.tkey_a
-  WHERE rpx.n_a <= {DEEP_GROUP_BOUND}
+  WHERE rpx.n_a <= {bound}
   UNION ALL
   SELECT rpx.doc_a AS a, rpx.tkey_b, rpx.n_b, rpx.doc_b, rpx.jaccard
-  FROM rpx WHERE rpx.n_a > {DEEP_GROUP_BOUND}
+  FROM rpx WHERE rpx.n_a > {bound}
 ),
 eab AS (
   SELECT ea.a, m.doc_id AS b, ea.jaccard
   FROM ea JOIN m ON m.tkey = ea.tkey_b
-  WHERE ea.n_b <= {DEEP_GROUP_BOUND}
+  WHERE ea.n_b <= {bound}
   UNION ALL
   SELECT ea.a, ea.doc_b AS b, ea.jaccard
-  FROM ea WHERE ea.n_b > {DEEP_GROUP_BOUND}
+  FROM ea WHERE ea.n_b > {bound}
 ),
 paired AS (
   SELECT tkey, rep, n FROM g
@@ -924,13 +925,24 @@ SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
 FROM m x
 JOIN m y ON x.tkey = y.tkey AND x.doc_id < y.doc_id
 JOIN paired p ON p.tkey = x.tkey
-WHERE p.n <= {DEEP_GROUP_BOUND}
+WHERE p.n <= {bound}
 UNION ALL
 SELECT p.rep AS doc_a, m.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
 FROM paired p
 JOIN m ON m.tkey = p.tkey AND m.doc_id <> p.rep
-WHERE p.n > {DEEP_GROUP_BOUND}
+WHERE p.n > {bound}
+"""
+
+
+ORACLES = {
+    "dedup_exact": """
+SELECT md5(text)    AS text_hash,
+       min(doc_id)  AS keep_doc_id,
+       count(*)     AS n_copies
+FROM documents
+GROUP BY md5(text)
 """,
+    "dedup_ngram_jaccard": ngram_jaccard_oracle_sql(),
     "dedup_embedding": f"""
 WITH e AS (
   SELECT vec_id,

@@ -226,3 +226,84 @@ def test_grouped_pairwise_equals_naive_on_duplicated_corpus(spark, sf_dir):
     assert any(j == 1.0 for _, _, j in collapsed)
     # ... but not for the <3-word duplicated doc
     assert not any(a == 9_000_001 or b == 9_000_002 for a, b, _ in collapsed)
+
+
+def test_grouped_pairwise_deep_group_bounded(spark):
+    """Pins the DEEP branch of the duplicate-group collapse (n > bound:
+    star edges, rep-only cross expansion) AND its DuckDB oracle twin,
+    neither of which the shallow-corpus test above can reach
+    (VERDICT r7 item 2 / ADVICE r7). bound=4 with a 6-deep group keeps
+    it fast while exercising every deep arm:
+
+    a. within-deep  -> STAR edges rep->member only (no C(n,2));
+    b. cross with a deep side -> the deep group contributes only its
+       representative, the shallow side expands to all members;
+    c. transitive closure of the bounded pair set == closure of the
+       naive all-pairs set (the property dedup_clusters relies on);
+    d. the DuckDB oracle rendered at the same bound returns the
+       identical row set on the identical fixture.
+    """
+    import duckdb
+
+    from angelone_clickhouse_spark.operators.dedup import (
+        _grouped_pairwise,
+        _pairwise_jaccard,
+        ngram_jaccard_oracle_sql,
+    )
+
+    BOUND = 4
+    deep_text = "alpha bravo charlie delta echo foxtrot"
+    near_text = "alpha bravo charlie delta echo golf"  # jaccard 3/5 = 0.6
+    rows = [(10 + i, deep_text) for i in range(6)]  # n=6 > BOUND
+    rows += [(20, near_text), (21, near_text)]  # n=2 <= BOUND, near-dup
+    rows += [(30, "unrelated words entirely different tokens here")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bounded = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in _grouped_pairwise(corpus, bound=BOUND).collect()
+    }
+    expected = (
+        {(10, m, 1.0) for m in range(11, 16)}  # (a) star, rep=min=10
+        | {(20, 21, 1.0)}  # shallow within-group pair
+        | {(10, 20, 0.6), (10, 21, 0.6)}  # (b) rep-only deep side
+    )
+    assert bounded == expected
+
+    # (c) closure equivalence with the naive all-pairs output
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, _ in pairs:
+            parent[find(a)] = find(b)
+        out = {}
+        for x in list(parent):
+            out.setdefault(find(x), set()).add(x)
+        return {frozenset(s) for s in out.values()}
+
+    naive = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in _pairwise_jaccard(corpus).collect()
+    }
+    assert len(naive) == 15 + 1 + 12  # C(6,2) + 1 + 6*2: truly deeper
+    assert components(bounded) == components(naive)
+
+    # (d) the mirrored DuckDB oracle at the same bound, same fixture
+    con = duckdb.connect()
+    con.register(
+        "documents", corpus.toPandas()[["doc_id", "text"]]
+    )
+    oracle = {
+        (int(a), int(b), round(float(j), 6))
+        for a, b, j in con.execute(
+            ngram_jaccard_oracle_sql(BOUND)
+        ).fetchall()
+    }
+    assert oracle == bounded
