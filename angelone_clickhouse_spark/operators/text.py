@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from angelone_clickhouse_spark.operators.dedup import DEEP_GROUP_BOUND
 from angelone_clickhouse_spark.functions.exact import avg_fixed
 from angelone_clickhouse_spark.sources.tables import load_table
 
@@ -415,74 +416,139 @@ def _fuzzy_pairs_core(t: DataFrame) -> DataFrame:
     )
 
 
-def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """:func:`_fuzzy_pairs_core` with DUPLICATE-GROUP COLLAPSE (the
-    dedup.py _grouped_pairwise device): pair membership and the
-    reported distance depend only on (lang, length-bucket, prefix),
-    so docs identical on that key are grouped, the PassJoin core runs
-    on one representative per group, and pairs expand back — cross-
-    group pairs inherit the representatives' distance, within-group
-    pairs are the identical-key pairs at distance 0 (always included:
-    both the full-prefix and short-prefix paths pair identical keys).
-    Output-identical to running the core on all docs (test-pinned on
-    a duplicated corpus); cost quadratic in DISTINCT keys, linear in
-    output pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+def _fuzzy_grouped(docs: DataFrame, bound: int = DEEP_GROUP_BOUND) -> DataFrame:
+    """:func:`_fuzzy_pairs_core` under BOUNDED DUPLICATE-GROUP
+    COLLAPSE — the dedup.py :func:`~angelone_clickhouse_spark.operators.dedup._grouped_pairwise`
+    device ported verbatim (VERDICT r7 item 3): pair membership and
+    the reported distance depend only on (lang, length-bucket,
+    prefix), so docs identical on that key group once, the PassJoin
+    core runs on ONE representative per distinct key, and pairs
+    expand back via JOINS on the group key — membership is never
+    collected into an array, so no single task ever holds a whole
+    duplicate group (the r6 spelling's `collect_list(members)` +
+    in-row explode/C(n,2) put a billion-member group in one task).
+
+    Expansion semantics, group depth n vs ``bound``:
+
+    * cross-group — each side expands to all members iff its group is
+      SHALLOW (n <= bound); a DEEP side contributes only its
+      representative. Pairs inherit the representatives' distance.
+    * within-group, shallow — all C(n,2) identical-key pairs at
+      distance 0 (both core paths pair identical keys).
+    * within-group, deep — STAR edges rep -> member at distance 0
+      (rep = min doc_id, preserving (least, greatest) orientation);
+      transitive closure is unchanged.
+
+    With every group shallow (all driver SFs) the output is identical
+    to running the core on all docs, so the driver's NAIVE all-pairs
+    DuckDB oracle stays an INDEPENDENT differential. Deep branches
+    are pinned by tests/test_text.py's bound=2 deep-fixture test.
+    Cost: quadratic in DISTINCT keys; per-task expansion fan-out
+    capped by ``bound`` on shallow branches and by 1 on deep ones."""
     t = docs.select(
         "doc_id",
         "lang",
         F.expr(f"n_chars div {FUZZY_BLOCK_CHARS}").alias("lb"),
         F.substring("text", 1, FUZZY_PREFIX_LEN).alias("pfx"),
-    )
+    ).withColumn("gkey", F.md5(F.concat_ws("\x1f", "lang", "lb", "pfx")))
     groups = (
-        t.groupBy("lang", "lb", "pfx")
+        t.groupBy("gkey")
         .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.min("doc_id").alias("rep"),
+            F.first("lang").alias("lang"),
+            F.first("lb").alias("lb"),
+            F.first("pfx").alias("pfx"),
+            F.count(F.lit(1)).alias("n"),
         )
-        .localCheckpoint(eager=True)  # feeds core + both expansions
+        # one materialization feeds the core, the rep->gkey maps, and
+        # both within branches; fixed-width rows regardless of depth
+        .localCheckpoint(eager=True)
     )
+    members = t.select("gkey", "doc_id")
     rep_pairs = _fuzzy_pairs_core(
-        groups.select("doc_id", "lang", "lb", "pfx")
+        groups.select(F.col("rep").alias("doc_id"), "lang", "lb", "pfx")
     )
-    mem_a = groups.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("members").alias("mem_a")
+    rp = rep_pairs.join(
+        groups.select(
+            F.col("rep").alias("doc_id_a"),
+            F.col("gkey").alias("gkey_a"),
+            F.col("n").alias("n_a"),
+        ),
+        "doc_id_a",
+    ).join(
+        groups.select(
+            F.col("rep").alias("doc_id_b"),
+            F.col("gkey").alias("gkey_b"),
+            F.col("n").alias("n_b"),
+        ),
+        "doc_id_b",
     )
-    mem_b = groups.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("members").alias("mem_b")
-    )
-    cross = (
-        rep_pairs.join(mem_a, "doc_id_a")
-        .join(mem_b, "doc_id_b")
-        .select(F.explode("mem_a").alias("a"), "mem_b", "lang", "dist")
-        .select("a", F.explode("mem_b").alias("b"), "lang", "dist")
-        .select(
-            F.least("a", "b").alias("doc_id_a"),
-            F.greatest("a", "b").alias("doc_id_b"),
-            "lang",
-            "dist",
+    exp_a = rp.filter(F.col("n_a") <= bound).join(
+        members.select(
+            F.col("gkey").alias("gkey_a"), F.col("doc_id").alias("a")
+        ),
+        "gkey_a",
+    ).select("a", "gkey_b", "n_b", "lang", "dist").unionByName(
+        rp.filter(F.col("n_a") > bound).select(
+            F.col("doc_id_a").alias("a"), "gkey_b", "n_b", "lang", "dist"
         )
     )
-    within = (
-        groups.filter(F.size("members") >= 2)
-        .select(
-            "lang",
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(members) - 2),"
-                    " i -> transform(slice(members, i + 2, size(members) - i - 1),"
-                    "      x -> struct(members[i] AS doc_a, x AS doc_b))))"
-                )
-            ).alias("p"),
+    cross = exp_a.filter(F.col("n_b") <= bound).join(
+        members.select(
+            F.col("gkey").alias("gkey_b"), F.col("doc_id").alias("b")
+        ),
+        "gkey_b",
+    ).select("a", "b", "lang", "dist").unionByName(
+        exp_a.filter(F.col("n_b") > bound)
+        .join(
+            groups.select(
+                F.col("gkey").alias("gkey_b"), F.col("rep").alias("b")
+            ),
+            "gkey_b",
+        )
+        .select("a", "b", "lang", "dist")
+    ).select(
+        F.least("a", "b").alias("doc_id_a"),
+        F.greatest("a", "b").alias("doc_id_b"),
+        "lang",
+        "dist",
+    )
+    paired = groups.filter(F.col("n") >= 2).select("gkey", "rep", "lang", "n")
+    sm = members.join(
+        paired.filter(F.col("n") <= bound).select("gkey", "lang"), "gkey"
+    )
+    within_shallow = (
+        sm.alias("x")
+        .join(
+            sm.alias("y"),
+            (F.col("x.gkey") == F.col("y.gkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
-            F.col("p.doc_a").alias("doc_id_a"),
-            F.col("p.doc_b").alias("doc_id_b"),
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+            F.col("x.lang").alias("lang"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    within_deep = (
+        members.join(paired.filter(F.col("n") > bound), "gkey")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("doc_id_a"),
+            F.col("doc_id").alias("doc_id_b"),
             "lang",
             F.lit(0).cast("int").alias("dist"),
         )
     )
-    return cross.unionByName(within)
+    return cross.unionByName(within_shallow).unionByName(within_deep)
+
+
+def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy edit-distance pairs over documents: PassJoin candidates +
+    levenshtein verify, under the bounded duplicate-group collapse
+    (see :func:`_fuzzy_grouped`)."""
+    return _fuzzy_grouped(load_table(spark, sf_dir, "documents"))
 
 
 CONTAIN_TAU = 0.5  # fraction of src fingerprints found in dst
@@ -557,71 +623,150 @@ def _containment_from_fps(fps: DataFrame) -> DataFrame:
     )
 
 
+def _containment_grouped(
+    docs: DataFrame, bound: int = DEEP_GROUP_BOUND
+) -> DataFrame:
+    """:func:`_containment_core` under the bounded duplicate-group
+    collapse, DIRECTED variant (VERDICT r7 item 3; device from
+    dedup.py :func:`~angelone_clickhouse_spark.operators.dedup._grouped_pairwise`):
+    containment is a pure function of (text_src, text_dst), so the
+    inverted-index self-join runs on one representative per distinct
+    text and pairs expand back via JOINS on the text key, keeping
+    orientation — membership arrays are gone, so no task ever holds a
+    whole duplicate group.
+
+    Expansion semantics, group depth n vs ``bound``:
+
+    * cross-group (directed) — each side expands to all members iff
+      its group is SHALLOW (n <= bound); a DEEP side contributes only
+      its representative. Pairs inherit (n_common, containment).
+    * within-group, shallow — all ORDERED pairs of identical docs at
+      containment 1.0, n_common = the group's fingerprint count
+      (only for texts that HAVE fingerprints, matching the core).
+    * within-group, deep — directed STAR: rep -> member AND
+      member -> rep (2(n-1) edges instead of n(n-1)); every member
+      keeps an incoming and an outgoing 1.0 edge, so per-doc
+      contained/containing flags and weak connectivity survive.
+
+    With every group shallow (all driver SFs) output is identical to
+    the core on all docs — the driver's NAIVE DuckDB oracle stays an
+    independent differential; deep branches are pinned by
+    tests/test_text.py's bound=2 deep-fixture test."""
+    keyed = docs.select("doc_id", F.md5("text").alias("tkey"), "text")
+    groups = (
+        keyed.groupBy("tkey")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.min_by("text", "doc_id").alias("text"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint(eager=True)  # feeds core + all expansions
+    )
+    members = keyed.select("tkey", "doc_id")
+    rep_fps = _fp_sets(groups.select(F.col("rep").alias("doc_id"), "text"))
+    rep_pairs = _containment_from_fps(rep_fps)
+    rp = rep_pairs.join(
+        groups.select(
+            F.col("rep").alias("doc_src"),
+            F.col("tkey").alias("tkey_s"),
+            F.col("n").alias("n_s"),
+        ),
+        "doc_src",
+    ).join(
+        groups.select(
+            F.col("rep").alias("doc_dst"),
+            F.col("tkey").alias("tkey_d"),
+            F.col("n").alias("n_d"),
+        ),
+        "doc_dst",
+    )
+    exp_s = rp.filter(F.col("n_s") <= bound).join(
+        members.select(
+            F.col("tkey").alias("tkey_s"), F.col("doc_id").alias("s")
+        ),
+        "tkey_s",
+    ).select(
+        "s", "tkey_d", "n_d", "doc_dst", "n_common", "containment"
+    ).unionByName(
+        rp.filter(F.col("n_s") > bound).select(
+            F.col("doc_src").alias("s"),
+            "tkey_d",
+            "n_d",
+            "doc_dst",
+            "n_common",
+            "containment",
+        )
+    )
+    cross = exp_s.filter(F.col("n_d") <= bound).join(
+        members.select(
+            F.col("tkey").alias("tkey_d"), F.col("doc_id").alias("d")
+        ),
+        "tkey_d",
+    ).select(
+        F.col("s").alias("doc_src"),
+        F.col("d").alias("doc_dst"),
+        "n_common",
+        "containment",
+    ).unionByName(
+        exp_s.filter(F.col("n_d") > bound).select(
+            F.col("s").alias("doc_src"),
+            "doc_dst",
+            "n_common",
+            "containment",
+        )
+    )
+    paired = (
+        groups.join(
+            rep_fps.select(F.col("doc_id").alias("rep"), "n_fp"), "rep"
+        )
+        .filter(F.col("n") >= 2)
+        .select("tkey", "rep", "n", "n_fp")
+    )
+    sm = members.join(
+        paired.filter(F.col("n") <= bound).select("tkey", "n_fp"), "tkey"
+    )
+    within_shallow = (
+        sm.alias("x")
+        .join(
+            sm.alias("y"),
+            (F.col("x.tkey") == F.col("y.tkey"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_src"),
+            F.col("y.doc_id").alias("doc_dst"),
+            F.col("x.n_fp").cast("long").alias("n_common"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    deep = members.join(paired.filter(F.col("n") > bound), "tkey").filter(
+        F.col("doc_id") != F.col("rep")
+    )
+    within_deep = deep.select(
+        F.col("rep").alias("doc_src"),
+        F.col("doc_id").alias("doc_dst"),
+        F.col("n_fp").cast("long").alias("n_common"),
+        F.lit(1.0).alias("containment"),
+    ).unionByName(
+        deep.select(
+            F.col("doc_id").alias("doc_src"),
+            F.col("rep").alias("doc_dst"),
+            F.col("n_fp").cast("long").alias("n_common"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(within_shallow).unionByName(within_deep)
+
+
 def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation op next to span dedup: a doc whose fingerprint set
     is mostly inside another's is a quote/mirror/superset candidate.
     Containment is asymmetric — a short doc quoted whole inside a long
     one scores 1.0 forward, low backward — exactly what symmetric
-    Jaccard dedup misses.
-
-    Runs :func:`_containment_core` under DUPLICATE-GROUP COLLAPSE
-    (the dedup.py device, DIRECTED variant): containment is a pure
-    function of (text_src, text_dst), so the inverted-index self-join
-    runs on one representative per distinct text and pairs expand
-    back keeping orientation — cross-group pairs inherit the
-    representatives' (n_common, containment) in both directions the
-    core emitted, within-group pairs are all ORDERED pairs of
-    identical docs at containment 1.0 with n_common = the group's
-    fingerprint count (only for texts that have fingerprints, matching
-    the core's semantics). Output-identical to the core on all docs
-    (duplicated-corpus test); cost quadratic in distinct texts."""
-    docs = load_table(spark, sf_dir, "documents")
-    groups = (
-        docs.groupBy(F.md5("text").alias("tkey"))
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min_by("text", "doc_id").alias("text"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-        )
-        .localCheckpoint(eager=True)  # feeds core + both expansions
-    )
-    rep_fps = _fp_sets(groups.select("doc_id", "text"))
-    rep_pairs = _containment_from_fps(rep_fps)
-    mem_src = groups.select(
-        F.col("doc_id").alias("doc_src"), F.col("members").alias("mem_s")
-    )
-    mem_dst = groups.select(
-        F.col("doc_id").alias("doc_dst"), F.col("members").alias("mem_d")
-    )
-    cross = (
-        rep_pairs.join(mem_src, "doc_src")
-        .join(mem_dst, "doc_dst")
-        .select(
-            F.explode("mem_s").alias("s"), "mem_d", "n_common", "containment"
-        )
-        .select(
-            F.col("s").alias("doc_src"),
-            F.explode("mem_d").alias("doc_dst"),
-            "n_common",
-            "containment",
-        )
-    )
-    rep_nfp = rep_fps.select("doc_id", "n_fp")
-    within = (
-        groups.join(rep_nfp, "doc_id")
-        .filter(F.size("members") >= 2)
-        .select(
-            F.explode("members").alias("doc_src"), "members", "n_fp"
-        )
-        .select(
-            "doc_src",
-            F.explode("members").alias("doc_dst"),
-            F.col("n_fp").cast("long").alias("n_common"),
-            F.lit(1.0).alias("containment"),
-        )
-        .filter(F.col("doc_src") != F.col("doc_dst"))
-    )
-    return cross.unionByName(within)
+    Jaccard dedup misses. Runs :func:`_containment_core` under the
+    bounded directed duplicate-group collapse (see
+    :func:`_containment_grouped`)."""
+    return _containment_grouped(load_table(spark, sf_dir, "documents"))
 
 
 QUERIES = {

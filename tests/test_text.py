@@ -39,14 +39,18 @@ def test_fingerprints_stable_and_bounded(spark, sf_dir):
 
 
 def test_fuzzy_pairs_collapse_equals_core_on_duplicated_corpus(spark, sf_dir):
-    """fuzzy_prefix_pairs' duplicate-group collapse must be output-
-    identical to running the PassJoin core on every doc, on a corpus
-    WITH duplicated (lang, length-bucket, prefix) keys."""
+    """fuzzy_prefix_pairs' duplicate-group collapse (production
+    helper _fuzzy_grouped, not an inlined re-spelling) must be
+    output-identical to running the PassJoin core on every doc, on a
+    corpus WITH duplicated (lang, length-bucket, prefix) keys — all
+    groups shallow here, so the bounded form is exactly the naive
+    pair set."""
     from pyspark.sql import functions as F
 
     from angelone_clickhouse_spark.operators.text import (
         FUZZY_BLOCK_CHARS,
         FUZZY_PREFIX_LEN,
+        _fuzzy_grouped,
         _fuzzy_pairs_core,
     )
     from angelone_clickhouse_spark.sources.tables import load_table
@@ -66,66 +70,86 @@ def test_fuzzy_pairs_collapse_equals_core_on_duplicated_corpus(spark, sf_dir):
         F.substring("text", 1, FUZZY_PREFIX_LEN).alias("pfx"),
     )
     naive = {tuple(r) for r in _fuzzy_pairs_core(t).collect()}
-
-    # collapsed spelling, inlined over the synthetic corpus
-    groups = t.groupBy("lang", "lb", "pfx").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
-    )
-    rep_pairs = _fuzzy_pairs_core(groups.select("doc_id", "lang", "lb", "pfx"))
-    mem_a = groups.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("members").alias("mem_a")
-    )
-    mem_b = groups.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("members").alias("mem_b")
-    )
-    cross = (
-        rep_pairs.join(mem_a, "doc_id_a")
-        .join(mem_b, "doc_id_b")
-        .select(F.explode("mem_a").alias("a"), "mem_b", "lang", "dist")
-        .select("a", F.explode("mem_b").alias("b"), "lang", "dist")
-        .select(
-            F.least("a", "b").alias("doc_id_a"),
-            F.greatest("a", "b").alias("doc_id_b"),
-            "lang",
-            "dist",
-        )
-    )
-    within = (
-        groups.filter(F.size("members") >= 2)
-        .select(
-            "lang",
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(members) - 2),"
-                    " i -> transform(slice(members, i + 2, size(members) - i - 1),"
-                    "      x -> struct(members[i] AS doc_a, x AS doc_b))))"
-                )
-            ).alias("p"),
-        )
-        .select(
-            F.col("p.doc_a").alias("doc_id_a"),
-            F.col("p.doc_b").alias("doc_id_b"),
-            "lang",
-            F.lit(0).cast("int").alias("dist"),
-        )
-    )
-    collapsed = {tuple(r) for r in cross.unionByName(within).collect()}
+    collapsed = {tuple(r) for r in _fuzzy_grouped(corpus).collect()}
     assert collapsed == naive
     assert any(d == 0 for *_, d in collapsed)  # within-group pairs exercised
 
 
+def _closure_components(pairs):
+    """Union-find over (a, b, ...) edge tuples -> set of frozenset
+    components; shared by the deep-fixture tests below."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, *_ in pairs:
+        parent[find(a)] = find(b)
+    out = {}
+    for x in list(parent):
+        out.setdefault(find(x), set()).add(x)
+    return {frozenset(s) for s in out.values()}
+
+
+def test_fuzzy_grouped_deep_group_bounded(spark):
+    """Pins the DEEP branches of _fuzzy_grouped (n > bound: star
+    edges, rep-only cross expansion) that no shallow corpus reaches
+    (VERDICT r7 item 3). bound=2, one 4-deep key group, one 2-deep
+    near key group, one unrelated doc."""
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.operators.text import (
+        FUZZY_BLOCK_CHARS,
+        FUZZY_PREFIX_LEN,
+        _fuzzy_grouped,
+        _fuzzy_pairs_core,
+    )
+
+    pfx_d = "abcdefghijklmnopqrstuvwxyz0123"  # 30 chars
+    pfx_s = "abcdefghijklmnopqrstuvwxyz0456"  # levenshtein 3 from pfx_d
+    assert len(pfx_d) == len(pfx_s) == FUZZY_PREFIX_LEN
+    rows = [(10 + i, "en", 40, pfx_d + " tail text") for i in range(4)]
+    rows += [(20, "en", 40, pfx_s + " tail text"), (21, "en", 40, pfx_s + " x")]
+    rows += [(30, "fr", 40, pfx_d + " tail text")]  # other lang: no pairs
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, text string"
+    )
+
+    bounded = {tuple(r) for r in _fuzzy_grouped(corpus, bound=2).collect()}
+    expected = (
+        {(10, m, "en", 0) for m in (11, 12, 13)}  # deep star, rep=10
+        | {(20, 21, "en", 0)}  # shallow within pair
+        | {(10, 20, "en", 3), (10, 21, "en", 3)}  # rep-only deep side
+    )
+    assert bounded == expected
+
+    # closure equivalence with the naive core output
+    t = corpus.select(
+        "doc_id",
+        "lang",
+        F.expr(f"n_chars div {FUZZY_BLOCK_CHARS}").alias("lb"),
+        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("pfx"),
+    )
+    naive = {tuple(r) for r in _fuzzy_pairs_core(t).collect()}
+    assert len(naive) == 6 + 1 + 8  # C(4,2) + 1 + 4*2: truly deeper
+    assert _closure_components(bounded) == _closure_components(naive)
+
+
 def test_containment_collapse_equals_core_on_duplicated_corpus(spark, sf_dir):
-    """doc_containment's directed duplicate-group collapse must be
-    output-identical to the inverted-index core on every doc, on a
-    corpus with duplicate texts — including the ORDERED within-group
-    pairs at containment 1.0 and the fingerprint-less short docs."""
+    """doc_containment's directed duplicate-group collapse
+    (production helper _containment_grouped) must be output-identical
+    to the inverted-index core on every doc, on a corpus with
+    duplicate texts — including the ORDERED within-group pairs at
+    containment 1.0 and the fingerprint-less short docs."""
     from pyspark.sql import functions as F
 
     from angelone_clickhouse_spark.operators.text import (
         _containment_core,
-        _fp_sets,
-        _containment_from_fps,
+        _containment_grouped,
     )
     from angelone_clickhouse_spark.sources.tables import load_table
 
@@ -137,46 +161,7 @@ def test_containment_collapse_equals_core_on_duplicated_corpus(spark, sf_dir):
     )
     corpus = base.unionByName(copy1).unionByName(shorty)
     naive = {tuple(r) for r in _containment_core(corpus).collect()}
-
-    groups = corpus.groupBy(F.md5("text").alias("tkey")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("text", "doc_id").alias("text"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
-    )
-    rep_fps = _fp_sets(groups.select("doc_id", "text"))
-    rep_pairs = _containment_from_fps(rep_fps)
-    mem_s = groups.select(
-        F.col("doc_id").alias("doc_src"), F.col("members").alias("mem_s")
-    )
-    mem_d = groups.select(
-        F.col("doc_id").alias("doc_dst"), F.col("members").alias("mem_d")
-    )
-    cross = (
-        rep_pairs.join(mem_s, "doc_src")
-        .join(mem_d, "doc_dst")
-        .select(F.explode("mem_s").alias("s"), "mem_d", "n_common", "containment")
-        .select(
-            F.col("s").alias("doc_src"),
-            F.explode("mem_d").alias("doc_dst"),
-            "n_common",
-            "containment",
-        )
-    )
-    within = (
-        groups.join(rep_fps.select("doc_id", "n_fp"), "doc_id")
-        .filter(F.size("members") >= 2)
-        .select(F.explode("members").alias("doc_src"), "members", "n_fp")
-        .select(
-            "doc_src",
-            F.explode("members").alias("doc_dst"),
-            F.col("n_fp").cast("long").alias("n_common"),
-            F.lit(1.0).alias("containment"),
-        )
-        .filter(F.col("doc_src") != F.col("doc_dst"))
-    )
-    collapsed = {
-        tuple(r) for r in cross.unionByName(within).collect()
-    }
+    collapsed = {tuple(r) for r in _containment_grouped(corpus).collect()}
     assert collapsed == naive
     assert any(c == 1.0 for *_, c in collapsed)  # within-group exercised
     # fingerprint-less duplicated docs never pair
@@ -184,3 +169,46 @@ def test_containment_collapse_equals_core_on_duplicated_corpus(spark, sf_dir):
         s in (9_000_001, 9_000_002) or d in (9_000_001, 9_000_002)
         for s, d, *_ in collapsed
     )
+
+
+def test_containment_grouped_deep_group_bounded(spark):
+    """Pins the DEEP branches of the DIRECTED collapse: a 5-deep
+    identical-text group must emit a bidirectional star
+    (rep<->member, 2(n-1) ordered edges, n_common = the group's
+    fingerprint count) instead of all n(n-1) ordered pairs, and a
+    deep side of a cross pair contributes only its representative."""
+    from angelone_clickhouse_spark.operators.text import (
+        _containment_core,
+        _containment_grouped,
+        _fp_sets,
+    )
+
+    t_deep = "alpha bravo charlie delta echo foxtrot golf"
+    t_sup = t_deep + " hotel india juliet"  # superset: contains t_deep
+    rows = [(10 + i, t_deep) for i in range(5)]  # n=5 > bound=2
+    rows += [(20, t_sup)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bounded = {
+        tuple(r) for r in _containment_grouped(corpus, bound=2).collect()
+    }
+    # expected cross pairs: exactly the core on one rep per text
+    reps = spark.createDataFrame(
+        [(10, t_deep), (20, t_sup)], "doc_id long, text string"
+    )
+    rep_core = {tuple(r) for r in _containment_core(reps).collect()}
+    assert rep_core, "fixture must produce at least one cross pair"
+    n_fp = {
+        r.doc_id: r.n_fp
+        for r in _fp_sets(reps).select("doc_id", "n_fp").collect()
+    }
+    star = {(10, m, n_fp[10], 1.0) for m in range(11, 15)} | {
+        (m, 10, n_fp[10], 1.0) for m in range(11, 15)
+    }
+    assert bounded == rep_core | star
+
+    # sanity: naive is truly bigger (5*4=20 within pairs vs 8 star
+    # edges) and the undirected closure is unchanged
+    naive = {tuple(r) for r in _containment_core(corpus).collect()}
+    assert len(naive) > len(bounded)
+    assert _closure_components(bounded) == _closure_components(naive)
