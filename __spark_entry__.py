@@ -49,68 +49,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # Everything outside the window is still guarded every pytest run by
 # tests/test_full_parity at sf0.001.
 _PRIORITY = [
-    # (a) r3-green rotation — scalar/relational/event surface
-    "scalar_functions",
-    "map_functions",
-    "distinct_tokens",
-    "price_percentiles",
-    "value_dispersion",
-    "json_extract_events",
-    "sql_grouping_sets",
-    "salted_user_stats",
-    "weekly_retention",
-    "event_type_funnel",
-    "event_sliding_windows",
-    "gap_sessions",
-    # (a) r3-green rotation — timeseries / finance
-    "vwap_daily",
-    "twap_hourly",
-    "price_histogram",
-    "price_outliers",
-    # (a) r3-green rotation — LLM pipeline / curation / text
-    "corpus_top_tokens",
-    "sequence_pack",
-    "doc_repetition",
-    "dataset_split",
-    "pii_redact",
-    "cap_per_source",
-    "quality_quantile_gate",
-    "sample_stratified",
-    "text_langid",
-    # (a) r3-green rotation — similarity / multimodal
-    "ann_topk_fast",
-    "multimodal_meta",
-    "multimodal_features",
-    # (b) new this round
-    "skewed_hot_user_stats",
-    "epoch_cap_events",
-    "doc_containment",
-    # (c) re-earn: trunc_ntz rewrite touched these plans
-    "minute_bars",
-    "hourly_bars_rollup",
-    "daily_bars_rollup",
-    "ingest_load_shed",
-    "resample_ffill",
-    "asof_price_lookup",
-    "tick_interval_join",
-    # (c) re-earn: semdedup join change, ANN parameterization,
-    #     real-WAV decode path, fuzzy collapse rewrite
-    "fuzzy_prefix_pairs",
-    "semdedup",
-    "ann_recall_audit",
-    "ann_lsh_topk",
-    "ann_topk_cosine",
-    "frame_sample",
-    # (d) oldest untouched r4-green rotation filler
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_embedding",
-    # sessionize_events and tokens_by_exchange rotate next round:
-    # displaced by doc_containment and the fuzzy_prefix_pairs re-earn
-    # so new/changed surface gets driver rows this round
+    # r8 window: (a) surface changed THIS round — must re-earn rows
+    "dedup_ngram_jaccard",   # bounded collapse + oracle-fn refactor
+    "fuzzy_prefix_pairs",    # bounded collapse port (r8)
+    "doc_containment",       # bounded directed collapse port (r8)
+    "ann_recall_audit",      # production-grade recall setting (r8)
+    "multimodal_features",   # real video decode path (r8)
+    "frame_sample",          # real video decode path (r8)
+    # (b) rotation debt from r6/r7 (rows r4-stale)
+    "sessionize_events",
+    "tokens_by_exchange",
+    # (c) the rest of the registry names whose last driver row is
+    # r4 or older — full refresh of the stalest 40
+    "q2_daily_stats",
+    "q3_recency_check",
+    "q4_latest_prices",
+    "q6_volume_profile",
+    "q7_sample",
+    "enrich_tokens_join",
+    "unknown_exchange_tokens",
+    "pricing_summary",
+    "revenue_rollup",
+    "order_priority_cube",
+    "trailing_activity_range",
+    "event_type_unpivot",
+    "event_type_pivot",
+    "revenue_by_nation",
+    "top_customers",
+    "union_nationkeys",
+    "customers_without_orders",
+    "customers_with_urgent_orders",
+    "customer_order_ranks",
+    "customer_balance_quartiles",
+    "orders_above_nation_avg",
+    "shipping_priority",
+    "late_shipment_priorities",
+    "volume_shipping",
+    "nation_profit",
+    "returned_item_revenue",
+    "promo_revenue_share",
+    "parts_supplier_counts",
+    "large_orders",
+    "disjunctive_revenue",
+    "supplier_late_blame",
+    "kmeans_refine",
+    "ann_ivf_topk",
+    "text_token_stats",
+    "text_tokenize_regex",
+    "text_quality",
+    "text_lang_stats",
+    "distinct_tokens_approx",
+    # (d) r5-stale fillers to 50: flagship + LSH consumers
+    "q5_daily_ohlcv",
+    "dedup_clusters_minhash",
+    "dedup_survivors",
+    "decontaminate_ngrams",
+    # next round: continue the r5-stale refresh (q1_latest_tick,
+    # q8_token_stats, forecast_revenue, ship_latency_classes, ...)
 ]
 
 
