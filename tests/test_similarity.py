@@ -108,3 +108,34 @@ def test_quantized_topk_recall(spark, sf_dir):
     hits = sum(1 for r in quant if (r.query_id, r.neighbor_id) in exact)
     recall = hits / len(exact)
     assert recall >= 0.8, f"int8 shortlist recall too low: {recall}"
+
+
+def test_recall_audit_amplified_setting_dominates(spark, sf_dir):
+    """The production-grade multi-table row (VERDICT r6 item 4) must
+    exist in the audit grid and dominate every single-table setting:
+    union-then-exact-rescore means extra tables only ever add recall.
+    The >= 0.9 claim itself is measured at sf0.1 (2000 vectors:
+    mean recall 0.96 vs 0.48 for the default — see AUDIT_SETTINGS);
+    at this fixture's 200 vectors the 5-query mean is 0.84, so the
+    gate here is dominance plus a 0.8 floor."""
+    import pyspark.sql.functions as F
+
+    from angelone_clickhouse_spark.operators.similarity import (
+        ann_recall_audit,
+    )
+
+    rows = (
+        ann_recall_audit(spark, sf_dir)
+        .groupBy("n_planes", "n_flips", "n_tables")
+        .agg(F.avg("recall").alias("mean_recall"))
+        .collect()
+    )
+    by_setting = {
+        (r.n_planes, r.n_flips, r.n_tables): r.mean_recall for r in rows
+    }
+    amplified = {k: v for k, v in by_setting.items() if k[2] > 1}
+    single = {k: v for k, v in by_setting.items() if k[2] == 1}
+    assert amplified, "audit grid lost its multi-table setting"
+    best_amp = max(amplified.values())
+    assert best_amp >= 0.8
+    assert best_amp > max(single.values())
