@@ -7,9 +7,14 @@ from angelone_clickhouse_spark.operators.multimodal import (
     WAV_BITS,
     WAV_HEADER_BYTES,
     WAV_SAMPLE_RATE,
+    Y4M_FRAME_BYTES,
+    Y4M_HDR,
+    Y4M_HEIGHT,
+    Y4M_WIDTH,
+    _decode,
     _decode_ppm,
-    _decode_stub,
     _decode_wav,
+    _decode_y4m,
     extract_features,
     media_table,
 )
@@ -65,8 +70,13 @@ def test_extract_features_deterministic(spark, sf_dir):
             assert n_frames == 1
             assert byte_len == 11 + len(str(height)) + height * 3 * PPM_WIDTH
         else:
-            assert 64 <= width < 64 + 1024
+            # real decode: Y4M header dims + walked frame count
+            assert width == Y4M_WIDTH
+            assert height == Y4M_HEIGHT
             assert n_frames >= 1
+            assert byte_len == len(Y4M_HDR) + n_frames * (
+                6 + Y4M_FRAME_BYTES
+            )
 
 
 def test_decode_wav_rejects_malformed():
@@ -123,6 +133,45 @@ def test_decode_ppm_rejects_malformed():
         _decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 12)  # bad maxval
 
 
-def test_decode_stub_rejects_unknown_type():
+def test_decode_rejects_unknown_type():
     with pytest.raises(NotImplementedError):
-        _decode_stub("hologram", b"abc")
+        _decode("hologram", b"abc")
+
+
+def test_video_payloads_are_real_y4m(spark, sf_dir):
+    """Video content must be a well-formed YUV4MPEG2 stream the real
+    parser walks, with the document bytes as the frame-plane prefix."""
+    rows = (
+        media_table(spark, sf_dir)
+        .filter("media_type = 'video'")
+        .limit(5)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        blob = bytes(r.content)
+        assert blob.startswith(b"YUV4MPEG2 ")
+        w, h, n = _decode_y4m(blob)
+        assert (w, h) == (Y4M_WIDTH, Y4M_HEIGHT)
+        assert n >= 1
+        # first frame's plane bytes are the document's leading bytes
+        first = blob[len(Y4M_HDR) + 6 : len(Y4M_HDR) + 6 + Y4M_FRAME_BYTES]
+        assert first.rstrip(b"\0")  # text prefix + NUL pad only
+
+
+def test_decode_y4m_rejects_malformed():
+    ok = Y4M_HDR + b"FRAME\n" + b"x" * Y4M_FRAME_BYTES
+    assert _decode_y4m(ok) == (Y4M_WIDTH, Y4M_HEIGHT, 1)
+    with pytest.raises(ValueError):
+        _decode_y4m(b"AVI not a y4m stream")
+    with pytest.raises(ValueError):
+        _decode_y4m(b"YUV4MPEG2 Wx H8 C444\nFRAME\n")  # bad dims
+    with pytest.raises(ValueError):
+        # C420 (the default) is unsupported: frame size would differ
+        _decode_y4m(b"YUV4MPEG2 W32 H8\nFRAME\n" + b"x" * 768)
+    with pytest.raises(ValueError):
+        _decode_y4m(ok + b"FRAME\n" + b"x" * (Y4M_FRAME_BYTES - 1))
+    with pytest.raises(ValueError):
+        _decode_y4m(ok + b"GARBAGE\n" + b"x" * Y4M_FRAME_BYTES)
+    with pytest.raises(ValueError):
+        _decode_y4m(Y4M_HDR)  # zero frames
