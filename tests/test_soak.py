@@ -204,3 +204,68 @@ def test_gap_sessions_soak_with_restart(spark, sf_dir, tmp_path):
     }
     assert len(got) > 0
     assert got == expected
+
+
+def test_rollup_volume_soak_sf01_scale(spark, tmp_path):
+    """VOLUME soak (VERDICT r6 item 8): the restart soak above at
+    sf0.1-scale frame volume — 100,200 frames (the sf0.1 events table
+    is 100k rows) over 3 event-time days in 24 strictly time-ordered
+    single-file epochs, the maintainer killed mid-run and restarted
+    on the same checkpoint. End state must equal the batch rollup
+    over all frames; whole test budgeted <= 120 s wall."""
+    from angelone_clickhouse_spark.streaming.rollup import (
+        maintain_daily_rollup,
+        read_rollup,
+    )
+
+    t_start = time.time()
+    day_ms = 86_400_000
+    frames = []
+    for day, seed in enumerate((61, 62, 63)):
+        frames += generate_frames(
+            33_400,
+            seed=seed,
+            start_ms=EPOCH_2024_MS + day * day_ms,
+            seq_start=day * 1_000_000,
+        )
+    d = str(tmp_path)
+    write_frames_parquet_ordered(frames, f"{d}/in", n_files=24)
+
+    q1 = maintain_daily_rollup(
+        spark, f"{d}/in", f"{d}/table", f"{d}/ckpt", max_files_per_trigger=1
+    )
+    n1 = _run_until_progress(q1, 8)  # injected mid-stream stop
+    q2 = maintain_daily_rollup(
+        spark, f"{d}/in", f"{d}/table", f"{d}/ckpt", max_files_per_trigger=1
+    )
+    q2.awaitTermination(240)
+    n2 = len(q2.recentProgress)
+    assert _n_commits(f"{d}/ckpt") >= MIN_TRIGGERS, (n1, n2)
+    assert n1 >= 2 and n2 >= 2, (n1, n2)  # the stop landed mid-stream
+
+    got = sorted(map(tuple, read_rollup(spark, f"{d}/table").collect()))
+    ticks = wire_to_ticks(decode_frames(frames_df(spark, frames))).dropDuplicates(
+        ["token", "sequence_number"]
+    )
+    expected = sorted(
+        map(
+            tuple,
+            ticks.groupBy("token", F.to_date("ts").alias("day"))
+            .agg(
+                F.min_by("open_price", "sequence_number").alias("open"),
+                F.max_by("close_price", "sequence_number").alias("close"),
+                F.max("high_price").alias("high"),
+                F.min("low_price").alias("low"),
+                F.sum("volume").alias("total_volume"),
+                F.count(F.lit(1)).alias("n_ticks"),
+            )
+            .select(
+                "token", "day", "open", "close", "high", "low",
+                "total_volume", "n_ticks",
+            )
+            .collect(),
+        )
+    )
+    assert len(got) > 3
+    assert got == expected
+    assert time.time() - t_start <= 120, "volume soak exceeded budget"
