@@ -32,6 +32,7 @@ floor (BASELINE.md).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import statistics
@@ -42,6 +43,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 FULL_PATH = os.environ.get(
@@ -75,12 +77,16 @@ def main() -> None:
     warmup = time.time() - t0
 
     # Noise canary: a FIXED constant-work query (lineitem scan +
-    # 3-column agg) timed before and after every pass. Its code never
-    # changes round-over-round, so its drift measures the BOX, not the
-    # repo: r6's review burned real time proving 21 uniform
-    # "regressions" were host load (VERDICT r6 item 3). A judge
-    # divides any per-query delta by canary_median_ratio
-    # (this_round/last_round) before calling it a regression.
+    # 3-column agg). Its code never changes round-over-round, so its
+    # drift measures the BOX, not the repo: r6's review burned real
+    # time proving 21 uniform "regressions" were host load (VERDICT
+    # r6 item 3). Sampling: one untimed compile run, one timed warm
+    # point before the pass loop, then one timed point after each
+    # pass. When a prior round's BENCH_r*.json with a canary_median
+    # is present, the output includes canary_ratio_vs_last
+    # (this_round/last_round) — divide per-query deltas by it before
+    # calling anything a regression; with no prior canary the ratio
+    # is absent and the comparison is across rounds' canary_median.
     def _canary() -> float:
         from pyspark.sql import functions as F
 
@@ -218,7 +224,7 @@ def main() -> None:
         # straight group-by on the same skewed data
         "skew_secs": skew_secs,
         # noise canary (see _canary above): fixed constant-work query,
-        # one timed point per pass. Compare canary_median across
+        # 1 warm point + 1 per pass. Compare canary_median across
         # rounds FIRST — if it moved, the round's deltas are weather.
         "canary_run_secs": canary_runs,
         "canary_median": canary_median,
@@ -229,6 +235,26 @@ def main() -> None:
         # care (full run arrays are in query_run_secs)
         "high_variance_queries": sorted(high_variance),
     }
+    # normalize against the newest prior round file that carried a
+    # canary (BENCH_r07 onward): ratio > 1 means this round's box was
+    # slower, and per-query deltas should be divided by it
+    prev_canary = None
+    for prior in sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(prior) as pf:
+                pj = json.load(pf)
+            # driver round files wrap the summary line under "parsed"
+            pc = pj.get("canary_median") or pj.get("parsed", {}).get(
+                "canary_median"
+            )
+        except Exception:  # noqa: BLE001 — a malformed file is not our problem
+            continue
+        if pc:
+            prev_canary, prev_name = pc, os.path.basename(prior)
+            break
+    if prev_canary:
+        full["canary_ratio_vs_last"] = round(canary_median / prev_canary, 3)
+        full["canary_ratio_baseline_file"] = prev_name
     if failures:
         full["failures"] = failures
     with open(FULL_PATH, "w") as f:
@@ -254,6 +280,7 @@ def main() -> None:
         "ingest_rows_per_sec": ingest_rps,
         "skew_secs": skew_secs,
         "canary_median": canary_median,
+        "canary_ratio_vs_last": full.get("canary_ratio_vs_last"),
         "n_failures": len(failures),
         "n_high_variance": len(high_variance),
         "detail_file": "bench_full.json",
