@@ -114,21 +114,24 @@ def _bucket(
     randomness to ship. ``plane_offset`` selects an independent plane
     family, which is how the multi-TABLE amplification picks table
     t's planes (offset = t * n_planes) in one corpus pass."""
-    plane_dot = lambda p: F.aggregate(
-        F.zip_with(
-            "v",
-            F.array(*[F.lit(x) for x in _plane(p + plane_offset)]),
-            lambda x, h: x * h,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        bucket = bucket.bitwiseOR(
-            F.shiftleft((plane_dot(p) > 0).cast("long"), p)
+    # One SQL string per bucket column instead of per-element lit():
+    # n_planes*dim literal floats through F.lit cost one Py4J round
+    # trip EACH (~4 s of driver-side analysis for a 10-table, 6-plane
+    # setting before any work ran); a single parsed expr() carries
+    # the same zip_with/aggregate fold — identical arithmetic, same
+    # plan — for one round trip. repr() floats round-trip exactly.
+    def plane_dot(p: int) -> str:
+        arr = ", ".join(f"{x!r}D" for x in _plane(p + plane_offset))
+        return (
+            f"aggregate(zip_with(v, array({arr}), (x, h) -> x * h), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
-    return vecs.withColumn(out, bucket)
+
+    bits = " | ".join(
+        f"(CASE WHEN ({plane_dot(p)}) > 0.0D THEN {1 << p}L ELSE 0L END)"
+        for p in range(n_planes)
+    )
+    return vecs.withColumn(out, F.expr(f"CAST(({bits}) AS BIGINT)"))
 
 
 def lsh_topk(
