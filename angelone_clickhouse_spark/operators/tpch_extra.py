@@ -279,9 +279,15 @@ def supplier_late_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Decorrelated: the classic EXISTS/NOT-EXISTS double self-join on
     lineitem becomes ONE grouped pass per (orderkey) computing
-    distinct-supplier and distinct-late-supplier counts, joined back
-    to the late lines — linear in |lineitem|, no quadratic self-join.
-    At 100 TB both sides of the join-back share the orderkey shuffle.
+    distinct-supplier and distinct-late-supplier counts — and, since
+    a qualifying order has EXACTLY one distinct late supplier, that
+    supplier is recovered inside the same aggregate (max over the
+    late-only suppkeys), so there is no join-back at all: the
+    lineitem-orders join runs once, one orderkey shuffle, then a
+    broadcast hash join to supplier. Linear in |lineitem|; the r8
+    rewrite removed the second evaluation of the lineitem-orders join
+    that the join-back spelling forced (it was the slowest sf1.0
+    query at 2x the necessary scan work).
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -299,18 +305,14 @@ def supplier_late_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.when(F.col("is_late"), F.col("l_suppkey"))
         ).alias("n_late_supp"),
+        # with n_late_supp == 1 this max IS the unique late supplier
+        F.max(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("late_supp"),
     )
-    blamed = (
-        lo.filter(F.col("is_late"))
-        .join(
-            per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-            ),
-            "l_orderkey",
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    blamed = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey", F.col("late_supp").alias("l_suppkey"))
     return (
         blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
