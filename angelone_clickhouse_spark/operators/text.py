@@ -591,17 +591,42 @@ def _containment_core(docs: DataFrame) -> DataFrame:
     count aggregate per directed pair — one shuffle on the
     fingerprint, one on the pair; no arrays carried through the join.
     Scale notes: winnowing already thins shingles ~1/FP_WINDOW; at
-    100 TB add a document-frequency cap on the inverted index (drop
+    100 TB pass ``df_cap`` to :func:`_containment_from_fps` (drop
     fingerprints appearing in more than ~10^3 docs — stopword-like
     n-grams carry no containment signal and create the only hot
-    postings). Division is exact-int -> one IEEE divide, rounded to 6
+    postings; capped scores only ever drop, see the knob's
+    docstring). Division is exact-int -> one IEEE divide, rounded to 6
     on both engines; the threshold filters the ROUNDED value so the
     boundary is engine-independent."""
     return _containment_from_fps(_fp_sets(docs))
 
 
-def _containment_from_fps(fps: DataFrame) -> DataFrame:
+def _containment_from_fps(
+    fps: DataFrame, df_cap: int | None = None
+) -> DataFrame:
+    """Directed containment from a (doc_id, fp, n_fp) frame via an
+    inverted fingerprint index self-join.
+
+    ``df_cap`` is the 100 TB knob the scale notes promise: drop
+    fingerprints whose document frequency exceeds the cap before the
+    self-join. A stopword-like shingle appearing in 10^5 docs creates
+    a 10^10-row hot posting while carrying no containment signal;
+    capping bounds every posting's join fan-out at df_cap^2. ``None``
+    (the default, used by every oracle-checked query) keeps the
+    computation exact. With a cap, reported containment can only
+    DROP (n_common loses capped fingerprints; n_src keeps its exact
+    denominator), so the capped output is a subset of the exact
+    pairs with conservative scores — the safe direction for a dedup
+    gate (pinned by tests/test_text.py)."""
     inv = fps.select("doc_id", F.explode("fp").alias("f"))
+    if df_cap is not None:
+        hot = (
+            inv.groupBy("f")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("f")
+        )
+        inv = inv.join(F.broadcast(hot), "f", "left_anti")
     a = inv.select(F.col("doc_id").alias("doc_src"), "f")
     b = inv.select(F.col("doc_id").alias("doc_dst"), "f")
     common = (

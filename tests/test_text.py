@@ -212,3 +212,45 @@ def test_containment_grouped_deep_group_bounded(spark):
     naive = {tuple(r) for r in _containment_core(corpus).collect()}
     assert len(naive) > len(bounded)
     assert _closure_components(bounded) == _closure_components(naive)
+
+
+def test_containment_df_cap_conservative(spark):
+    """The document-frequency cap (the 100 TB hot-posting knob on
+    _containment_from_fps) must (a) leave output identical when no
+    fingerprint exceeds the cap, and (b) with a binding cap produce a
+    SUBSET of the exact pairs with containment scores that only ever
+    drop — never a new pair, never a higher score."""
+    from angelone_clickhouse_spark.operators.text import (
+        _containment_from_fps,
+        _fp_sets,
+    )
+
+    # 30 docs sharing one stopword-ish phrase (a hot fingerprint in
+    # every doc) plus per-doc unique tails; one true superset pair
+    common = "the quick brown fox jumps over"
+    rows = [
+        (i, f"{common} unique{i} tail{i} words{i} here{i}")
+        for i in range(30)
+    ]
+    rows.append((100, rows[5][1] + " extra trailing content appended"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = _fp_sets(corpus.select("doc_id", "text"))
+
+    exact = {
+        (r.doc_src, r.doc_dst): (r.n_common, r.containment)
+        for r in _containment_from_fps(fps).collect()
+    }
+    loose = {
+        (r.doc_src, r.doc_dst): (r.n_common, r.containment)
+        for r in _containment_from_fps(fps, df_cap=1000).collect()
+    }
+    assert loose == exact  # (a) cap above every df: no-op
+
+    capped = {
+        (r.doc_src, r.doc_dst): (r.n_common, r.containment)
+        for r in _containment_from_fps(fps, df_cap=5).collect()
+    }
+    assert set(capped) <= set(exact)  # (b) subset of pairs
+    for pair, (n, c) in capped.items():
+        assert n <= exact[pair][0] and c <= exact[pair][1]
+    assert len(capped) < len(exact)  # the cap actually bound
