@@ -278,16 +278,17 @@ def supplier_late_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     order date; no other supplier's did).
 
     Decorrelated: the classic EXISTS/NOT-EXISTS double self-join on
-    lineitem becomes ONE grouped pass per (orderkey) computing
-    distinct-supplier and distinct-late-supplier counts — and, since
-    a qualifying order has EXACTLY one distinct late supplier, that
-    supplier is recovered inside the same aggregate (max over the
-    late-only suppkeys), so there is no join-back at all: the
-    lineitem-orders join runs once, one orderkey shuffle, then a
-    broadcast hash join to supplier. Linear in |lineitem|; the r8
-    rewrite removed the second evaluation of the lineitem-orders join
-    that the join-back spelling forced (it was the slowest sf1.0
-    query at 2x the necessary scan work).
+    lineitem becomes two cascaded grouped passes with NO distinct
+    aggregates — per (orderkey, suppkey) first (any-late flag; this
+    is where map-side partial aggregation eats the volume), then per
+    orderkey counting pairs and late pairs. A qualifying order has
+    EXACTLY one late supplier, so that supplier is recovered inside
+    the same aggregate (max over late-only suppkeys) — no join-back,
+    the lineitem-orders join runs once. The r8 spelling first removed
+    the join-back (which re-evaluated the big join), then replaced
+    the two countDistinct aggregates, whose Expand node tripled the
+    shuffled row count, with the pair pre-aggregate: sf1.0 warm wall
+    6.8 s -> 3.3 s. Linear in |lineitem| at any scale.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -300,14 +301,15 @@ def supplier_late_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
         ).alias("is_late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"),
         # with n_late_supp == 1 this max IS the unique late supplier
         F.max(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
+            F.when(F.col("supp_late"), F.col("l_suppkey"))
         ).alias("late_supp"),
     )
     blamed = per_order.filter(
