@@ -24,30 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
     from angelone_clickhouse_spark.operators.queries import q5_daily_ohlcv
 
     return q5_daily_ohlcv(spark, SMOKE_SF_DIR)
-
-
-# The driver's end-of-round correctness gate checks the FIRST 50 registry
-# entries only.  Order the registry so every query that has never earned a
-# green driver row — or whose implementation changed since its last green
-# row — sits inside that window; everything else rotates behind position 50
-# (kept registered: they still run in bench.py, pytest, and check_parity).
-#
-# Round-6 window layout (VERDICT r5 items 1, plus this round's edits):
-# (a) all 28 entries whose latest green row is CORRECTNESS_r03 — the
-#     rotation debt VERDICT r5 named; after this round nothing in the
-#     registry is more than two rounds stale,
-# (b) the 2 entries NEW this round (skew-stress aggregate, epoch cap),
-# (c) every entry whose implementation changed this round and so
-#     re-earns its row: the trunc_ntz rewrite (minute/hourly/daily
-#     bars, ingest_load_shed, resample_ffill, asof_price_lookup,
-#     tick_interval_join), the semdedup broadcast removal, the
-#     ANN parameterization (ann_recall_audit/ann_lsh_topk/
-#     ann_topk_cosine), and the real-WAV multimodal change
-#     (frame_sample; multimodal_meta/features are in (a)),
-# (d) 8 filler slots rotating the oldest untouched r4-green entries
-#     (dedup family, sessionize, tokens_by_exchange).
-# Everything outside the window is still guarded every pytest run by
-# tests/test_full_parity at sf0.001.
+# The driver's correctness gate checks only the FIRST 50 queries()
+# entries, so this list is the rotation schedule: each round it holds
+# (a) every op whose code changed that round (must re-earn a driver
+# row), (b) overdue rotation debt, and (c) the registry names whose
+# last green driver row is oldest. Entries outside the window keep
+# their value-parity guarantee via tests/test_full_parity.py at
+# sf0.001 and tools/check_parity.py runs at larger SFs.
 _PRIORITY = [
     # r8 window: (a) surface changed THIS round — must re-earn rows
     "dedup_ngram_jaccard",   # bounded collapse + oracle-fn refactor

@@ -225,7 +225,9 @@ def _grouped_pairwise(
     # maps, and both within branches. Fixed-width rows (no member
     # arrays) — a group's size costs 8 bytes here no matter how deep.
     groups = groups.localCheckpoint(eager=True)
-    members = keyed.select("tkey", "doc_id")
+    # members feeds exp_a, cross, and both within branches; without
+    # materialization every branch re-scans the corpus and re-hashes
+    members = keyed.select("tkey", "doc_id").localCheckpoint(eager=True)
     rep_pairs = _pairwise_jaccard(
         groups.select(F.col("rep").alias("doc_id"), "text")
     )

@@ -112,23 +112,29 @@ def _wrap_wav(data: pd.Series) -> pd.Series:
 Y4M_WIDTH = 32  # fixed video frame width
 Y4M_HEIGHT = 8  # fixed video frame height
 Y4M_FRAME_BYTES = 3 * Y4M_WIDTH * Y4M_HEIGHT  # C444: 3 full planes
-Y4M_HDR = (
-    f"YUV4MPEG2 W{Y4M_WIDTH} H{Y4M_HEIGHT} F25:1 Ip A1:1 C444\n"
+# header base; the wrap appends " Xlen=<payload bytes>" (an X vendor
+# param per the YUV4MPEG2 spec, ignored by the parser) + newline
+Y4M_HDR_BASE = (
+    f"YUV4MPEG2 W{Y4M_WIDTH} H{Y4M_HEIGHT} F25:1 Ip A1:1 C444"
 ).encode("ascii")
+Y4M_HDR = Y4M_HDR_BASE + b"\n"  # minimal valid header (tests)
 
 
 @F.pandas_udf(BinaryType())
 def _wrap_y4m(data: pd.Series) -> pd.Series:
     """Wrap raw bytes as a genuine Y4M (YUV4MPEG2) video stream:
-    constant header, then ceil(len/frame) frames of 'FRAME\\n' +
-    Y4M_FRAME_BYTES of C444 plane data — the document's UTF-8 bytes
-    split across frames, the last frame zero-padded.
+    header carrying the payload length as an X vendor param, then
+    ceil(len/frame) frames of 'FRAME\\n' + Y4M_FRAME_BYTES of C444
+    plane data — the document's UTF-8 bytes split across frames, the
+    last frame zero-padded.
 
-    Injective for NUL-free inputs by the same argument as _wrap_ppm:
-    the header is constant, the payload is embedded verbatim, and
-    zero-padding cannot collide two distinct NUL-free texts — so
-    distinct-count aggregates over the wrapped column equal those
-    over the raw text (multimodal_meta relies on this)."""
+    Injective for ALL inputs (stronger than _wrap_ppm's NUL-free
+    argument): the 'Xlen=' header param pins the exact payload
+    length, so 'x' and 'x\\x00' — which pad to identical plane bytes
+    — still wrap to distinct streams, the same way the WAV header's
+    data-chunk size keeps _wrap_wav injective. Distinct-count
+    aggregates over the wrapped column therefore equal those over
+    the raw text unconditionally (multimodal_meta relies on this)."""
 
     def y4m(b: bytes) -> bytes:
         b = bytes(b)
@@ -140,7 +146,11 @@ def _wrap_y4m(data: pd.Series) -> pd.Series:
             )
             for i in range(n)
         )
-        return Y4M_HDR + frames
+        return (
+            Y4M_HDR_BASE
+            + f" Xlen={len(b)}\n".encode("ascii")
+            + frames
+        )
 
     return data.map(y4m)
 
@@ -325,11 +335,12 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction rollup, fully oracle-checked: the stub decode
-    is a pure function of the payload's first 8 bytes, so DuckDB
-    replicates it from hex(content) and verifies the whole mapInPandas
-    path value-for-value (averages in exact half-up integer arithmetic,
-    functions/exact.py)."""
+    """Feature-extraction rollup, fully oracle-checked: every decoded
+    feature is a container construction param (WAV sample rate/bits/
+    frame count, PPM dims, Y4M dims/frame count), so DuckDB re-derives
+    them from the text length alone and verifies the whole mapInPandas
+    real-decode path value-for-value (averages in exact half-up
+    integer arithmetic, functions/exact.py)."""
     from angelone_clickhouse_spark.functions.exact import avg_fixed_g
 
     feats = extract_features(media_table(spark, sf_dir))
@@ -354,7 +365,8 @@ def frame_sample(
     clips, one output row per sampled frame. A real pipeline hands
     these (doc_id, frame_idx) pairs to the decoder to fetch exactly
     those frames; the selection ARITHMETIC is the operator and is pure
-    integer, so DuckDB verifies it end-to-end through the stub decode.
+    integer, so DuckDB verifies it end-to-end through the real
+    container decode (n_frames re-derived from construction params).
 
     Scale notes: mapInPandas decode then a shuffle-free per-row
     transform+explode; output is K rows per item (bounded expansion),
@@ -411,14 +423,17 @@ WITH m AS (
 -- header+payload round-trips. himg = PPM height = ceil(data/96) at
 -- fixed width 32; the PPM header 'P6\\n32 {{h}}\\n255\\n' is
 -- 11 + len(str(h)) bytes. nfv = Y4M frame count = ceil(data/768);
--- each frame costs 6 ('FRAME\\n') + 768 bytes after the 36-byte
--- stream header
+-- each frame costs 6 ('FRAME\\n') + 768 bytes after the stream
+-- header, whose length is 42 + digits(dlen) (the 'Xlen=' injectivity
+-- param carries the payload length)
 f AS (
   SELECT media_type,
          CAST(CASE WHEN media_type = 'audio' THEN dlen + {WAV_HEADER_BYTES}
                    WHEN media_type = 'image'
                      THEN 11 + length(CAST(himg AS VARCHAR)) + himg * {3 * PPM_WIDTH}
-                   ELSE {len(Y4M_HDR)} + nfv * {6 + Y4M_FRAME_BYTES}
+                   ELSE {len(Y4M_HDR_BASE) + 7}
+                        + length(CAST(dlen AS VARCHAR))
+                        + nfv * {6 + Y4M_FRAME_BYTES}
               END AS BIGINT) AS blen,
          CAST(CASE WHEN media_type = 'audio' THEN {WAV_SAMPLE_RATE}
                    WHEN media_type = 'image' THEN {PPM_WIDTH}
@@ -493,7 +508,8 @@ SELECT media_type,
                 WHEN 'audio' THEN octet_length(content) + {WAV_HEADER_BYTES}
                 WHEN 'image' THEN 11 + length(CAST(himg AS VARCHAR))
                                   + himg * {3 * PPM_WIDTH}
-                ELSE {len(Y4M_HDR)}
+                ELSE {len(Y4M_HDR_BASE) + 7}
+                     + length(CAST(octet_length(content) AS VARCHAR))
                      + (CASE WHEN octet_length(content) = 0 THEN 1
                         ELSE (octet_length(content) + {Y4M_FRAME_BYTES - 1})
                              // {Y4M_FRAME_BYTES} END)

@@ -445,12 +445,24 @@ def _fuzzy_grouped(docs: DataFrame, bound: int = DEEP_GROUP_BOUND) -> DataFrame:
     are pinned by tests/test_text.py's bound=2 deep-fixture test.
     Cost: quadratic in DISTINCT keys; per-task expansion fan-out
     capped by ``bound`` on shallow branches and by 1 on deep ones."""
-    t = docs.select(
-        "doc_id",
-        "lang",
-        F.expr(f"n_chars div {FUZZY_BLOCK_CHARS}").alias("lb"),
-        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("pfx"),
-    ).withColumn("gkey", F.md5(F.concat_ws("\x1f", "lang", "lb", "pfx")))
+    t = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(f"n_chars div {FUZZY_BLOCK_CHARS}").alias("lb"),
+            F.substring("text", 1, FUZZY_PREFIX_LEN).alias("pfx"),
+        )
+        # a NULL key field can never pair in the core (equi-joins drop
+        # NULL keys), so such docs are excluded BEFORE grouping — this
+        # also keeps concat_ws sound (it silently skips NULLs, which
+        # would otherwise collapse distinct triples into one gkey)
+        .filter(
+            F.col("lang").isNotNull()
+            & F.col("lb").isNotNull()
+            & F.col("pfx").isNotNull()
+        )
+        .withColumn("gkey", F.md5(F.concat_ws("\x1f", "lang", "lb", "pfx")))
+    )
     groups = (
         t.groupBy("gkey")
         .agg(
@@ -464,7 +476,10 @@ def _fuzzy_grouped(docs: DataFrame, bound: int = DEEP_GROUP_BOUND) -> DataFrame:
         # both within branches; fixed-width rows regardless of depth
         .localCheckpoint(eager=True)
     )
-    members = t.select("gkey", "doc_id")
+    # materialized: feeds exp_a, cross, and both within branches —
+    # without this every join branch re-scans documents and recomputes
+    # the key (4-5 extra corpus scans at the scale this rewrite targets)
+    members = t.select("gkey", "doc_id").localCheckpoint(eager=True)
     rep_pairs = _fuzzy_pairs_core(
         groups.select(F.col("rep").alias("doc_id"), "lang", "lb", "pfx")
     )
@@ -488,9 +503,10 @@ def _fuzzy_grouped(docs: DataFrame, bound: int = DEEP_GROUP_BOUND) -> DataFrame:
             F.col("gkey").alias("gkey_a"), F.col("doc_id").alias("a")
         ),
         "gkey_a",
-    ).select("a", "gkey_b", "n_b", "lang", "dist").unionByName(
+    ).select("a", "gkey_b", "n_b", "doc_id_b", "lang", "dist").unionByName(
         rp.filter(F.col("n_a") > bound).select(
-            F.col("doc_id_a").alias("a"), "gkey_b", "n_b", "lang", "dist"
+            F.col("doc_id_a").alias("a"), "gkey_b", "n_b", "doc_id_b",
+            "lang", "dist",
         )
     )
     cross = exp_a.filter(F.col("n_b") <= bound).join(
@@ -499,14 +515,9 @@ def _fuzzy_grouped(docs: DataFrame, bound: int = DEEP_GROUP_BOUND) -> DataFrame:
         ),
         "gkey_b",
     ).select("a", "b", "lang", "dist").unionByName(
+        # doc_id_b IS the rep of the deep B group — no re-join needed
         exp_a.filter(F.col("n_b") > bound)
-        .join(
-            groups.select(
-                F.col("gkey").alias("gkey_b"), F.col("rep").alias("b")
-            ),
-            "gkey_b",
-        )
-        .select("a", "b", "lang", "dist")
+        .select("a", F.col("doc_id_b").alias("b"), "lang", "dist")
     ).select(
         F.least("a", "b").alias("doc_id_a"),
         F.greatest("a", "b").alias("doc_id_b"),
@@ -687,7 +698,9 @@ def _containment_grouped(
         )
         .localCheckpoint(eager=True)  # feeds core + all expansions
     )
-    members = keyed.select("tkey", "doc_id")
+    # materialized for the same reason as _fuzzy_grouped's members:
+    # it feeds exp_s, cross, and both within branches
+    members = keyed.select("tkey", "doc_id").localCheckpoint(eager=True)
     rep_fps = _fp_sets(groups.select(F.col("rep").alias("doc_id"), "text"))
     rep_pairs = _containment_from_fps(rep_fps)
     rp = rep_pairs.join(

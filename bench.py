@@ -35,6 +35,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import statistics
 import sys
 import tempfile
@@ -239,7 +240,17 @@ def main() -> None:
     # canary (BENCH_r07 onward): ratio > 1 means this round's box was
     # slower, and per-query deltas should be divided by it
     prev_canary = None
-    for prior in sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")), reverse=True):
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    # numeric round sort: lexicographic would rank r99 above r100
+    for prior in sorted(
+        glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")),
+        key=_round_no,
+        reverse=True,
+    ):
         try:
             with open(prior) as pf:
                 pj = json.load(pf)

@@ -70,13 +70,14 @@ def test_extract_features_deterministic(spark, sf_dir):
             assert n_frames == 1
             assert byte_len == 11 + len(str(height)) + height * 3 * PPM_WIDTH
         else:
-            # real decode: Y4M header dims + walked frame count
+            # real decode: Y4M header dims + walked frame count; the
+            # header length varies with the Xlen injectivity param
             assert width == Y4M_WIDTH
             assert height == Y4M_HEIGHT
             assert n_frames >= 1
-            assert byte_len == len(Y4M_HDR) + n_frames * (
-                6 + Y4M_FRAME_BYTES
-            )
+            data_len = n_frames * (6 + Y4M_FRAME_BYTES)
+            hdr_len = byte_len - data_len
+            assert 42 <= hdr_len <= 42 + 10  # 42 + digits(dlen)
 
 
 def test_decode_wav_rejects_malformed():
@@ -151,11 +152,13 @@ def test_video_payloads_are_real_y4m(spark, sf_dir):
     for r in rows:
         blob = bytes(r.content)
         assert blob.startswith(b"YUV4MPEG2 ")
+        assert b" Xlen=" in blob.split(b"\n", 1)[0]  # injectivity param
         w, h, n = _decode_y4m(blob)
         assert (w, h) == (Y4M_WIDTH, Y4M_HEIGHT)
         assert n >= 1
         # first frame's plane bytes are the document's leading bytes
-        first = blob[len(Y4M_HDR) + 6 : len(Y4M_HDR) + 6 + Y4M_FRAME_BYTES]
+        body = blob.index(b"\n") + 1 + 6  # header + 'FRAME\n'
+        first = blob[body : body + Y4M_FRAME_BYTES]
         assert first.rstrip(b"\0")  # text prefix + NUL pad only
 
 
@@ -175,3 +178,25 @@ def test_decode_y4m_rejects_malformed():
         _decode_y4m(ok + b"GARBAGE\n" + b"x" * Y4M_FRAME_BYTES)
     with pytest.raises(ValueError):
         _decode_y4m(Y4M_HDR)  # zero frames
+
+
+def test_wrap_y4m_injective_for_nul_bytes(spark):
+    """The Xlen header param must keep the video wrap injective even
+    for payloads that differ only by trailing NUL bytes (which pad to
+    identical frame planes) — the same guarantee the WAV data-chunk
+    size gives _wrap_wav, and the case the driver differential would
+    hit if distinct texts ever wrapped identically."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("x",), ("x\x00",), ("",), ("\x00",)], "text string"
+    )
+    from angelone_clickhouse_spark.operators.multimodal import _wrap_y4m
+
+    blobs = [
+        bytes(r.c)
+        for r in df.select(
+            _wrap_y4m(F.encode("text", "UTF-8")).alias("c")
+        ).collect()
+    ]
+    assert len(set(blobs)) == len(blobs)

@@ -254,3 +254,47 @@ def test_containment_df_cap_conservative(spark):
     for pair, (n, c) in capped.items():
         assert n <= exact[pair][0] and c <= exact[pair][1]
     assert len(capped) < len(exact)  # the cap actually bound
+
+
+def test_fuzzy_grouped_null_keys_match_core(spark):
+    """Docs with a NULL key field (lang/n_chars/text) can never pair
+    in the PassJoin core — its equi-joins drop NULL keys — so the
+    collapse must exclude them BEFORE grouping (also keeping
+    concat_ws, which silently skips NULLs, from collapsing distinct
+    triples into one group key). Pinned on a corpus where two docs
+    have complementary NULL patterns that a naive concat_ws key would
+    merge."""
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.operators.text import (
+        FUZZY_BLOCK_CHARS,
+        FUZZY_PREFIX_LEN,
+        _fuzzy_grouped,
+        _fuzzy_pairs_core,
+    )
+
+    pfx = "abcdefghijklmnopqrstuvwxyz0123"
+    rows = [
+        (1, "en", 40, pfx + " tail"),
+        (2, "en", 40, pfx + " tail"),
+        (3, None, 40, pfx + " tail"),  # NULL lang
+        (4, "en", None, pfx + " tail"),  # NULL n_chars -> NULL lb
+        (5, "en", 40, None),  # NULL text -> NULL pfx
+        # complementary NULLs: concat_ws('\x1f','en',NULL,'x') ==
+        # concat_ws('\x1f','en','x',NULL) would merge these two
+        (6, "en", None, "x"),
+        (7, "en", 40 * FUZZY_BLOCK_CHARS, None),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, text string"
+    )
+    t = corpus.select(
+        "doc_id",
+        "lang",
+        F.expr(f"n_chars div {FUZZY_BLOCK_CHARS}").alias("lb"),
+        F.substring("text", 1, FUZZY_PREFIX_LEN).alias("pfx"),
+    )
+    naive = {tuple(r) for r in _fuzzy_pairs_core(t).collect()}
+    collapsed = {tuple(r) for r in _fuzzy_grouped(corpus).collect()}
+    assert collapsed == naive
+    assert naive == {(1, 2, "en", 0)}  # only the NULL-free pair
