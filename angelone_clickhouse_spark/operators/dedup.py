@@ -257,9 +257,9 @@ def _grouped_pairwise(
             F.col("tkey").alias("tkey_a"), F.col("doc_id").alias("a")
         ),
         "tkey_a",
-    ).select("a", "tkey_b", "n_b", "jaccard").unionByName(
+    ).select("a", "tkey_b", "n_b", "doc_b", "jaccard").unionByName(
         rp.filter(F.col("n_a") > bound).select(
-            F.col("doc_a").alias("a"), "tkey_b", "n_b", "jaccard"
+            F.col("doc_a").alias("a"), "tkey_b", "n_b", "doc_b", "jaccard"
         )
     )
     cross = exp_a.filter(F.col("n_b") <= bound).join(
@@ -268,14 +268,9 @@ def _grouped_pairwise(
         ),
         "tkey_b",
     ).select("a", "b", "jaccard").unionByName(
+        # doc_b IS the rep of the deep B group — no re-join needed
         exp_a.filter(F.col("n_b") > bound)
-        .join(
-            groups.select(
-                F.col("tkey").alias("tkey_b"), F.col("rep").alias("b")
-            ),
-            "tkey_b",
-        )
-        .select("a", "b", "jaccard")
+        .select("a", F.col("doc_b").alias("b"), "jaccard")
     ).select(
         F.least("a", "b").alias("doc_a"),
         F.greatest("a", "b").alias("doc_b"),
