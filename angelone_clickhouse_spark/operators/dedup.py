@@ -126,16 +126,26 @@ def _pairwise_jaccard(docs: DataFrame) -> DataFrame:
     ).cast("int") + 1
     pref = sets.select(
         "doc_id",
+        "n_shingles",
         F.explode(
             F.slice(F.col("shingles"), F.lit(1), prefix_len)
         ).alias("shingle"),
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin's LENGTH filter alongside the prefix filter: jac >= t
+    # implies t*|A| <= |B| <= |A|/t, so size-incompatible candidates
+    # are dropped inside the join, before the distinct + verify
+    # shuffles. 1e-9 slack: t*na in doubles can round ABOVE the real
+    # product (e.g. 0.7*10 -> 7.000000000000001) and an integer nb
+    # sitting exactly on the bound would be wrongly pruned without it.
+    t = F.lit(JACCARD_THRESHOLD)
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_shingles") >= t * F.col("a.n_shingles") - 1e-9)
+            & (F.col("b.n_shingles") <= F.col("a.n_shingles") / t + 1e-9),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
