@@ -39,6 +39,9 @@ _PRIORITY = [
     "ann_recall_audit",      # production-grade recall setting (r8)
     "multimodal_features",   # real video decode path (r8)
     "frame_sample",          # real video decode path (r8)
+    "multimodal_meta",       # Y4M Xlen injectivity param (late r8)
+    "dedup_clusters",        # ngram collapse re-join cut + PPJoin
+                             # length filter (late r8)
     # (b) rotation debt from r6/r7 (rows r4-stale)
     "sessionize_events",
     "tokens_by_exchange",
@@ -82,13 +85,12 @@ _PRIORITY = [
     "text_quality",
     "text_lang_stats",
     "distinct_tokens_approx",
-    # (d) r5-stale fillers to 50: flagship + LSH consumers
+    # (d) r5-stale fillers to 50: flagship + an LSH consumer
     "q5_daily_ohlcv",
     "dedup_clusters_minhash",
-    "dedup_survivors",
-    "decontaminate_ngrams",
-    # next round: continue the r5-stale refresh (q1_latest_tick,
-    # q8_token_stats, forecast_revenue, ship_latency_classes, ...)
+    # next round: continue the r5-stale refresh (dedup_survivors,
+    # decontaminate_ngrams, q1_latest_tick, q8_token_stats,
+    # forecast_revenue, ship_latency_classes, ...)
 ]
 
 
