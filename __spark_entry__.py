@@ -42,6 +42,7 @@ _PRIORITY = [
     "multimodal_meta",       # Y4M Xlen injectivity param (late r8)
     "dedup_clusters",        # ngram collapse re-join cut + PPJoin
                              # length filter (late r8)
+    "image_resize",          # NEW: nearest-neighbor PPM resize (r8)
     # (b) rotation debt from r6/r7 (rows r4-stale)
     "sessionize_events",
     "tokens_by_exchange",
@@ -85,12 +86,11 @@ _PRIORITY = [
     "text_quality",
     "text_lang_stats",
     "distinct_tokens_approx",
-    # (d) r5-stale fillers to 50: flagship + an LSH consumer
+    # (d) r5-stale filler to 50: the flagship
     "q5_daily_ohlcv",
-    "dedup_clusters_minhash",
-    # next round: continue the r5-stale refresh (dedup_survivors,
-    # decontaminate_ngrams, q1_latest_tick, q8_token_stats,
-    # forecast_revenue, ship_latency_classes, ...)
+    # next round: continue the r5-stale refresh (dedup_clusters_minhash,
+    # dedup_survivors, decontaminate_ngrams, q1_latest_tick,
+    # q8_token_stats, forecast_revenue, ship_latency_classes, ...)
 ]
 
 

@@ -353,6 +353,95 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_W = 8  # fixed output raster for the image_resize registry query
+RESIZE_H = 4
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("out_bytes", LongType()),
+        StructField("pixel_checksum", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_ppm(
+    media: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_H
+) -> DataFrame:
+    """REAL nearest-neighbor image resize: decode each PPM container
+    (:func:`_decode_ppm` — malformed rasters fail loudly), gather
+    source pixels at sy = (y*h0) div out_h, sx = (x*w0) div out_w with
+    one vectorized numpy index per image, and rebuild a valid P6
+    container around the resized raster. Emits the resized content
+    plus (dims, byte length, sum-of-raster-bytes checksum) so the
+    gather ARITHMETIC is oracle-checkable: the checksum is a pure
+    function of which source bytes the mapping picks, so a DuckDB
+    twin re-deriving those bytes from hex(encode(text)) catches a
+    wrong index map, not just wrong dims.
+
+    Scale notes: mapInPandas over the image rows only — Arrow batches
+    in/out, shuffle-free, no driver collect; output is one bounded row
+    per image (out_w*out_h*3 bytes), so the op is embarrassingly
+    partition-parallel at any corpus size."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hdr = f"P6\n{out_w} {out_h}\n255\n".encode("ascii")
+        sy_for = {}  # per-source-height row gather (tiny caches —
+        sx_for = {}  # media_table is fixed-width but the op is not)
+        for pdf in batches:
+            out: dict[str, list] = {
+                k.name: [] for k in _RESIZE_SCHEMA.fields
+            }
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(c)
+                w0, h0, _ = _decode_ppm(b)
+                raster = b.split(b"\n", 3)[3]
+                img = np.frombuffer(raster, dtype=np.uint8).reshape(
+                    h0, w0, 3
+                )
+                if w0 not in sx_for:
+                    sx_for[w0] = (np.arange(out_w) * w0) // out_w
+                if h0 not in sy_for:
+                    sy_for[h0] = (np.arange(out_h) * h0) // out_h
+                resized = img[sy_for[h0]][:, sx_for[w0]]
+                payload = resized.tobytes()
+                content = hdr + payload
+                out["doc_id"].append(int(doc_id))
+                out["src_width"].append(w0)
+                out["src_height"].append(h0)
+                out["out_width"].append(out_w)
+                out["out_height"].append(out_h)
+                out["out_bytes"].append(len(content))
+                out["pixel_checksum"].append(int(resized.sum()))
+                out["content"].append(content)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, schema=_RESIZE_SCHEMA
+    )
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry spelling of :func:`resize_ppm` at the fixed
+    RESIZE_W x RESIZE_H output raster (content column dropped; the
+    checksum stands in for it value-wise)."""
+    return resize_ppm(media_table(spark, sf_dir)).select(
+        "doc_id",
+        "src_width",
+        "src_height",
+        "out_width",
+        "out_height",
+        "out_bytes",
+        "pixel_checksum",
+    )
+
+
 FRAME_SAMPLES = 8  # frames sampled per media item
 
 
@@ -397,7 +486,53 @@ QUERIES = {
     "frame_sample": frame_sample,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "image_resize": image_resize,
 }
+
+# image_resize oracle: DuckDB re-derives every RESIZED pixel from the
+# raw text bytes. The wrap puts byte k of encode(text) at raster
+# offset k (NUL pad beyond dlen), and nearest-neighbor picks source
+# pixel (sy, sx) = ((y*h0) div out_h, (x*w0) div out_w) for each
+# output (y, x) — so the checksum is the sum of the 3 channel bytes
+# at raster offset sy*3*w0 + sx*3 + c for every (y, x, c), each byte
+# read out of hex(encode(text)) by position (two hex digits per
+# byte). A wrong index map in the Spark gather changes which bytes
+# are summed and the differential catches it — this checks the
+# resize ARITHMETIC, not just dims.
+_HEXD = "'0123456789ABCDEF'"
+_RESIZE_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS dlen,
+         hex(encode(text)) AS hx,
+         CASE WHEN octet_length(encode(text)) = 0 THEN 1
+              ELSE (octet_length(encode(text)) + {3 * PPM_WIDTH - 1})
+                   // {3 * PPM_WIDTH} END AS h0
+  FROM documents WHERE doc_id % 3 = 0
+),
+picked AS (
+  SELECT i.doc_id, i.dlen, i.hx, i.h0,
+         ((y.y * i.h0) // {RESIZE_H}) * {3 * PPM_WIDTH}
+           + ((x.x * {PPM_WIDTH}) // {RESIZE_W}) * 3 + c.c AS off
+  FROM img i,
+       UNNEST(generate_series(0, {RESIZE_H - 1})) AS y(y),
+       UNNEST(generate_series(0, {RESIZE_W - 1})) AS x(x),
+       UNNEST(generate_series(0, 2)) AS c(c)
+)
+SELECT doc_id,
+       {PPM_WIDTH} AS src_width,
+       CAST(h0 AS INT) AS src_height,
+       {RESIZE_W} AS out_width,
+       {RESIZE_H} AS out_height,
+       CAST({len(f'P6 {RESIZE_W} {RESIZE_H} 255 ')
+             + RESIZE_W * RESIZE_H * 3} AS BIGINT) AS out_bytes,
+       CAST(sum(CASE WHEN off < dlen THEN
+                  (strpos({_HEXD}, substr(hx, 2 * off + 1, 1)) - 1) * 16
+                  + (strpos({_HEXD}, substr(hx, 2 * off + 2, 1)) - 1)
+                ELSE 0 END) AS BIGINT) AS pixel_checksum
+FROM picked
+GROUP BY doc_id, h0
+"""
 
 # Video features in SQL: the Y4M wrap is deterministic — constant
 # header, fixed dims, n_frames = ceil(dlen/frame) — so DuckDB derives
@@ -487,6 +622,7 @@ FROM f, UNNEST(generate_series(0, {FRAME_SAMPLES - 1})) AS t(j)
 ORACLES = {
     "multimodal_features": _FEATURES_ORACLE,
     "frame_sample": _FRAME_SAMPLE_ORACLE,
+    "image_resize": _RESIZE_ORACLE,
     "multimodal_meta": f"""
 WITH m AS (
   SELECT doc_id,

@@ -4,6 +4,8 @@ import pytest
 
 from angelone_clickhouse_spark.operators.multimodal import (
     PPM_WIDTH,
+    RESIZE_H,
+    RESIZE_W,
     WAV_BITS,
     WAV_HEADER_BYTES,
     WAV_SAMPLE_RATE,
@@ -17,6 +19,7 @@ from angelone_clickhouse_spark.operators.multimodal import (
     _decode_y4m,
     extract_features,
     media_table,
+    resize_ppm,
 )
 
 
@@ -178,6 +181,52 @@ def test_decode_y4m_rejects_malformed():
         _decode_y4m(ok + b"GARBAGE\n" + b"x" * Y4M_FRAME_BYTES)
     with pytest.raises(ValueError):
         _decode_y4m(Y4M_HDR)  # zero frames
+
+
+def test_resize_ppm_nearest_neighbor_reference(spark):
+    """The distributed resize must equal a direct numpy nearest-
+    neighbor gather image-for-image — on a VARIABLE-width corpus, so
+    a column-gather map cached across images of different widths (the
+    bug class the per-width sx cache exists for) cannot pass."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows, rasters = [], {}
+    for doc_id, (w0, h0) in enumerate([(32, 5), (16, 4), (7, 9), (8, 4)]):
+        img = rng.integers(0, 256, size=(h0, w0, 3), dtype=np.uint8)
+        blob = f"P6\n{w0} {h0}\n255\n".encode("ascii") + img.tobytes()
+        rows.append((doc_id, "image", bytearray(blob)))
+        rasters[doc_id] = img
+    rows.append((99, "audio", bytearray(b"not touched")))  # filtered out
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, content binary"
+    )
+    out = {r.doc_id: r for r in resize_ppm(df).collect()}
+    assert set(out) == set(rasters)  # non-image rows excluded
+    for doc_id, img in rasters.items():
+        h0, w0, _ = img.shape
+        sy = (np.arange(RESIZE_H) * h0) // RESIZE_H
+        sx = (np.arange(RESIZE_W) * w0) // RESIZE_W
+        ref = img[sy][:, sx]
+        r = out[doc_id]
+        assert (r.src_width, r.src_height) == (w0, h0)
+        assert (r.out_width, r.out_height) == (RESIZE_W, RESIZE_H)
+        blob = bytes(r.content)
+        assert _decode_ppm(blob) == (RESIZE_W, RESIZE_H, 1)  # valid P6 out
+        assert blob.split(b"\n", 3)[3] == ref.tobytes()
+        assert r.pixel_checksum == int(ref.sum())
+        assert r.out_bytes == len(blob)
+
+
+def test_resize_ppm_rejects_malformed(spark):
+    """A truncated raster fails the job loudly (decode-before-resize),
+    never yields a silently wrong thumbnail."""
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"P6\n4 4\n255\nshort"))],
+        "doc_id long, media_type string, content binary",
+    )
+    with pytest.raises(Exception, match="truncated raster"):
+        resize_ppm(df).collect()
 
 
 def test_wrap_y4m_injective_for_nul_bytes(spark):
