@@ -482,11 +482,146 @@ def frame_sample(
     )
 
 
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", IntegerType()),
+        StructField("frame_checksum", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def extract_frames(media: DataFrame, k: int = FRAME_SAMPLES) -> DataFrame:
+    """REAL sampled-frame extraction — the step a training pipeline
+    runs after :func:`frame_sample` picks indices: walk each Y4M
+    stream (:func:`_decode_y4m` validates the whole container first,
+    so truncation fails loudly), take the k evenly spaced indices
+    idx_j = (j*n) div k (deduplicated), and slice each sampled
+    frame's raw C444 plane bytes out of the stream at
+    header_end + idx*(6+frame_bytes) + 6. Emits the frame plus a
+    sum-of-plane-bytes checksum so the EXTRACTION OFFSETS are
+    oracle-checkable byte-for-byte (wrong stride/origin picks
+    different bytes and the DuckDB differential catches it).
+
+    Scale notes: mapInPandas over video rows only, shuffle-free, no
+    driver collect; bounded fan-out of <= k rows per item, each row
+    one fixed-size frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in _FRAMES_SCHEMA.fields
+            }
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(c)
+                w, h, n = _decode_y4m(b)  # validates every frame
+                fb = 3 * w * h
+                body = b.index(b"\n") + 1
+                for idx in sorted({(j * n) // k for j in range(k)}):
+                    start = body + idx * (6 + fb) + 6
+                    frame = b[start : start + fb]
+                    out["doc_id"].append(int(doc_id))
+                    out["n_frames"].append(n)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(fb)
+                    out["frame_checksum"].append(
+                        sum(frame)  # bounded: one frame's bytes
+                    )
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        run, schema=_FRAMES_SCHEMA
+    )
+
+
+def video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry spelling of :func:`extract_frames` (frame column
+    dropped; the byte checksum stands in for it value-wise)."""
+    return extract_frames(media_table(spark, sf_dir)).select(
+        "doc_id", "n_frames", "frame_idx", "frame_bytes", "frame_checksum"
+    )
+
+
+RESAMPLE_STEP = 4  # decimation factor for audio_features' resample
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("amp_sum", LongType()),
+        StructField("amp_sumsq", LongType()),
+        StructField("resampled_n", LongType()),
+        StructField("resampled_sum", LongType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame, step: int = RESAMPLE_STEP) -> DataFrame:
+    """REAL audio feature extraction + resample: open each WAV with
+    the stdlib ``wave`` module (malformed/truncated containers fail
+    loudly), read the 8-bit PCM frames, and compute exact integer
+    amplitude statistics — sum and sum-of-squares (the energy/RMS
+    numerator) — plus a decimation resample taking every ``step``-th
+    sample (count + sum, i.e. the checksum of the downsampled
+    signal). All-integer on purpose: DuckDB re-derives every value
+    from the raw payload bytes, so the differential checks the PCM
+    round-trip AND the decimation stride byte-for-byte.
+
+    Scale notes: mapInPandas over audio rows only — vectorized numpy
+    per payload, shuffle-free, one bounded output row per item."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in _AUDIO_SCHEMA.fields
+            }
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(c)), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    pcm = w.readframes(n)
+                if len(pcm) != n:  # 8-bit mono: 1 byte per frame
+                    raise ValueError(
+                        f"truncated PCM data: {len(pcm)} != {n}"
+                    )
+                a = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
+                dec = a[::step]
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["amp_sum"].append(int(a.sum()))
+                out["amp_sumsq"].append(int((a * a).sum()))
+                out["resampled_n"].append(len(dec))
+                out["resampled_sum"].append(int(dec.sum()))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        run, schema=_AUDIO_SCHEMA
+    )
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry spelling of :func:`audio_stats` at RESAMPLE_STEP."""
+    return audio_stats(media_table(spark, sf_dir))
+
+
 QUERIES = {
     "frame_sample": frame_sample,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "image_resize": image_resize,
+    "video_frames": video_frames,
+    "audio_features": audio_features,
 }
 
 # image_resize oracle: DuckDB re-derives every RESIZED pixel from the
@@ -500,6 +635,20 @@ QUERIES = {
 # are summed and the differential catches it — this checks the
 # resize ARITHMETIC, not just dims.
 _HEXD = "'0123456789ABCDEF'"
+
+
+def _hexval(off: str) -> str:
+    """SQL expression: value of payload byte ``off`` (0-based) read
+    out of a column ``hx`` = hex(encode(text)) — the device every
+    byte-exact multimodal oracle shares. The caller guards
+    ``off < dlen`` (bytes beyond the payload are the wrap's NUL
+    padding and contribute 0)."""
+    return (
+        f"(strpos({_HEXD}, substr(hx, 2 * ({off}) + 1, 1)) - 1) * 16"
+        f" + (strpos({_HEXD}, substr(hx, 2 * ({off}) + 2, 1)) - 1)"
+    )
+
+
 _RESIZE_ORACLE = f"""
 WITH img AS (
   SELECT doc_id,
@@ -526,9 +675,7 @@ SELECT doc_id,
        {RESIZE_H} AS out_height,
        CAST({len(f'P6 {RESIZE_W} {RESIZE_H} 255 ')
              + RESIZE_W * RESIZE_H * 3} AS BIGINT) AS out_bytes,
-       CAST(sum(CASE WHEN off < dlen THEN
-                  (strpos({_HEXD}, substr(hx, 2 * off + 1, 1)) - 1) * 16
-                  + (strpos({_HEXD}, substr(hx, 2 * off + 2, 1)) - 1)
+       CAST(sum(CASE WHEN off < dlen THEN {_hexval('off')}
                 ELSE 0 END) AS BIGINT) AS pixel_checksum
 FROM picked
 GROUP BY doc_id, h0
@@ -619,10 +766,81 @@ SELECT DISTINCT doc_id, media_type, n_frames,
 FROM f, UNNEST(generate_series(0, {FRAME_SAMPLES - 1})) AS t(j)
 """
 
+# video_frames oracle: the wrap puts payload byte k at plane offset
+# k of frame k div frame_bytes (NUL pad beyond dlen), so the checksum
+# of sampled frame idx is the sum of payload bytes in
+# [idx*frame_bytes, (idx+1)*frame_bytes) clamped to dlen — each byte
+# read out of hex(encode(text)). A wrong extraction origin or stride
+# in the Spark slicing sums different bytes and the differential
+# catches it.
+_VIDEO_FRAMES_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS dlen,
+         hex(encode(text)) AS hx,
+         CASE WHEN octet_length(encode(text)) = 0 THEN 1
+              ELSE (octet_length(encode(text)) + {Y4M_FRAME_BYTES - 1})
+                   // {Y4M_FRAME_BYTES} END AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+s AS (
+  SELECT DISTINCT doc_id, dlen, hx, nf,
+         (j.j * nf) // {FRAME_SAMPLES} AS frame_idx
+  FROM v, UNNEST(generate_series(0, {FRAME_SAMPLES - 1})) AS j(j)
+),
+b AS (
+  SELECT doc_id, nf, frame_idx, dlen, hx,
+         frame_idx * {Y4M_FRAME_BYTES} + o.o AS off
+  FROM s, UNNEST(generate_series(0, {Y4M_FRAME_BYTES - 1})) AS o(o)
+)
+SELECT doc_id,
+       CAST(nf AS INT) AS n_frames,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       {Y4M_FRAME_BYTES} AS frame_bytes,
+       CAST(sum(CASE WHEN off < dlen THEN {_hexval('off')}
+                ELSE 0 END) AS BIGINT) AS frame_checksum
+FROM b
+GROUP BY doc_id, nf, frame_idx
+"""
+
+# audio_features oracle: the WAV wrap's PCM samples ARE the payload
+# bytes, so every statistic is exact integer arithmetic over them —
+# amp_sum/amp_sumsq over all byte positions, the decimation over
+# positions = 0 mod step. Docs with an empty payload must still
+# appear (0 samples, all-zero stats), hence the LEFT JOIN.
+_AUDIO_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS dlen,
+         hex(encode(text)) AS hx
+  FROM documents WHERE doc_id % 3 = 1
+),
+agg AS (
+  SELECT doc_id,
+         sum(v) AS s,
+         sum(v * v) AS ss,
+         sum(CASE WHEN p % {RESAMPLE_STEP} = 0 THEN v ELSE 0 END) AS rs
+  FROM (SELECT doc_id, t.p AS p, {_hexval('t.p')} AS v
+        FROM a, UNNEST(generate_series(0, dlen - 1)) AS t(p))
+  GROUP BY doc_id
+)
+SELECT a.doc_id,
+       {WAV_SAMPLE_RATE} AS sample_rate,
+       CAST(dlen AS BIGINT) AS n_samples,
+       CAST(COALESCE(s, 0) AS BIGINT) AS amp_sum,
+       CAST(COALESCE(ss, 0) AS BIGINT) AS amp_sumsq,
+       CAST((dlen + {RESAMPLE_STEP - 1}) // {RESAMPLE_STEP} AS BIGINT)
+         AS resampled_n,
+       CAST(COALESCE(rs, 0) AS BIGINT) AS resampled_sum
+FROM a LEFT JOIN agg USING (doc_id)
+"""
+
 ORACLES = {
     "multimodal_features": _FEATURES_ORACLE,
     "frame_sample": _FRAME_SAMPLE_ORACLE,
     "image_resize": _RESIZE_ORACLE,
+    "video_frames": _VIDEO_FRAMES_ORACLE,
+    "audio_features": _AUDIO_ORACLE,
     "multimodal_meta": f"""
 WITH m AS (
   SELECT doc_id,

@@ -229,6 +229,80 @@ def test_resize_ppm_rejects_malformed(spark):
         resize_ppm(df).collect()
 
 
+def test_extract_frames_multi_frame_reference(spark):
+    """Sampled-frame extraction on a synthetic MULTI-frame stream
+    (driver data is mostly 1-frame videos, so the stride arithmetic
+    — header_end + idx*(marker+frame) + marker — is pinned here):
+    every extracted frame must equal the direct payload slice."""
+    import numpy as np
+
+    from angelone_clickhouse_spark.operators.multimodal import (
+        FRAME_SAMPLES,
+        extract_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    n_frames = 13  # > FRAME_SAMPLES: distinct sampled indices
+    payload = rng.integers(
+        0, 256, size=n_frames * Y4M_FRAME_BYTES - 100, dtype=np.uint8
+    ).tobytes()
+    frames_ref = [
+        payload[i * Y4M_FRAME_BYTES : (i + 1) * Y4M_FRAME_BYTES].ljust(
+            Y4M_FRAME_BYTES, b"\0"
+        )
+        for i in range(n_frames)
+    ]
+    blob = Y4M_HDR + b"".join(b"FRAME\n" + f for f in frames_ref)
+    df = spark.createDataFrame(
+        [(5, "video", bytearray(blob)), (6, "image", bytearray(b"skip"))],
+        "doc_id long, media_type string, content binary",
+    )
+    rows = extract_frames(df).collect()
+    want_idxs = sorted({(j * n_frames) // FRAME_SAMPLES for j in range(FRAME_SAMPLES)})
+    assert sorted(r.frame_idx for r in rows) == want_idxs
+    for r in rows:
+        assert (r.doc_id, r.n_frames, r.frame_bytes) == (
+            5, n_frames, Y4M_FRAME_BYTES,
+        )
+        assert bytes(r.frame) == frames_ref[r.frame_idx]
+        assert r.frame_checksum == sum(frames_ref[r.frame_idx])
+
+
+def test_audio_stats_numpy_reference(spark):
+    """Exact amplitude stats + decimation resample vs a direct numpy
+    reference, including the empty-payload edge (0 samples, all-zero
+    stats — the row must still be emitted)."""
+    import numpy as np
+
+    from angelone_clickhouse_spark.operators.multimodal import (
+        RESAMPLE_STEP,
+        _wrap_wav,
+        audio_stats,
+    )
+    from pyspark.sql import functions as F
+
+    payloads = {1: b"hello sampled world" * 3, 2: b"", 3: bytes(range(256))}
+    df = spark.createDataFrame(
+        [(k, v.decode("latin-1")) for k, v in payloads.items()],
+        "doc_id long, text string",
+    ).select(
+        "doc_id",
+        F.lit("audio").alias("media_type"),
+        _wrap_wav(F.encode("text", "ISO-8859-1")).alias("content"),
+    )
+    out = {r.doc_id: r for r in audio_stats(df).collect()}
+    assert set(out) == set(payloads)
+    for k, b in payloads.items():
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        r = out[k]
+        assert r.sample_rate == WAV_SAMPLE_RATE
+        assert r.n_samples == len(b)
+        assert r.amp_sum == int(a.sum())
+        assert r.amp_sumsq == int((a * a).sum())
+        assert r.resampled_n == len(a[::RESAMPLE_STEP])
+        assert r.resampled_sum == int(a[::RESAMPLE_STEP].sum())
+
+
 def test_wrap_y4m_injective_for_nul_bytes(spark):
     """The Xlen header param must keep the video wrap injective even
     for payloads that differ only by trailing NUL bytes (which pad to
