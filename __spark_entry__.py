@@ -45,6 +45,7 @@ _PRIORITY = [
     "image_resize",          # NEW: nearest-neighbor PPM resize (r8)
     "video_frames",          # NEW: sampled-frame extraction (r8)
     "audio_features",        # NEW: PCM stats + decimation (r8)
+    "multimodal_gate",       # NEW: cross-modal quality gate (r8)
     # (b) rotation debt from r6/r7 (rows r4-stale)
     "sessionize_events",
     "tokens_by_exchange",
@@ -85,11 +86,11 @@ _PRIORITY = [
     "ann_ivf_topk",
     "text_token_stats",
     "text_tokenize_regex",
-    "text_quality",
     # (d) r5-stale filler to 50: the flagship
     "q5_daily_ohlcv",
-    # next round: finish the r4-stale refresh (text_lang_stats,
-    # distinct_tokens_approx — displaced by the three NEW r8 ops),
+    # next round: finish the r4-stale refresh (text_quality,
+    # text_lang_stats, distinct_tokens_approx — displaced by the
+    # four NEW r8 multimodal ops),
     # then continue the r5-stale refresh (dedup_clusters_minhash,
     # dedup_survivors, decontaminate_ngrams, q1_latest_tick,
     # q8_token_stats, forecast_revenue, ship_latency_classes, ...)

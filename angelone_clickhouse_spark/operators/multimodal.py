@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -356,6 +357,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_W = 8  # fixed output raster for the image_resize registry query
 RESIZE_H = 4
 
+
+def _nn_indices(n_src: int, n_out: int):
+    """Nearest-neighbor gather map: source index (i*n_src) div n_out
+    for each output index i — the one integer formula every resize
+    consumer (and its DuckDB oracle) shares."""
+    import numpy as np
+
+    return (np.arange(n_out) * n_src) // n_out
+
 _RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -406,9 +416,9 @@ def resize_ppm(
                     h0, w0, 3
                 )
                 if w0 not in sx_for:
-                    sx_for[w0] = (np.arange(out_w) * w0) // out_w
+                    sx_for[w0] = _nn_indices(w0, out_w)
                 if h0 not in sy_for:
-                    sy_for[h0] = (np.arange(out_h) * h0) // out_h
+                    sy_for[h0] = _nn_indices(h0, out_h)
                 resized = img[sy_for[h0]][:, sx_for[w0]]
                 payload = resized.tobytes()
                 content = hdr + payload
@@ -615,6 +625,112 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(media_table(spark, sf_dir))
 
 
+GATE_MIN_MEAN = 80  # image keep: mean thumbnail byte >= this
+GATE_MAX_MEAN = 240  # ... and <= this (blank / saturated rasters drop)
+GATE_MIN_SAMPLES = 16  # audio keep: at least this many PCM samples
+GATE_MIN_VAR = 870  # ... and sample variance >= this (flat audio drops)
+GATE_MIN_FRAME_MEAN = 18  # video keep: lead-frame mean byte >= this
+
+_GATE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("metric", LongType()),
+        StructField("keep", BooleanType()),
+    ]
+)
+
+
+def media_gate(media: DataFrame) -> DataFrame:
+    """Cross-modal quality gate — the curation-ladder step for media
+    columns (the text ladder's analogue is curation.py). ONE decode
+    pass over the media table (not three scans + a join: at 100 TB
+    the single mapInPandas pass is the right shape — shuffle-free,
+    no driver collect, one bounded row per item) computing a
+    modality-specific integrity metric and keep/drop decision:
+
+    - image: decode + nearest-neighbor thumbnail (same gather as
+      :func:`resize_ppm`); metric = thumbnail byte checksum; keep iff
+      the mean pixel byte is within [GATE_MIN_MEAN, GATE_MAX_MEAN] —
+      near-blank (padding-dominated) and near-saturated rasters drop.
+    - audio: real WAV read; metric = n*sum(a^2) - sum(a)^2 (n^2 *
+      variance, exact integer); keep iff >= GATE_MIN_SAMPLES samples
+      AND sample variance >= GATE_MIN_VAR (flat / clipped signals
+      drop; 8-bit text-like signals sit near ~850-950).
+    - video: validated Y4M walk; metric = first-frame plane checksum;
+      keep iff the lead-frame mean byte >= GATE_MIN_FRAME_MEAN
+      (mostly-padding lead frames drop).
+
+    All three metrics are pure integer functions of the payload
+    bytes, so the DuckDB oracle re-derives metric AND decision per
+    doc — the differential checks the decode arithmetic and the
+    gate logic together."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n_thumb = RESIZE_W * RESIZE_H * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sx_for: dict[int, object] = {}
+        sy_for: dict[int, object] = {}
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in _GATE_SCHEMA.fields}
+            for doc_id, mt, c in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                b = bytes(c)
+                if mt == "image":
+                    w0, h0, _ = _decode_ppm(b)
+                    img = np.frombuffer(
+                        b.split(b"\n", 3)[3], dtype=np.uint8
+                    ).reshape(h0, w0, 3)
+                    if w0 not in sx_for:
+                        sx_for[w0] = _nn_indices(w0, RESIZE_W)
+                    if h0 not in sy_for:
+                        sy_for[h0] = _nn_indices(h0, RESIZE_H)
+                    metric = int(img[sy_for[h0]][:, sx_for[w0]].sum())
+                    keep = (
+                        GATE_MIN_MEAN * n_thumb
+                        <= metric
+                        <= GATE_MAX_MEAN * n_thumb
+                    )
+                elif mt == "audio":
+                    with wave.open(io.BytesIO(b), "rb") as w:
+                        n = w.getnframes()
+                        pcm = w.readframes(n)
+                    if len(pcm) != n:
+                        raise ValueError(
+                            f"truncated PCM data: {len(pcm)} != {n}"
+                        )
+                    a = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
+                    metric = int(n * (a * a).sum() - a.sum() ** 2)
+                    # metric = n^2 * variance, so this is var >= GATE_MIN_VAR
+                    keep = n >= GATE_MIN_SAMPLES and metric >= GATE_MIN_VAR * n * n
+                elif mt == "video":
+                    _decode_y4m(b)  # validates the whole stream
+                    body = b.index(b"\n") + 1 + 6
+                    metric = sum(b[body : body + Y4M_FRAME_BYTES])
+                    keep = metric >= GATE_MIN_FRAME_MEAN * Y4M_FRAME_BYTES
+                else:
+                    raise NotImplementedError(
+                        f"no gate for media_type={mt!r}"
+                    )
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["metric"].append(metric)
+                out["keep"].append(bool(keep))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=_GATE_SCHEMA)
+
+
+def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry spelling of :func:`media_gate` over the media table."""
+    return media_gate(media_table(spark, sf_dir))
+
+
 QUERIES = {
     "frame_sample": frame_sample,
     "multimodal_meta": multimodal_meta,
@@ -622,6 +738,7 @@ QUERIES = {
     "image_resize": image_resize,
     "video_frames": video_frames,
     "audio_features": audio_features,
+    "multimodal_gate": multimodal_gate,
 }
 
 # image_resize oracle: DuckDB re-derives every RESIZED pixel from the
@@ -835,12 +952,87 @@ SELECT a.doc_id,
 FROM a LEFT JOIN agg USING (doc_id)
 """
 
+# multimodal_gate oracle: three UNION ALL arms, one per modality,
+# each re-deriving the SAME integer metric the decode pass computes
+# (thumbnail checksum / n^2-variance / first-frame checksum) from
+# payload bytes, plus the keep predicate — so the differential
+# checks decode arithmetic AND gate logic per doc.
+_N_THUMB = RESIZE_W * RESIZE_H * 3
+_GATE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS dlen,
+         hex(encode(text)) AS hx
+  FROM documents
+),
+img_m AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN off < dlen THEN {_hexval('off')}
+                  ELSE 0 END) AS BIGINT) AS metric
+  FROM (
+    SELECT d.doc_id, d.dlen, d.hx,
+           ((y.y * h0) // {RESIZE_H}) * {3 * PPM_WIDTH}
+             + ((x.x * {PPM_WIDTH}) // {RESIZE_W}) * 3 + c.c AS off
+    FROM (SELECT *,
+                 CASE WHEN dlen = 0 THEN 1
+                      ELSE (dlen + {3 * PPM_WIDTH - 1})
+                           // {3 * PPM_WIDTH} END AS h0
+          FROM d WHERE doc_id % 3 = 0) d,
+         UNNEST(generate_series(0, {RESIZE_H - 1})) AS y(y),
+         UNNEST(generate_series(0, {RESIZE_W - 1})) AS x(x),
+         UNNEST(generate_series(0, 2)) AS c(c)
+  )
+  GROUP BY doc_id
+),
+aud_m AS (
+  SELECT d.doc_id, d.dlen,
+         CAST(d.dlen * COALESCE(ss, 0)
+              - COALESCE(s, 0) * COALESCE(s, 0) AS BIGINT) AS metric
+  FROM (SELECT * FROM d WHERE doc_id % 3 = 1) d
+  LEFT JOIN (
+    SELECT doc_id, sum(v) AS s, sum(v * v) AS ss
+    FROM (SELECT doc_id, {_hexval('t.p')} AS v
+          FROM d, UNNEST(generate_series(0, dlen - 1)) AS t(p)
+          WHERE doc_id % 3 = 1)
+    GROUP BY doc_id
+  ) agg USING (doc_id)
+),
+vid_m AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(f0.s, 0) AS BIGINT) AS metric
+  FROM (SELECT * FROM d WHERE doc_id % 3 = 2) d
+  LEFT JOIN (
+    SELECT doc_id, sum(v) AS s
+    FROM (SELECT doc_id, {_hexval('t.p')} AS v
+          FROM d,
+               UNNEST(generate_series(
+                 0, least({Y4M_FRAME_BYTES}, dlen) - 1)) AS t(p)
+          WHERE doc_id % 3 = 2)
+    GROUP BY doc_id
+  ) f0 USING (doc_id)
+)
+SELECT doc_id, 'image' AS media_type, metric,
+       metric BETWEEN {GATE_MIN_MEAN * _N_THUMB}
+                  AND {GATE_MAX_MEAN * _N_THUMB} AS keep
+FROM img_m
+UNION ALL
+SELECT doc_id, 'audio' AS media_type, metric,
+       dlen >= {GATE_MIN_SAMPLES}
+         AND metric >= {GATE_MIN_VAR} * dlen * dlen AS keep
+FROM aud_m
+UNION ALL
+SELECT doc_id, 'video' AS media_type, metric,
+       metric >= {GATE_MIN_FRAME_MEAN * Y4M_FRAME_BYTES} AS keep
+FROM vid_m
+"""
+
 ORACLES = {
     "multimodal_features": _FEATURES_ORACLE,
     "frame_sample": _FRAME_SAMPLE_ORACLE,
     "image_resize": _RESIZE_ORACLE,
     "video_frames": _VIDEO_FRAMES_ORACLE,
     "audio_features": _AUDIO_ORACLE,
+    "multimodal_gate": _GATE_ORACLE,
     "multimodal_meta": f"""
 WITH m AS (
   SELECT doc_id,

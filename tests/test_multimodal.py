@@ -303,6 +303,77 @@ def test_audio_stats_numpy_reference(spark):
         assert r.resampled_sum == int(a[::RESAMPLE_STEP].sum())
 
 
+def test_media_gate_branches(spark):
+    """Every modality's keep AND drop branch, pinned on synthetic
+    payloads with hand-computable metrics."""
+    import numpy as np
+
+    from angelone_clickhouse_spark.operators.multimodal import (
+        GATE_MIN_FRAME_MEAN,
+        GATE_MIN_MEAN,
+        GATE_MIN_SAMPLES,
+        GATE_MIN_VAR,
+        RESIZE_H,
+        RESIZE_W,
+        media_gate,
+    )
+
+    n_thumb = RESIZE_W * RESIZE_H * 3
+
+    def ppm(fill):
+        return bytearray(
+            f"P6\n{PPM_WIDTH} 2\n255\n".encode("ascii")
+            + bytes([fill]) * (2 * 3 * PPM_WIDTH)
+        )
+
+    def wav(samples):
+        import struct
+
+        n = len(samples)
+        return bytearray(
+            b"RIFF" + struct.pack("<I", 36 + n) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", n) + bytes(samples)
+        )
+
+    def y4m(frame_fill):
+        return bytearray(
+            Y4M_HDR + b"FRAME\n" + bytes([frame_fill]) * Y4M_FRAME_BYTES
+        )
+
+    loud = list(range(64, 192)) * 2  # variance >> GATE_MIN_VAR
+    rows = [
+        (0, "image", ppm(100)),           # mean 100: keep
+        (1, "image", ppm(4)),             # mean 4 < GATE_MIN_MEAN: drop
+        (2, "image", ppm(250)),           # mean 250 > GATE_MAX_MEAN: drop
+        (3, "audio", wav(loud)),          # long + varied: keep
+        (4, "audio", wav([7] * 100)),     # flat (var 0): drop
+        (5, "audio", wav(loud[:8])),      # < GATE_MIN_SAMPLES: drop
+        (6, "video", y4m(50)),            # lead-frame mean 50: keep
+        (7, "video", y4m(2)),             # lead-frame mean 2: drop
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, content binary"
+    )
+    out = {r.doc_id: r for r in media_gate(df).collect()}
+    assert {k: v.keep for k, v in out.items()} == {
+        0: True, 1: False, 2: False,
+        3: True, 4: False, 5: False,
+        6: True, 7: False,
+    }
+    # metric spot checks: exact integer semantics
+    assert out[0].metric == 100 * n_thumb
+    a = np.array(loud, dtype=np.int64)
+    assert out[3].metric == len(a) * int((a * a).sum()) - int(a.sum()) ** 2
+    assert out[3].metric >= GATE_MIN_VAR * len(a) * len(a)
+    assert out[4].metric == 0
+    assert out[5].metric > 0  # varied but too short: length is the cause
+    assert len(loud[:8]) < GATE_MIN_SAMPLES
+    assert out[6].metric == 50 * Y4M_FRAME_BYTES
+    assert out[7].metric == 2 * Y4M_FRAME_BYTES < GATE_MIN_FRAME_MEAN * Y4M_FRAME_BYTES
+    assert out[1].metric == 4 * n_thumb < GATE_MIN_MEAN * n_thumb
+
+
 def test_wrap_y4m_injective_for_nul_bytes(spark):
     """The Xlen header param must keep the video wrap injective even
     for payloads that differ only by trailing NUL bytes (which pad to
