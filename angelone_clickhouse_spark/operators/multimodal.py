@@ -599,6 +599,12 @@ def audio_stats(media: DataFrame, step: int = RESAMPLE_STEP) -> DataFrame:
                 with wave.open(io.BytesIO(bytes(c)), "rb") as w:
                     rate = w.getframerate()
                     n = w.getnframes()
+                    if w.getsampwidth() != 1 or w.getnchannels() != 1:
+                        raise ValueError(
+                            "only 8-bit mono PCM supported, got "
+                            f"{8 * w.getsampwidth()}-bit "
+                            f"x{w.getnchannels()}"
+                        )
                     pcm = w.readframes(n)
                 if len(pcm) != n:  # 8-bit mono: 1 byte per frame
                     raise ValueError(
@@ -699,6 +705,12 @@ def media_gate(media: DataFrame) -> DataFrame:
                 elif mt == "audio":
                     with wave.open(io.BytesIO(b), "rb") as w:
                         n = w.getnframes()
+                        if w.getsampwidth() != 1 or w.getnchannels() != 1:
+                            raise ValueError(
+                                "only 8-bit mono PCM supported, got "
+                                f"{8 * w.getsampwidth()}-bit "
+                                f"x{w.getnchannels()}"
+                            )
                         pcm = w.readframes(n)
                     if len(pcm) != n:
                         raise ValueError(

@@ -303,6 +303,28 @@ def test_audio_stats_numpy_reference(spark):
         assert r.resampled_sum == int(a[::RESAMPLE_STEP].sum())
 
 
+def test_audio_stats_rejects_unsupported_pcm(spark):
+    """A 16-bit WAV must fail loudly, never be silently
+    reinterpreted as 8-bit samples (which would yield wrong — not
+    missing — statistics)."""
+    import struct
+
+    from angelone_clickhouse_spark.operators.multimodal import audio_stats
+
+    n = 8  # frames; 16-bit mono -> 2 bytes per frame
+    blob = (
+        b"RIFF" + struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 2 * n) + b"\x01\x02" * n
+    )
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(blob))],
+        "doc_id long, media_type string, content binary",
+    )
+    with pytest.raises(Exception, match="8-bit mono"):
+        audio_stats(df).collect()
+
+
 def test_media_gate_branches(spark):
     """Every modality's keep AND drop branch, pinned on synthetic
     payloads with hand-computable metrics."""
