@@ -131,6 +131,40 @@ def test_minute_bars_stream_equals_batch(spark, frames, frames_dir, tmp_path):
     assert row.low <= row.high
 
 
+def test_media_gate_stream_equals_batch(spark, tmp_path):
+    """The multimodal gate is stateless, so the SAME media_gate
+    function must produce identical per-doc decisions through
+    readStream → writeStream (multi-file source, availableNow) as in
+    batch — the stream==batch guarantee the tick path pins, extended
+    to the media decode path."""
+    from angelone_clickhouse_spark.operators.multimodal import (
+        media_gate,
+        media_table,
+    )
+    from angelone_clickhouse_spark.streaming.media import gate_media_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    in_dir = str(tmp_path / "media_in")
+    media = media_table(spark, sf_dir).select(
+        "doc_id", "media_type", "content"
+    )
+    media.repartition(4).write.parquet(in_dir)
+
+    out = str(tmp_path / "gated")
+    ckpt = str(tmp_path / "ckpt")
+    q = gate_media_stream(
+        spark, in_dir, out, ckpt, max_files_per_trigger=2
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).collect()), key=repr
+    )
+    expected = sorted(map(tuple, media_gate(media).collect()), key=repr)
+    assert got == expected
+    assert len(got) == media.count()
+
+
 def test_corrupt_counter(spark, frames):
     r = corrupt_frame_count(frames_df(spark, frames)).collect()[0]
     assert r.n_frames == len(frames)
