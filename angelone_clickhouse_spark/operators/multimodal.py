@@ -250,13 +250,19 @@ def _decode_ppm(content: bytes) -> tuple[int, int, int]:
     return w, h, 1
 
 
-def _decode_y4m(content: bytes) -> tuple[int, int, int]:
-    """REAL video decode: walk a YUV4MPEG2 stream — parse the header
-    parameters, then every FRAME marker and its fixed-size C444
-    raster. Returns (width, height, n_frames); raises ValueError on a
-    bad magic, malformed/unsupported header, bad frame marker, or a
+def _walk_y4m(content: bytes) -> tuple[int, int, list[int]]:
+    """REAL video walk: parse a YUV4MPEG2 stream's header parameters,
+    then every FRAME marker and its fixed-size C444 raster. Returns
+    (width, height, frame_plane_offsets) — the byte offset of each
+    frame's first plane byte is DISCOVERED by walking the markers,
+    never computed by a fixed stride, because the Y4M spec allows
+    per-frame parameters after 'FRAME' (e.g. 'FRAME Ip\\n'), which
+    make marker lines variable-length. Raises ValueError on a bad
+    magic, malformed/unsupported header, bad frame marker, or a
     truncated frame — a corrupt payload fails loudly, never yields
-    fake features."""
+    fake features. Every consumer that slices frame bytes
+    (:func:`extract_frames`, :func:`media_gate`) MUST take offsets
+    from here."""
     nl = content.find(b"\n")
     if nl < 0 or not content.startswith(b"YUV4MPEG2 "):
         raise ValueError(f"not a YUV4MPEG2 stream: {content[:16]!r}")
@@ -277,7 +283,7 @@ def _decode_y4m(content: bytes) -> tuple[int, int, int]:
     if chroma != b"444":
         raise ValueError(f"unsupported chroma subsampling: {chroma!r}")
     frame_bytes = 3 * w * h
-    pos, n_frames = nl + 1, 0
+    pos, offsets = nl + 1, []
     while pos < len(content):
         fnl = content.find(b"\n", pos)
         if fnl < 0 or not content[pos:fnl].startswith(b"FRAME"):
@@ -287,14 +293,99 @@ def _decode_y4m(content: bytes) -> tuple[int, int, int]:
         pos = fnl + 1
         if pos + frame_bytes > len(content):
             raise ValueError(
-                f"truncated frame {n_frames}: "
+                f"truncated frame {len(offsets)}: "
                 f"{len(content) - pos} < {frame_bytes}"
             )
+        offsets.append(pos)
         pos += frame_bytes
-        n_frames += 1
-    if n_frames == 0:
+    if not offsets:
         raise ValueError("Y4M stream with zero frames")
-    return w, h, n_frames
+    return w, h, offsets
+
+
+def _decode_y4m(content: bytes) -> tuple[int, int, int]:
+    """Feature spelling of :func:`_walk_y4m`: (width, height,
+    n_frames), with the walk's full validation."""
+    w, h, offsets = _walk_y4m(content)
+    return w, h, len(offsets)
+
+
+RESIZE_W = 8  # fixed output raster for the image_resize registry query
+RESIZE_H = 4
+
+
+def _nn_indices(n_src: int, n_out: int):
+    """Nearest-neighbor gather map: source index (i*n_src) div n_out
+    for each output index i — the one integer formula every resize
+    consumer (and its DuckDB oracle) shares."""
+    import numpy as np
+
+    return (np.arange(n_out) * n_src) // n_out
+
+
+def _read_pcm8(content: bytes):
+    """Open a WAV container and return (sample_rate, samples) with
+    samples a uint8 numpy array — the ONE shared PCM read for every
+    sample-level consumer (:func:`audio_stats`, :func:`media_gate`).
+    Rejects non-8-bit / non-mono PCM loudly (reinterpreting wider
+    samples as bytes would yield wrong — not missing — statistics)
+    and raises on a truncated data chunk."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        if w.getsampwidth() != 1 or w.getnchannels() != 1:
+            raise ValueError(
+                "only 8-bit mono PCM supported, got "
+                f"{8 * w.getsampwidth()}-bit x{w.getnchannels()}"
+            )
+        pcm = w.readframes(n)
+    if len(pcm) != n:  # 8-bit mono: 1 byte per frame
+        raise ValueError(f"truncated PCM data: {len(pcm)} != {n}")
+    return rate, np.frombuffer(pcm, dtype=np.uint8)
+
+
+def _pcm_var_metric(samples) -> int:
+    """n*sum(a^2) - sum(a)^2 (= n^2 * variance) in EXACT arbitrary-
+    precision Python integers. numpy int64 would silently wrap the
+    n*sum(a^2) product once the payload passes ~2 GB-of-variance
+    territory; here an out-of-int64 result instead fails the Arrow
+    conversion loudly downstream (DuckDB mirrors this: HUGEINT
+    arithmetic, loud BIGINT cast)."""
+    import numpy as np
+
+    a = samples.astype(np.int64)
+    return len(a) * int((a * a).sum()) - int(a.sum()) ** 2
+
+
+def _nn_thumbnail(
+    content: bytes,
+    sx_for: dict,
+    sy_for: dict,
+    out_w: int = RESIZE_W,
+    out_h: int = RESIZE_H,
+):
+    """Decode a P6 container and nearest-neighbor-gather the
+    out_w x out_h thumbnail — the ONE shared decode+gather for every
+    resize consumer (:func:`resize_ppm`, :func:`media_gate`).
+    Returns (w0, h0, thumbnail ndarray); the per-width/per-height
+    index caches are caller-owned, one per task with fixed out dims
+    (the cache key is the SOURCE dim only)."""
+    import numpy as np
+
+    w0, h0, _ = _decode_ppm(content)
+    img = np.frombuffer(
+        content.split(b"\n", 3)[3], dtype=np.uint8
+    ).reshape(h0, w0, 3)
+    if w0 not in sx_for:
+        sx_for[w0] = _nn_indices(w0, out_w)
+    if h0 not in sy_for:
+        sy_for[h0] = _nn_indices(h0, out_h)
+    return w0, h0, img[sy_for[h0]][:, sx_for[w0]]
 
 
 def _decode(media_type: str, content: bytes) -> tuple[int, int, int]:
@@ -354,18 +445,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RESIZE_W = 8  # fixed output raster for the image_resize registry query
-RESIZE_H = 4
-
-
-def _nn_indices(n_src: int, n_out: int):
-    """Nearest-neighbor gather map: source index (i*n_src) div n_out
-    for each output index i — the one integer formula every resize
-    consumer (and its DuckDB oracle) shares."""
-    import numpy as np
-
-    return (np.arange(n_out) * n_src) // n_out
-
 _RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -398,7 +477,6 @@ def resize_ppm(
     in/out, shuffle-free, no driver collect; output is one bounded row
     per image (out_w*out_h*3 bytes), so the op is embarrassingly
     partition-parallel at any corpus size."""
-    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hdr = f"P6\n{out_w} {out_h}\n255\n".encode("ascii")
@@ -410,16 +488,9 @@ def resize_ppm(
             }
             for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
                 b = bytes(c)
-                w0, h0, _ = _decode_ppm(b)
-                raster = b.split(b"\n", 3)[3]
-                img = np.frombuffer(raster, dtype=np.uint8).reshape(
-                    h0, w0, 3
+                w0, h0, resized = _nn_thumbnail(
+                    b, sx_for, sy_for, out_w, out_h
                 )
-                if w0 not in sx_for:
-                    sx_for[w0] = _nn_indices(w0, out_w)
-                if h0 not in sy_for:
-                    sy_for[h0] = _nn_indices(h0, out_h)
-                resized = img[sy_for[h0]][:, sx_for[w0]]
                 payload = resized.tobytes()
                 content = hdr + payload
                 out["doc_id"].append(int(doc_id))
@@ -511,7 +582,9 @@ def extract_frames(media: DataFrame, k: int = FRAME_SAMPLES) -> DataFrame:
     so truncation fails loudly), take the k evenly spaced indices
     idx_j = (j*n) div k (deduplicated), and slice each sampled
     frame's raw C444 plane bytes out of the stream at
-    header_end + idx*(6+frame_bytes) + 6. Emits the frame plus a
+    the walked per-frame plane offsets (NOT a fixed stride — Y4M
+    frame markers may carry spec-legal parameters, so offsets come
+    from :func:`_walk_y4m`). Emits the frame plus a
     sum-of-plane-bytes checksum so the EXTRACTION OFFSETS are
     oracle-checkable byte-for-byte (wrong stride/origin picks
     different bytes and the DuckDB differential catches it).
@@ -527,11 +600,11 @@ def extract_frames(media: DataFrame, k: int = FRAME_SAMPLES) -> DataFrame:
             }
             for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
                 b = bytes(c)
-                w, h, n = _decode_y4m(b)  # validates every frame
+                w, h, offsets = _walk_y4m(b)  # validates every frame
                 fb = 3 * w * h
-                body = b.index(b"\n") + 1
+                n = len(offsets)
                 for idx in sorted({(j * n) // k for j in range(k)}):
-                    start = body + idx * (6 + fb) + 6
+                    start = offsets[idx]
                     frame = b[start : start + fb]
                     out["doc_id"].append(int(doc_id))
                     out["n_frames"].append(n)
@@ -588,33 +661,17 @@ def audio_stats(media: DataFrame, step: int = RESAMPLE_STEP) -> DataFrame:
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         for pdf in batches:
             out: dict[str, list] = {
                 f.name: [] for f in _AUDIO_SCHEMA.fields
             }
             for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
-                with wave.open(io.BytesIO(bytes(c)), "rb") as w:
-                    rate = w.getframerate()
-                    n = w.getnframes()
-                    if w.getsampwidth() != 1 or w.getnchannels() != 1:
-                        raise ValueError(
-                            "only 8-bit mono PCM supported, got "
-                            f"{8 * w.getsampwidth()}-bit "
-                            f"x{w.getnchannels()}"
-                        )
-                    pcm = w.readframes(n)
-                if len(pcm) != n:  # 8-bit mono: 1 byte per frame
-                    raise ValueError(
-                        f"truncated PCM data: {len(pcm)} != {n}"
-                    )
-                a = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
+                rate, samples = _read_pcm8(bytes(c))
+                a = samples.astype(np.int64)
                 dec = a[::step]
                 out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(rate)
-                out["n_samples"].append(n)
+                out["n_samples"].append(len(a))
                 out["amp_sum"].append(int(a.sum()))
                 out["amp_sumsq"].append(int((a * a).sum()))
                 out["resampled_n"].append(len(dec))
@@ -655,27 +712,26 @@ def media_gate(media: DataFrame) -> DataFrame:
     no driver collect, one bounded row per item) computing a
     modality-specific integrity metric and keep/drop decision:
 
-    - image: decode + nearest-neighbor thumbnail (same gather as
-      :func:`resize_ppm`); metric = thumbnail byte checksum; keep iff
-      the mean pixel byte is within [GATE_MIN_MEAN, GATE_MAX_MEAN] —
-      near-blank (padding-dominated) and near-saturated rasters drop.
-    - audio: real WAV read; metric = n*sum(a^2) - sum(a)^2 (n^2 *
-      variance, exact integer); keep iff >= GATE_MIN_SAMPLES samples
-      AND sample variance >= GATE_MIN_VAR (flat / clipped signals
-      drop; 8-bit text-like signals sit near ~850-950).
-    - video: validated Y4M walk; metric = first-frame plane checksum;
-      keep iff the lead-frame mean byte >= GATE_MIN_FRAME_MEAN
+    - image: decode + nearest-neighbor thumbnail (the SHARED
+      :func:`_nn_thumbnail` gather resize_ppm uses); metric =
+      thumbnail byte checksum; keep iff the mean pixel byte is within
+      [GATE_MIN_MEAN, GATE_MAX_MEAN] — near-blank (padding-dominated)
+      and near-saturated rasters drop.
+    - audio: real WAV read (the SHARED :func:`_read_pcm8`); metric =
+      n*sum(a^2) - sum(a)^2 (n^2 * variance, EXACT Python-int
+      arithmetic via :func:`_pcm_var_metric` — never numpy int64
+      wraparound); keep iff >= GATE_MIN_SAMPLES samples AND sample
+      variance >= GATE_MIN_VAR (flat / clipped signals drop; 8-bit
+      text-like signals sit near ~850-950).
+    - video: validated Y4M walk (the SHARED :func:`_walk_y4m`);
+      metric = first-frame plane checksum sliced at the WALKED frame
+      offset; keep iff the lead-frame mean byte >= GATE_MIN_FRAME_MEAN
       (mostly-padding lead frames drop).
 
     All three metrics are pure integer functions of the payload
     bytes, so the DuckDB oracle re-derives metric AND decision per
     doc — the differential checks the decode arithmetic and the
     gate logic together."""
-    import io
-    import wave
-
-    import numpy as np
-
     n_thumb = RESIZE_W * RESIZE_H * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -688,43 +744,24 @@ def media_gate(media: DataFrame) -> DataFrame:
             ):
                 b = bytes(c)
                 if mt == "image":
-                    w0, h0, _ = _decode_ppm(b)
-                    img = np.frombuffer(
-                        b.split(b"\n", 3)[3], dtype=np.uint8
-                    ).reshape(h0, w0, 3)
-                    if w0 not in sx_for:
-                        sx_for[w0] = _nn_indices(w0, RESIZE_W)
-                    if h0 not in sy_for:
-                        sy_for[h0] = _nn_indices(h0, RESIZE_H)
-                    metric = int(img[sy_for[h0]][:, sx_for[w0]].sum())
+                    _, _, thumb = _nn_thumbnail(b, sx_for, sy_for)
+                    metric = int(thumb.sum())
                     keep = (
                         GATE_MIN_MEAN * n_thumb
                         <= metric
                         <= GATE_MAX_MEAN * n_thumb
                     )
                 elif mt == "audio":
-                    with wave.open(io.BytesIO(b), "rb") as w:
-                        n = w.getnframes()
-                        if w.getsampwidth() != 1 or w.getnchannels() != 1:
-                            raise ValueError(
-                                "only 8-bit mono PCM supported, got "
-                                f"{8 * w.getsampwidth()}-bit "
-                                f"x{w.getnchannels()}"
-                            )
-                        pcm = w.readframes(n)
-                    if len(pcm) != n:
-                        raise ValueError(
-                            f"truncated PCM data: {len(pcm)} != {n}"
-                        )
-                    a = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64)
-                    metric = int(n * (a * a).sum() - a.sum() ** 2)
+                    _, samples = _read_pcm8(b)
+                    n = len(samples)
+                    metric = _pcm_var_metric(samples)  # exact int
                     # metric = n^2 * variance, so this is var >= GATE_MIN_VAR
                     keep = n >= GATE_MIN_SAMPLES and metric >= GATE_MIN_VAR * n * n
                 elif mt == "video":
-                    _decode_y4m(b)  # validates the whole stream
-                    body = b.index(b"\n") + 1 + 6
-                    metric = sum(b[body : body + Y4M_FRAME_BYTES])
-                    keep = metric >= GATE_MIN_FRAME_MEAN * Y4M_FRAME_BYTES
+                    w, h, offsets = _walk_y4m(b)  # validates the stream
+                    fb = 3 * w * h  # actual frame size, not assumed
+                    metric = sum(b[offsets[0] : offsets[0] + fb])
+                    keep = metric >= GATE_MIN_FRAME_MEAN * fb
                 else:
                     raise NotImplementedError(
                         f"no gate for media_type={mt!r}"

@@ -303,6 +303,65 @@ def test_audio_stats_numpy_reference(spark):
         assert r.resampled_sum == int(a[::RESAMPLE_STEP].sum())
 
 
+def test_y4m_parameterized_frame_markers(spark):
+    """The Y4M spec allows per-frame parameters ('FRAME Ip\\n'), so
+    marker lines are variable-length: frame slicing MUST use the
+    walked offsets, never a fixed header+idx*(6+fb) stride. Pins the
+    walk, extraction, and the gate's first-frame checksum on a stream
+    whose markers would break any fixed-stride arithmetic."""
+    from angelone_clickhouse_spark.operators.multimodal import (
+        Y4M_HDR_BASE,
+        _walk_y4m,
+        extract_frames,
+        media_gate,
+    )
+
+    p0 = bytes(range(256)) * 3  # frame 0 planes (768 bytes)
+    p1 = b"x" * Y4M_FRAME_BYTES
+    blob = (
+        Y4M_HDR_BASE + b"\n"
+        + b"FRAME Ip Xvendor=1\n" + p0  # 19-byte marker line
+        + b"FRAME\n" + p1               # 6-byte marker line
+    )
+    assert _decode_y4m(blob) == (Y4M_WIDTH, Y4M_HEIGHT, 2)
+    w, h, offs = _walk_y4m(blob)
+    assert blob[offs[0] : offs[0] + Y4M_FRAME_BYTES] == p0
+    assert blob[offs[1] : offs[1] + Y4M_FRAME_BYTES] == p1
+
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(blob))],
+        "doc_id long, media_type string, content binary",
+    )
+    frames = {r.frame_idx: r for r in extract_frames(df).collect()}
+    assert bytes(frames[0].frame) == p0
+    assert bytes(frames[1].frame) == p1
+    assert frames[0].frame_checksum == sum(p0)
+    (g,) = media_gate(df).collect()
+    assert g.metric == sum(p0)  # first-frame checksum at walked offset
+
+
+def test_pcm_var_metric_exact_beyond_int64():
+    """The gate's variance metric must be exact arbitrary-precision
+    arithmetic: at ~17M samples of max-variance PCM the naive
+    numpy-int64 product n*sum(a^2) exceeds 2^63 and would silently
+    wrap (flipping the keep decision), while the true metric still
+    fits int64."""
+    import numpy as np
+
+    from angelone_clickhouse_spark.operators.multimodal import (
+        _pcm_var_metric,
+    )
+
+    n = 17_000_000
+    a = np.zeros(n, dtype=np.uint8)
+    a[1::2] = 255
+    exact = 255 * 255 * n * n // 4  # n*ss - s^2 for the 0/255 square wave
+    assert exact < 2**63 - 1  # the true metric is representable...
+    ss = int((a.astype(np.int64) ** 2).sum())
+    assert n * ss > 2**63 - 1  # ...but the naive int64 product wraps
+    assert _pcm_var_metric(a) == exact
+
+
 def test_audio_stats_rejects_unsupported_pcm(spark):
     """A 16-bit WAV must fail loudly, never be silently
     reinterpreted as 8-bit samples (which would yield wrong — not
