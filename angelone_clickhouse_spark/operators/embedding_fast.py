@@ -41,7 +41,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from angelone_clickhouse_spark.operators.dedup import COSINE_THRESHOLD
 from angelone_clickhouse_spark.operators.similarity import N_QUERIES, TOP_K
@@ -198,7 +197,11 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact op's DuckDB oracle checks this path too. The candidate set
     # is (partitions x |Q| x slack) rows — the interpreted cosine is
     # off the hot path.
-    from angelone_clickhouse_spark.operators.similarity import _cos, _vectors
+    from angelone_clickhouse_spark.operators.similarity import (
+        _cos,
+        _rank_topk,
+        _vectors,
+    )
 
     cand = partial.select("query_id", "neighbor_id").distinct()
     vecs = _vectors(spark, sf_dir)
@@ -212,10 +215,7 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
+    return _rank_topk(
         cand.join(nb, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .select(
@@ -224,10 +224,8 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 _cos(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 6
             ).alias("cos_sim"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        ),
+        TOP_K,
     )
 
 

@@ -104,7 +104,9 @@ def decontaminate_ngrams(
     )
 
 
-def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate_hashed(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Scale-path variant of :func:`decontaminate_ngrams`: the join key
     is a 60-bit md5 prefix of the gram instead of the gram string, so
     the broadcast benchmark set carries 8 bytes per gram instead of the
@@ -120,7 +122,7 @@ def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the idiomatic user-level spelling.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = _word_ngrams(docs, DECON_N)
+    grams = _word_ngrams(docs, DECON_N, checkpoint_dir)
     h = F.expr(
         "cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)"
     )
@@ -227,18 +229,16 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # ONE cumulative-sum definition: seq_id and offset_in_seq must
+    # share the same prefix sum, so both derive from this column (two
+    # spellings of the window would be a silent-drift hazard)
     cum = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
-    return toks.select(
+    return toks.withColumn("cum", cum).select(
         "doc_id",
         "source",
         "n_tokens",
-        F.expr(
-            f"coalesce(sum(n_tokens) over ("
-            f"  partition by source order by doc_id"
-            f"  rows between unbounded preceding and 1 preceding), 0)"
-            f" div {PACK_BUDGET}"
-        ).alias("seq_id"),
-        (cum % PACK_BUDGET).alias("offset_in_seq"),
+        F.expr(f"cum div {PACK_BUDGET}").alias("seq_id"),
+        (F.col("cum") % PACK_BUDGET).alias("offset_in_seq"),
     )
 
 
@@ -262,12 +262,17 @@ def chunk_documents(
     _word_ngrams). Expansion factor is ~len/stride (here ~1.3x), the
     same arithmetic a 100 TB corpus pays."""
     docs = load_table(spark, sf_dir, "documents")
+    # split once per row: the transform lambda is not hoisted by
+    # Catalyst, so splitting inside it would re-tokenize the document
+    # once per emitted chunk (~len/stride times)
     chunks = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, (size(split(text, ' ')) - 1) div {CHUNK_STRIDE}), "
+            f"transform(sequence(0, (size(w) - 1) div {CHUNK_STRIDE}), "
             f"k -> struct(k AS k, "
-            f"  slice(split(text, ' '), 1 + k * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS toks))"
+            f"  slice(w, 1 + k * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS toks))"
         ).alias("cs"),
     )
     chunks = materialize(chunks, checkpoint_dir)

@@ -49,6 +49,28 @@ def _cos(av, bv, an, bn):
     return dot / (an * bn)
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k tail every exact/approx ANN op shares: rank a
+    (query_id, neighbor_id, cos_sim) frame by (cos_sim DESC,
+    neighbor_id ASC) — the ONE tiebreak definition the cross-op
+    recall audit certifies — keep rank <= k, emit the int rank.
+    Living in one place keeps the exact/approx ranking contract from
+    drifting between ops."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def exact_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Exact top-k: query vectors broadcast against the corpus."""
     vecs = _vectors(spark, sf_dir)
@@ -68,14 +90,7 @@ def exact_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k)
 
 
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,6 +185,14 @@ def lsh_topk(
     window (and, when n_tables > 1, the candidate de-dup)."""
     if n_flips is None:
         n_flips = n_planes
+    if not 0 <= n_flips <= n_planes:
+        # a flip on plane p >= n_planes XORs a bit no corpus bucket
+        # can have — the probe joins zero rows forever. Silent dead
+        # probes would make a recall-tuning sweep plateau for the
+        # wrong reason, so out-of-range settings fail loudly.
+        raise ValueError(
+            f"n_flips={n_flips} out of range [0, n_planes={n_planes}]"
+        )
     vecs = _vectors(spark, sf_dir)
     for t in range(n_tables):
         vecs = _bucket(vecs, n_planes, plane_offset=t * n_planes, out=f"b{t}")
@@ -228,19 +251,7 @@ def lsh_topk(
         # a candidate found by several tables appears once per table;
         # scoring is deterministic, so de-dup after scoring is exact
         scored = scored.dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cos_sim",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,19 +329,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cos_sim",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(scored, TOP_K)
 
 
 KM_ITERS = 2  # Lloyd refinement rounds for kmeans_refine
@@ -473,25 +472,15 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("crn", F.row_number().over(cw))
         .filter(F.col("crn") <= Q_SHORTLIST)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
+    return _rank_topk(
         shortlist.select(
             "query_id",
             "neighbor_id",
             F.round(
                 _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
             ).alias("cos_sim"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cos_sim",
-            F.col("rank").cast("int").alias("rank"),
-        )
+        ),
+        TOP_K,
     )
 
 
@@ -509,56 +498,16 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer distances with a cent_id tiebreak. Float Lloyd's update
     (means whose summation order Spark does not fix) stays covered by
     kmeans_refine's invariant tests; THIS query is the driver-checkable
-    face of the operator. Same plan shape: broadcast centroids ->
-    map-side argmin -> one partial-aggregated groupBy per round."""
-    e = load_table(spark, sf_dir, "embeddings")
-    vi = F.expr(
-        f"transform(embedding, x -> "
-        f"cast(floor(cast(x as double) * {KM_GRID}) as bigint))"
-    )
-    vecs = e.select("vec_id", vi.alias("v"))
-    cents0 = vecs.filter(
-        (F.col("vec_id") >= N_QUERIES)
-        & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
-    ).select((F.col("vec_id") - N_QUERIES).alias("cent_id"), F.col("v").alias("cv"))
-    # exact squared distance in grid units^2: per-dim diff <= ~2e6 ->
-    # square 4e12, x64 dims = 2.6e14 per pair — long-safe
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    face of the operator.
 
-    def assign(c: DataFrame) -> DataFrame:
-        return (
-            vecs.crossJoin(F.broadcast(c))
-            .select("vec_id", "v", "cent_id", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(aw))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cent_id", "d2")
-        )
-
-    cents1 = (
-        assign(cents0)
-        .select("cent_id", F.posexplode("v").alias("pos", "x"))
-        .groupBy("cent_id", "pos")
-        .agg(F.expr("sum(x) div count(1)").alias("m"))
-        .groupBy("cent_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("cv")
-        )
-        # tiny (N_CENTROIDS rows); cutting the lineage here keeps the
-        # round-2 assignment plan shallow — same device as kmeans_refine
-        .localCheckpoint(eager=True)
-    )
-    return assign(cents1).groupBy("cent_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum("d2").alias("inertia_grid2"),
-    )
+    ONE Spark implementation: this is exactly :func:`kmeans_refine`
+    at ``update_rounds=1`` (same grid, seeds, argmin, update rules),
+    so the plan code lives there alone — but the DuckDB oracle stays
+    a HAND-WRITTEN one-round unroll, deliberately NOT the generated
+    ``_kmeans_refine_oracle_sql(1)``: two independent SQL spellings
+    of the same computation keep the differential able to catch a
+    generator bug (the r8 advice on mirrored oracles)."""
+    return kmeans_refine(spark, sf_dir, update_rounds=1)
 
 
 def kmeans_refine(
@@ -720,7 +669,9 @@ AUDIT_SETTINGS: tuple[tuple[int, int, int, int], ...] = (
 )
 
 
-def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_recall_audit(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Recall@k of the LSH-bucketed ANN path against the exact top-k,
     measured entirely in-engine across AUDIT_SETTINGS — the
     settings×recall table every approximate-index deployment builds
@@ -738,10 +689,26 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     setting the audit adds one join keyed on (query_id, neighbor_id)
     — both sides are k·|queries| rows, tiny by construction — and a
     |queries|-row rollup; settings union afterwards (no barrier
-    between them)."""
+    between them). The exact side is ONE brute-force scan at
+    max(k), materialized and prefix-filtered per setting (the
+    ranking is a total order, so top-k is a prefix of top-max_k):
+    union branches get no common-subplan elimination, so without
+    the materialization every setting would re-run the O(|Q|·N)
+    scan."""
+    from angelone_clickhouse_spark.materialize import materialize
+
+    max_k = max(k for _, _, k, _ in AUDIT_SETTINGS)
+    exact_all = materialize(
+        exact_topk(spark, sf_dir, max_k).select(
+            "query_id", "neighbor_id", "rank"
+        ),
+        checkpoint_dir,
+    )  # k·|queries| rows — tiny
     per_setting = []
     for n_planes, n_flips, k, n_tables in AUDIT_SETTINGS:
-        exact = exact_topk(spark, sf_dir, k).select("query_id", "neighbor_id")
+        exact = exact_all.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id"
+        )
         approx = lsh_topk(
             spark, sf_dir, n_planes, n_flips, k, n_tables
         ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))

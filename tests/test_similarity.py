@@ -139,3 +139,17 @@ def test_recall_audit_amplified_setting_dominates(spark, sf_dir):
     best_amp = max(amplified.values())
     assert best_amp >= 0.8
     assert best_amp > max(single.values())
+
+
+def test_lsh_topk_rejects_out_of_range_flips(spark, sf_dir):
+    """A flip on a plane >= n_planes XORs a bit no corpus bucket has —
+    the probe can never match. Out-of-range settings must fail loudly
+    instead of silently plateauing a recall-tuning sweep."""
+    import pytest
+
+    from angelone_clickhouse_spark.operators.similarity import lsh_topk
+
+    with pytest.raises(ValueError, match="n_flips"):
+        lsh_topk(spark, sf_dir, n_planes=4, n_flips=6)
+    with pytest.raises(ValueError, match="n_flips"):
+        lsh_topk(spark, sf_dir, n_planes=4, n_flips=-1)
