@@ -49,18 +49,27 @@ def asof_join(
     """Generic as-of join: for each probe row, the most recent event
     row of the same key with event_ts <= probe_ts (inclusive).
     ``events`` must be unique per (key, event_ts). Probe rows with no
-    preceding event are dropped (inner as-of semantics)."""
+    preceding event are dropped (inner as-of semantics).
+
+    The running carrier is a STRUCT of the value columns, not the
+    columns themselves: an event row's struct is non-null even when
+    every value inside it is NULL, so (a) a legitimately NULL-valued
+    event still wins the as-of match (DuckDB's native ASOF JOIN
+    semantics — last(col, ignorenulls) would silently skip back to an
+    older non-null value), and (b) "no preceding event" is detected
+    by struct nullness, never by a value column happening to be
+    NULL."""
     ev = events.select(
         key,
         F.col(event_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_ev"),
     )
     pr = probes.select(
         key,
         F.col(probe_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(ev.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(ev.schema["_ev"].dataType).alias("_ev"),
     )
     w = (
         Window.partitionBy(key)
@@ -71,12 +80,16 @@ def asof_join(
         key,
         "_ts",
         "_tag",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_ev", ignorenulls=True).over(w).alias("_ev"),
     )
     return (
         filled.filter(F.col("_tag") == 1)
-        .filter(F.col(value_cols[0]).isNotNull())
-        .select(key, F.col("_ts").alias(probe_ts), *value_cols)
+        .filter(F.col("_ev").isNotNull())
+        .select(
+            key,
+            F.col("_ts").alias(probe_ts),
+            *[F.col(f"_ev.{c}").alias(c) for c in value_cols],
+        )
     )
 
 

@@ -28,7 +28,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from angelone_clickhouse_spark.sources.tables import TICKS_ORACLE_CTE, ticks
+from angelone_clickhouse_spark.sources.tables import (
+    TICKS_ORACLE_CTE,
+    ticks,
+    trunc_ntz,
+)
+
+
+def _cents():
+    """Exact price-in-cents: round(price*100) as long — the ONE
+    spelling of the module's fixed-point contract. Every oracle CTE
+    mirrors it as CAST(round(last_traded_price * 100) AS BIGINT); a
+    rounding-mode change must happen here (and there), nowhere else."""
+    return F.round(F.col("last_traded_price") * 100).cast("long")
+
+
+# naive epoch anchor for tz-independent second arithmetic on NTZ
+_EPOCH_NTZ = "1970-01-01 00:00:00"
+
+
+def _secs_ntz(col):
+    """Naive seconds-since-epoch of a TIMESTAMP_NTZ column — pure NTZ
+    arithmetic (casting NTZ -> timestamp -> long would re-interpret
+    the naive value in the session zone; across a DST transition the
+    offsets differ and weights/buckets shift — the trunc_ntz
+    lesson)."""
+    epoch = F.lit(_EPOCH_NTZ).cast("timestamp_ntz")
+    return F.timestamp_diff("SECOND", epoch, col)
 
 
 def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,7 +62,7 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end; zero-volume days fall back to the unweighted mean of
     prices (same rule in the oracle)."""
     t = ticks(spark, sf_dir)
-    cents = F.round(F.col("last_traded_price") * 100).cast("long")
+    cents = _cents()
     vol = F.col("volume").cast("long")  # fixture volume is integer-valued
     return (
         t.select(
@@ -73,17 +99,17 @@ def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     price for (t_{i+1} - t_i) seconds, the last tick until the hour
     end; weights and prices stay integers until one final division."""
     t = ticks(spark, sf_dir)
-    secs = F.col("ts").cast("timestamp").cast("long")
-    hour = F.date_trunc("hour", "ts")
+    secs = _secs_ntz(F.col("ts"))
+    hour = trunc_ntz("HOUR", "ts")
     w = Window.partitionBy("token", "hour").orderBy("secs", "sequence_number")
     base = t.select(
         "token",
         hour.alias("hour"),
         secs.alias("secs"),
         "sequence_number",
-        F.round(F.col("last_traded_price") * 100).cast("long").alias("c"),
+        _cents().alias("c"),
     )
-    hour_end = F.col("hour").cast("timestamp").cast("long") + 3600
+    hour_end = _secs_ntz(F.col("hour")) + 3600
     weighted = base.withColumn(
         "weight_s",
         F.coalesce(F.lead("secs").over(w), hour_end) - F.col("secs"),
@@ -97,7 +123,7 @@ def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "token",
-            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            F.col("hour").alias("hour"),  # trunc_ntz is already NTZ
             "n_ticks",
             "total_s",
             (F.expr("cw div total_s") / F.lit(100.0)).alias("twap"),
@@ -115,7 +141,7 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine. One partial-aggregated shuffle on ~|price range /
     bin| keys."""
     t = ticks(spark, sf_dir)
-    cents = F.round(F.col("last_traded_price") * 100).cast("long")
+    cents = _cents()
     b = F.expr(f"c div {HIST_BIN_CENTS}")
     return (
         t.select("token", cents.alias("c"))
@@ -148,7 +174,7 @@ def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token, day) — a single exchange reused end-to-end; no global
     sort, no percentile sketch needed for the exact-integer contract."""
     t = ticks(spark, sf_dir)
-    cents = F.round(F.col("last_traded_price") * 100).cast("long")
+    cents = _cents()
     base = t.select(
         "token",
         F.to_date("ts").alias("day"),
@@ -204,7 +230,7 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(token, date) variant runs per partition and a tiny second
     pass merges peaks across days — same algebra as the bar rollup."""
     t = ticks(spark, sf_dir)
-    cents = F.round(F.col("last_traded_price") * 100).cast("long")
+    cents = _cents()
     w = (
         Window.partitionBy("token")
         .orderBy("ts", "sequence_number")
@@ -241,7 +267,7 @@ def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ticks(spark, sf_dir).filter(
         F.col("token").cast("long") % VOLA_TOKEN_MOD == 0
     )
-    cents = F.round(F.col("last_traded_price") * 100).cast("long")
+    cents = _cents()
     w = (
         Window.partitionBy("token")
         .orderBy("ts", "sequence_number")

@@ -37,6 +37,9 @@ stamps explicit 1 s-spaced mtimes for exactly this reason.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -99,6 +102,70 @@ def decode_tick_stream(frames: DataFrame, watermark: str = "1 hour") -> DataFram
     return ticks.dropDuplicates(["token", "sequence_number"])
 
 
+def _commit_epoch_files(staging_dir: str, out_dir: str, epoch_id: int) -> None:
+    """Move a staged epoch's part files into the date-partitioned
+    dataset under deterministic epoch-prefixed names, after deleting
+    any files a crashed earlier attempt of the SAME epoch left behind
+    — the retry-idempotence device foreachBatch's AT-LEAST-ONCE
+    contract requires for an append sink (rollup.py solves the same
+    problem with per-day swap + ``_last_epoch`` markers; a plain
+    append only needs prefix-cleanup + rename). Driver-side loop over
+    the epoch's files — bounded by the trigger size, not data size;
+    at cluster scale the same contract comes from a committing table
+    format (Delta/Iceberg), which this device stands in for on a
+    plain filesystem."""
+    prefix = f"e{epoch_id}-"
+    if os.path.isdir(out_dir):  # sweep a crashed attempt's files
+        for dpart in os.listdir(out_dir):
+            d = os.path.join(out_dir, dpart)
+            if dpart.startswith("date=") and os.path.isdir(d):
+                for name in os.listdir(d):
+                    if name.startswith(prefix):
+                        os.remove(os.path.join(d, name))
+    for dpart in os.listdir(staging_dir):
+        src_dir = os.path.join(staging_dir, dpart)
+        if not dpart.startswith("date=") or not os.path.isdir(src_dir):
+            continue
+        dst_dir = os.path.join(out_dir, dpart)
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in os.listdir(src_dir):
+            if name.startswith("part-"):
+                os.rename(
+                    os.path.join(src_dir, name),
+                    os.path.join(dst_dir, prefix + name),
+                )
+
+
+def make_epoch_appender(
+    out_dir: str, max_records_per_file: int | None = None
+):
+    """The foreachBatch append function for :func:`ingest_to_parquet`
+    — module-level so its retry-idempotence is directly testable.
+    Stages the epoch with a normal parquet write, then commits via
+    :func:`_commit_epoch_files`; a retried epoch (crash anywhere
+    between the sink write and the streaming commit log) replaces its
+    own files instead of appending duplicates."""
+
+    def write_epoch(batch: DataFrame, epoch_id: int) -> None:
+        staging = os.path.join(
+            out_dir + ".stage", f"epoch-{epoch_id}"
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        writer = (
+            batch.withColumn("date", F.to_date("ts"))
+            .repartition("date")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+        )
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("date").parquet(staging)
+        _commit_epoch_files(staging, out_dir, epoch_id)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    return write_epoch
+
+
 def ingest_to_parquet(
     spark: SparkSession,
     frames_dir: str,
@@ -125,21 +192,9 @@ def ingest_to_parquet(
     ticks = decode_tick_stream(
         read_frame_stream(spark, frames_dir, max_files_per_trigger)
     )
-
-    def write_epoch(batch: DataFrame, epoch_id: int) -> None:
-        writer = (
-            batch.withColumn("date", F.to_date("ts"))
-            .repartition("date")
-            .sortWithinPartitions("ts")
-            .write.mode("append")
-        )
-        if max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.partitionBy("date").parquet(out_dir)
-
-    writer = ticks.writeStream.foreachBatch(write_epoch).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    writer = ticks.writeStream.foreachBatch(
+        make_epoch_appender(out_dir, max_records_per_file)
+    ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
@@ -247,26 +302,32 @@ def ingest_with_load_shedding(
     )
     drop_log: list[dict] = []
 
+    append_epoch = make_epoch_appender(out_dir)
+
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
-        kept = cap_in_event_order(batch, capacity_per_epoch, shed_interval)
+        # persist both frames: the counts and the sink write would
+        # otherwise each re-run the full decode (+ the cap's internal
+        # count/join passes) — 3-5x the epoch's decode cost on a big
+        # availableNow catch-up batch
+        batch = batch.persist()
+        kept = cap_in_event_order(
+            batch, capacity_per_epoch, shed_interval
+        ).persist()
         n_arrived = batch.count()
         n_kept = kept.count()
-        (
-            kept.withColumn("date", F.to_date("ts"))
-            .repartition("date")
-            .sortWithinPartitions("ts")
-            .write.mode("append")
-            .partitionBy("date")
-            .parquet(out_dir)
-        )
-        drop_log.append(
-            {
-                "epoch": int(epoch_id),
-                "arrived": n_arrived,
-                "kept": n_kept,
-                "dropped": n_arrived - n_kept,
-            }
-        )
+        append_epoch(kept, epoch_id)
+        entry = {
+            "epoch": int(epoch_id),
+            "arrived": n_arrived,
+            "kept": n_kept,
+            "dropped": n_arrived - n_kept,
+        }
+        # a retried epoch REPLACES its log entry (at-least-once
+        # delivery must not double-book the accounting)
+        drop_log[:] = [e for e in drop_log if e["epoch"] != entry["epoch"]]
+        drop_log.append(entry)
+        kept.unpersist()
+        batch.unpersist()
 
     q = (
         ticks.writeStream.foreachBatch(write_epoch)

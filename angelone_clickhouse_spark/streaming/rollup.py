@@ -139,12 +139,19 @@ def make_epoch_merger(spark: SparkSession, table_dir: str):
 
     def merge_epoch(batch: DataFrame, epoch_id: int) -> None:
         _recover_partial_swap(table_dir)
-        update = _partials(batch)
-        days = sorted(r.day for r in update.select("day").distinct().collect())
+        # persist: the days .collect() below and the tmp_root write
+        # both consume the partials; without it each action re-runs
+        # the frame decode + groupBy (the epoch's most expensive
+        # stage) from scratch
+        partials = _partials(batch).persist()
+        days = sorted(
+            r.day for r in partials.select("day").distinct().collect()
+        )
         stale = [d for d in days if _day_last_epoch(table_dir, d) < epoch_id]
         if not stale:
+            partials.unpersist()
             return  # retry of a fully-applied epoch
-        update = update.filter(F.col("day").isin(stale))
+        update = partials.filter(F.col("day").isin(stale))
         have = [d for d in stale if os.path.isdir(_day_dir(table_dir, d))]
         if have:
             # partition-pruned read: only the touched day directories
@@ -179,6 +186,7 @@ def make_epoch_merger(spark: SparkSession, table_dir: str):
             os.rename(src, live)
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp_root, ignore_errors=True)
+        partials.unpersist()
 
     return merge_epoch
 
@@ -205,7 +213,12 @@ def maintain_daily_rollup(
 
 
 def read_rollup(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The maintained rollup, minus the internal merge-state columns."""
+    """The maintained rollup, minus the internal merge-state columns.
+    Restores any partition a crash left mid-swap FIRST — a reader
+    arriving before the stream restarts must see the pre-crash day,
+    not a missing partition plus an unparseable ``day=....old``
+    directory."""
+    _recover_partial_swap(table_dir)
     return spark.read.parquet(table_dir).select(
         "token",
         "day",

@@ -164,3 +164,31 @@ def test_untouched_partitions_not_rewritten(spark, tmp_path):
     # and the table still holds both days' aggregates
     days_seen = {r.day for r in read_rollup(spark, table_dir).collect()}
     assert len(days_seen) >= 2
+
+
+def test_read_rollup_recovers_mid_swap_crash(spark, tmp_path):
+    """A crash between the two partition renames leaves a day at
+    ``.old`` only; read_rollup must restore it BEFORE reading — a
+    reader arriving before the stream restarts would otherwise see
+    the day missing and an unparseable ``day=....old`` partition
+    directory."""
+    import os
+
+    frames = generate_frames(1200, seed=27, duplicate_every=0)
+    frames_dir = str(tmp_path / "frames")
+    write_frames_parquet(spark, frames, frames_dir, n_files=2)
+    table_dir = str(tmp_path / "rollup")
+    q = maintain_daily_rollup(
+        spark, frames_dir, table_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    want = sorted(map(tuple, read_rollup(spark, table_dir).collect()))
+
+    day_dirs = [d for d in os.listdir(table_dir) if d.startswith("day=")]
+    assert day_dirs
+    live = os.path.join(table_dir, day_dirs[0])
+    os.rename(live, live + ".old")  # simulate the mid-swap crash
+
+    got = sorted(map(tuple, read_rollup(spark, table_dir).collect()))
+    assert got == want
+    assert os.path.isdir(live)  # restored on disk, not just in-result

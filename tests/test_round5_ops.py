@@ -117,6 +117,10 @@ def test_bar_family_is_session_timezone_independent(spark, sf_dir):
     with spark.sql.session.timeZone (the sessionize NTZ lesson).
     trunc_ntz must make every bar level identical under any zone."""
     from angelone_clickhouse_spark.operators.asof import asof_price_lookup
+    from angelone_clickhouse_spark.operators.finance import (
+        twap_hourly,
+        vwap_daily,
+    )
     from angelone_clickhouse_spark.operators.timeseries import resample_ffill
     from angelone_clickhouse_spark.streaming.batch_equiv import (
         daily_bars_rollup,
@@ -134,6 +138,8 @@ def test_bar_family_is_session_timezone_independent(spark, sf_dir):
             ingest_load_shed,
             resample_ffill,
             asof_price_lookup,
+            twap_hourly,
+            vwap_daily,
         ):
             rows = fn(spark, sf_dir).collect()
             out[fn.__name__] = sorted(map(tuple, rows))

@@ -74,6 +74,28 @@ def test_ingest_is_idempotent_on_restart(spark, frames_dir, tmp_path):
     assert spark.read.parquet(out).count() == n1
 
 
+def test_epoch_appender_retry_is_idempotent(spark, frames, tmp_path):
+    """foreachBatch is AT-LEAST-ONCE: a crash between the sink write
+    and the streaming commit log re-delivers the same epoch. The
+    epoch-prefixed staged commit must make the retry replace its own
+    files, never append duplicates — while a NEW epoch still
+    appends."""
+    from angelone_clickhouse_spark.streaming.ingest import (
+        make_epoch_appender,
+    )
+
+    ticks = _batch_ticks(spark, frames)
+    out = str(tmp_path / "sink")
+    append = make_epoch_appender(out)
+    append(ticks, 0)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == ticks.count()
+    append(ticks, 0)  # retried epoch (same id, same data)
+    assert spark.read.parquet(out).count() == n1
+    append(ticks.limit(50), 1)  # a genuinely new epoch appends
+    assert spark.read.parquet(out).count() == n1 + 50
+
+
 def test_hopping_bars_stream_equals_batch(spark, frames, frames_dir, tmp_path):
     """Sliding-window state: each tick must appear in exactly two
     overlapping windows, identically in stream and batch replays."""
@@ -200,7 +222,8 @@ def test_ingest_row_cap_per_file(spark, frames, frames_dir, tmp_path):
         max_records_per_file=cap,
     )
     q.awaitTermination(180)
-    files = glob.glob(f"{out}/date=*/part-*.parquet")
+    # committed ingest files carry the e<epoch>- idempotence prefix
+    files = glob.glob(f"{out}/date=*/e*-part-*.parquet")
     assert files
     sizes = [pq.read_metadata(f).num_rows for f in files]
     assert max(sizes) <= cap
