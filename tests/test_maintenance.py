@@ -23,12 +23,14 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
         available_now=True, max_files_per_trigger=1,  # 12 epochs -> 12 files
     )
     q.awaitTermination(120)
-    before_files = glob.glob(f"{d}/out/date=*/part-*.parquet")
+    # ingest files carry the e<epoch>- idempotence prefix; compacted
+    # replacements are plain part-* — match both
+    before_files = glob.glob(f"{d}/out/date=*/*part-*.parquet")
     before = spark.read.parquet(f"{d}/out")
     before_rows = sorted(map(tuple, before.collect()), key=repr)
 
     result = compact_tick_sink(spark, f"{d}/out", target_file_bytes=10**9)
-    after_files = glob.glob(f"{d}/out/date=*/part-*.parquet")
+    after_files = glob.glob(f"{d}/out/date=*/*part-*.parquet")
     after = spark.read.parquet(f"{d}/out")
     after_rows = sorted(map(tuple, after.collect()), key=repr)
 
