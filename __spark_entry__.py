@@ -46,31 +46,32 @@ _PRIORITY = [
     "video_frames",          # NEW: sampled-frame extraction (r8)
     "audio_features",        # NEW: PCM stats + decimation (r8)
     "multimodal_gate",       # NEW: cross-modal quality gate (r8)
+    # (a cont.) late-r8 review-pass changes — must re-earn rows
+    "ann_topk_cosine",       # shared _rank_topk tail (late r8)
+    "ann_lsh_topk",          # flip-range guard + _rank_topk (late r8)
+    "ann_topk_quantized",    # _rank_topk (late r8)
+    "ann_topk_fast",         # _rank_topk (late r8)
+    "kmeans_assign",         # = kmeans_refine(1) delegation (late r8)
+    "asof_price_lookup",     # struct carrier NULL semantics (late r8)
+    "twap_hourly",           # NTZ-safe seconds + trunc_ntz (late r8)
+    "vwap_daily",            # _cents helper spelling (late r8)
+    "sequence_pack",         # single cum-sum definition (late r8)
+    "chunk_documents",       # split-once hoist (late r8)
+    "decontaminate_hashed",  # checkpoint_dir threading (late r8)
     # (b) rotation debt from r6/r7 (rows r4-stale)
     "sessionize_events",
     "tokens_by_exchange",
-    # (c) the rest of the registry names whose last driver row is
-    # r4 or older — full refresh of the stalest 40
+    # (c) the stalest r4-or-older driver rows that still fit in 50
     "q2_daily_stats",
-    "q3_recency_check",
-    "q4_latest_prices",
     "q6_volume_profile",
-    "q7_sample",
     "enrich_tokens_join",
     "unknown_exchange_tokens",
     "pricing_summary",
     "revenue_rollup",
     "order_priority_cube",
-    "trailing_activity_range",
-    "event_type_unpivot",
-    "event_type_pivot",
     "revenue_by_nation",
     "top_customers",
-    "union_nationkeys",
-    "customers_without_orders",
-    "customers_with_urgent_orders",
     "customer_order_ranks",
-    "customer_balance_quartiles",
     "orders_above_nation_avg",
     "shipping_priority",
     "late_shipment_priorities",
@@ -84,16 +85,19 @@ _PRIORITY = [
     "supplier_late_blame",
     "kmeans_refine",
     "ann_ivf_topk",
-    "text_token_stats",
     "text_tokenize_regex",
-    # (d) r5-stale filler to 50: the flagship
+    # (d) filler to 50: the flagship
     "q5_daily_ohlcv",
-    # next round: finish the r4-stale refresh (text_quality,
-    # text_lang_stats, distinct_tokens_approx — displaced by the
-    # four NEW r8 multimodal ops),
-    # then continue the r5-stale refresh (dedup_clusters_minhash,
-    # dedup_survivors, decontaminate_ngrams, q1_latest_tick,
-    # q8_token_stats, forecast_revenue, ship_latency_classes, ...)
+    # next round: finish the r4-stale refresh displaced by this
+    # round's changed-code entries (q3_recency_check,
+    # q4_latest_prices, q7_sample, trailing_activity_range,
+    # event_type_unpivot, event_type_pivot, union_nationkeys,
+    # customers_without_orders, customers_with_urgent_orders,
+    # customer_balance_quartiles, text_token_stats, text_quality,
+    # text_lang_stats, distinct_tokens_approx), then the r5-stale
+    # refresh
+    # (dedup_clusters_minhash, dedup_survivors, decontaminate_ngrams,
+    # q1_latest_tick, q8_token_stats, forecast_revenue, ...)
 ]
 
 
