@@ -114,6 +114,7 @@ def _pairwise_jaccard(docs: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         F.expr("transform(sorted_sh, x -> x.s)").alias("shingles"),
+        F.expr("transform(sorted_sh, x -> x.h)").alias("hashes"),
         F.size("sorted_sh").alias("n_shingles"),
     )
     # Materialize once: the prefix explode re-evaluates its child per
@@ -124,12 +125,21 @@ def _pairwise_jaccard(docs: DataFrame) -> DataFrame:
     prefix_len = F.col("n_shingles") - F.ceil(
         F.col("n_shingles") * F.lit(JACCARD_THRESHOLD)
     ).cast("int") + 1
+    # The candidate join keys on the 8-byte xxhash64 of the prefix
+    # shingle, NOT the shingle string: the exploded prefix shuffle
+    # carries a long instead of a ~3-word string and the join compares
+    # longs. Output is provably unchanged: candidates(hash) is a
+    # superset of candidates(string) (equal strings always hash
+    # equal), verification recomputes the TRUE jaccard from the full
+    # string sets, and any colliding-hash extra that truly clears the
+    # threshold would have been a string-join candidate anyway by the
+    # PPJoin prefix theorem — so the post-filter sets are identical.
     pref = sets.select(
         "doc_id",
         "n_shingles",
         F.explode(
-            F.slice(F.col("shingles"), F.lit(1), prefix_len)
-        ).alias("shingle"),
+            F.slice(F.col("hashes"), F.lit(1), prefix_len)
+        ).alias("shingle_h"),
     )
     a, b = pref.alias("a"), pref.alias("b")
     # PPJoin's LENGTH filter alongside the prefix filter: jac >= t
@@ -142,7 +152,7 @@ def _pairwise_jaccard(docs: DataFrame) -> DataFrame:
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n_shingles") >= t * F.col("a.n_shingles") - 1e-9)
             & (F.col("b.n_shingles") <= F.col("a.n_shingles") / t + 1e-9),
@@ -351,20 +361,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH candidate generation + exact-signature similarity.
-
-    Oracle-checked: signatures, band keys (md5 of the band's signature
-    values) and the estimated similarity are all reproducible in
-    DuckDB. Tests additionally assert recall against the exact Jaccard
-    op on the planted near-duplicates."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Materialize signatures once: bands AND both sides of the verify
-    # join re-derive this plan (3x shingle+hash recompute otherwise).
-    # At cluster scale this is persist(DISK) / a signatures table.
-    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — N_BANDS banded keys per signature
+    row; band_key = md5 of the band's signature values. Shared by
+    :func:`dedup_minhash_lsh` (full self-join) and
+    :func:`dedup_incremental` (new-batch-vs-index join)."""
     rows_per_band = N_MINHASH // N_BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -388,6 +391,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate generation + exact-signature similarity.
+
+    Oracle-checked: signatures, band keys (md5 of the band's signature
+    values) and the estimated similarity are all reproducible in
+    DuckDB. Tests additionally assert recall against the exact Jaccard
+    op on the planted near-duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize signatures once: bands AND both sides of the verify
+    # join re-derive this plan (3x shingle+hash recompute otherwise).
+    # At cluster scale this is persist(DISK) / a signatures table.
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    bands = _band_keys(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -404,11 +422,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify candidates with estimated similarity = matching signature rows
     sa = sig.alias("sa")
     sb = sig.alias("sb")
-    est = (
+    return (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b", F.round(_est_sim(), 4).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _est_sim(a: str = "sa", b: str = "sb"):
+    """Estimated Jaccard between two aliased signature rows =
+    fraction of matching MinHash slots."""
+    return (
         F.aggregate(
             F.array(
                 *[
-                    (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int")
+                    (F.col(f"{a}.h{i}") == F.col(f"{b}.h{i}")).cast("int")
                     for i in range(N_MINHASH)
                 ]
             ),
@@ -417,11 +448,95 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(float(N_MINHASH))
     )
-    return (
-        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
-        .join(sb, cand.doc_b == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+
+
+# Deterministic "new batch" split for the incremental-dedup fixture:
+# doc_id % NEW_DOC_MOD == 0 plays the role of today's crawl (10% of
+# the corpus); the rest is the already-deduped EXISTING corpus.
+NEW_DOC_MOD = 10
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: clear a NEW batch of documents against an
+    EXISTING corpus without ever pairing the corpus with itself — the
+    op a production training-data pipeline runs per crawl/ingest day.
+
+    The reference re-inserts duplicate frames unconditionally (SURVEY
+    §2.3 streaming-dedup row: main.go's insert path has no existence
+    check), so this is a north-star extension like the rest of the
+    dedup ladder.
+
+    Semantics (all MinHash-estimated at the same threshold as
+    :func:`dedup_minhash_lsh`):
+
+    * ``dup_of_existing`` — smallest existing doc_id whose signature
+      similarity clears the threshold (NULL if none).
+    * ``dup_of_batch`` — smallest SMALLER-id new doc that clears it
+      (NULL if none): the standard single-pass within-batch rule that
+      keeps the first of a duplicate run without iterating.
+    * ``keep`` — both NULL. (A doc whose only match is a dropped
+      batch doc is still dropped — the one-pass approximation every
+      at-scale LSH dedup ships; exact chain resolution is
+      :func:`dedup_survivors`'s connected-components job.)
+
+    Scale design: the existing corpus appears ONLY as its signature /
+    band-key index (in production a staged table, incrementally
+    appended — here recomputed from the fixture); the band join's
+    probe side is the small new batch, so AQE broadcasts it, and no
+    existing-vs-existing candidate is ever generated. Cost per day is
+    O(new x bucket collision), independent of corpus pair count."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    bands = _band_keys(sig).withColumn(
+        "is_new", (F.col("doc_id") % NEW_DOC_MOD) == 0
+    )
+    a = bands.filter(F.col("is_new")).alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (~F.col("b.is_new") | (F.col("b.doc_id") < F.col("a.doc_id"))),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("other_id"),
+            F.col("b.is_new").alias("other_new"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(sig.alias("sa"), cand.doc_id == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), cand.other_id == F.col("sb.doc_id"))
+        .select(
+            cand.doc_id,
+            "other_id",
+            "other_new",
+            F.round(_est_sim(), 4).alias("est"),
+        )
+        .filter(F.col("est") >= JACCARD_THRESHOLD)
+    )
+    matches = verified.groupBy("doc_id").agg(
+        F.min(F.when(~F.col("other_new"), F.col("other_id"))).alias(
+            "dup_of_existing"
+        ),
+        F.min(F.when(F.col("other_new"), F.col("other_id"))).alias(
+            "dup_of_batch"
+        ),
+    )
+    newdocs = docs.filter((F.col("doc_id") % NEW_DOC_MOD) == 0).select(
+        "doc_id"
+    )
+    return newdocs.join(matches, "doc_id", "left").select(
+        "doc_id",
+        "dup_of_existing",
+        "dup_of_batch",
+        (
+            F.col("dup_of_existing").isNull()
+            & F.col("dup_of_batch").isNull()
+        ).alias("keep"),
     )
 
 
@@ -464,6 +579,7 @@ def connected_components(
     labels = both.select("u").distinct().select(
         "u", F.col("u").alias("label")
     )
+    label_sum = None
     for _ in range(max_iter):
         neigh = (
             both.alias("e")
@@ -476,14 +592,21 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         new_labels = _materialize(new_labels, checkpoint_dir)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # Convergence probe WITHOUT a join: min-label propagation can
+        # only DECREASE a node's label, and the node set is fixed, so
+        # sum(label) strictly decreases iff any label changed. The sum
+        # is exact (decimal(38,0) — no overflow for any realistic
+        # node-count x id range, unlike a bigint sum; no hash-collision
+        # risk, unlike an xor signature), and it is one cheap scan of
+        # the just-checkpointed frame instead of the old-vs-new join
+        # the previous spelling paid every round.
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+        prev_sum = label_sum
+        label_sum = new_sum
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and new_sum == prev_sum:
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -852,6 +975,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_minhash": dedup_clusters_minhash,
     "dedup_survivors": dedup_survivors,
+    "dedup_incremental": dedup_incremental,
 }
 
 def ngram_jaccard_oracle_sql(bound: int = DEEP_GROUP_BOUND) -> str:
@@ -1057,6 +1181,50 @@ WHERE round(({matches}) / {float(N_MINHASH)}, 4) >= {JACCARD_THRESHOLD}
 
 
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle_sql()
+
+
+def _incremental_oracle_sql() -> str:
+    """DuckDB twin of :func:`dedup_incremental`: same w/sh/sig/bands
+    CTE construction as the LSH oracle, with the candidate join
+    restricted to new-vs-existing plus new-vs-smaller-new, then the
+    per-new-doc min aggregation and keep verdict."""
+    lsh = _minhash_oracle_sql()
+    # reuse the shared construction: everything up to the `cand` CTE
+    prefix = lsh[: lsh.index("cand AS (")]
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    )
+    return f"""{prefix}cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other_id,
+         (b.doc_id % {NEW_DOC_MOD} = 0) AS other_new
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id <> b.doc_id
+  WHERE a.doc_id % {NEW_DOC_MOD} = 0
+    AND (b.doc_id % {NEW_DOC_MOD} <> 0 OR b.doc_id < a.doc_id)
+),
+ver AS (
+  SELECT cand.doc_id, other_id, other_new
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_id
+  JOIN sig sb ON sb.doc_id = other_id
+  WHERE round(({matches}) / {float(N_MINHASH)}, 4) >= {JACCARD_THRESHOLD}
+),
+m AS (
+  SELECT doc_id,
+         min(CASE WHEN NOT other_new THEN other_id END) AS dup_of_existing,
+         min(CASE WHEN other_new THEN other_id END) AS dup_of_batch
+  FROM ver GROUP BY doc_id
+)
+SELECT d.doc_id, m.dup_of_existing, m.dup_of_batch,
+       (m.dup_of_existing IS NULL AND m.dup_of_batch IS NULL) AS keep
+FROM documents d LEFT JOIN m USING (doc_id)
+WHERE d.doc_id % {NEW_DOC_MOD} = 0
+"""
+
+
+ORACLES["dedup_incremental"] = _incremental_oracle_sql()
 
 # Connected components as a recursive transitive closure (fine at
 # oracle scale; the Spark side is the iterative/scalable algorithm —

@@ -307,3 +307,37 @@ def test_grouped_pairwise_deep_group_bounded(spark):
         ).fetchall()
     }
     assert oracle == bounded
+
+
+def test_incremental_matches_full_lsh_projection(spark, sf_dir):
+    """dedup_incremental's verdicts must be derivable from the FULL
+    LSH pair set: for each new doc (doc_id % NEW_DOC_MOD == 0),
+    dup_of_existing = min existing partner in dedup_minhash_lsh's
+    pairs, dup_of_batch = min SMALLER-id new partner — an independent
+    spelling (full self-join then projection) of the restricted
+    new-vs-index join the implementation runs."""
+    from angelone_clickhouse_spark.operators.dedup import (
+        NEW_DOC_MOD,
+        dedup_incremental,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    partners: dict[int, set[int]] = {}
+    for a, b in pairs:
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+
+    out = {r.doc_id: r for r in dedup_incremental(spark, sf_dir).collect()}
+    new_ids = [d for d in out if d % NEW_DOC_MOD == 0]
+    assert set(out) == set(new_ids)  # only new-batch docs in output
+    assert out, "fixture should contain new-batch docs"
+    for n, row in out.items():
+        ps = partners.get(n, set())
+        exist = {p for p in ps if p % NEW_DOC_MOD != 0}
+        batch = {p for p in ps if p % NEW_DOC_MOD == 0 and p < n}
+        assert row.dup_of_existing == (min(exist) if exist else None), n
+        assert row.dup_of_batch == (min(batch) if batch else None), n
+        assert row.keep == (not exist and not batch), n
