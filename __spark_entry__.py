@@ -32,38 +32,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # their value-parity guarantee via tests/test_full_parity.py at
 # sf0.001 and tools/check_parity.py runs at larger SFs.
 _PRIORITY = [
-    # r8 window: (a) surface changed THIS round — must re-earn rows
-    "dedup_ngram_jaccard",   # bounded collapse + oracle-fn refactor
-    "fuzzy_prefix_pairs",    # bounded collapse port (r8)
-    "doc_containment",       # bounded directed collapse port (r8)
-    "ann_recall_audit",      # production-grade recall setting (r8)
-    "multimodal_features",   # real video decode path (r8)
-    "frame_sample",          # real video decode path (r8)
-    "multimodal_meta",       # Y4M Xlen injectivity param (late r8)
-    "dedup_clusters",        # ngram collapse re-join cut + PPJoin
-                             # length filter (late r8)
-    "image_resize",          # NEW: nearest-neighbor PPM resize (r8)
-    "video_frames",          # NEW: sampled-frame extraction (r8)
-    "audio_features",        # NEW: PCM stats + decimation (r8)
-    "multimodal_gate",       # NEW: cross-modal quality gate (r8)
-    # (a cont.) late-r8 review-pass changes — must re-earn rows
-    "ann_topk_cosine",       # shared _rank_topk tail (late r8)
-    "ann_lsh_topk",          # flip-range guard + _rank_topk (late r8)
-    "ann_topk_quantized",    # _rank_topk (late r8)
-    "ann_topk_fast",         # _rank_topk (late r8)
-    "kmeans_assign",         # = kmeans_refine(1) delegation (late r8)
-    "asof_price_lookup",     # struct carrier NULL semantics (late r8)
-    "twap_hourly",           # NTZ-safe seconds + trunc_ntz (late r8)
-    "vwap_daily",            # _cents helper spelling (late r8)
-    "sequence_pack",         # single cum-sum definition (late r8)
-    "chunk_documents",       # split-once hoist (late r8)
-    "decontaminate_hashed",  # checkpoint_dir threading (late r8)
-    # (b) rotation debt from r6/r7 (rows r4-stale)
+    # r9 window. NOTE: no CORRECTNESS_r08.json was recorded, so the
+    # r8 window earned no driver rows — the r4-stale refresh r8
+    # attempted is still owed, and the r8-new media ops still have no
+    # row at all. This window = (a) surface changed/new THIS round,
+    # (b) the row-less r8-new ops, (c) every remaining r4-stale name.
+    # (a) changed/new in r9 — must (re-)earn rows
+    "stream_dedup_docs",       # NEW: streaming survivor-index dedup
+    "dedup_incremental",       # NEW: batch-vs-corpus dedup
+    "dedup_ngram_jaccard",     # positional filter + 2-stage verify
+    "dedup_clusters",          # same core + new CC convergence probe
+    "dedup_minhash_lsh",       # _band_keys/_est_sim refactor
+    "dedup_clusters_minhash",  # CC convergence probe
+    "dedup_survivors",         # CC convergence probe
+    # (b) r8-new ops that never got a driver row
+    "audio_features",
+    "image_resize",
+    "multimodal_gate",
+    "video_frames",
+    # (c) the r4-stale refresh (rows last green in r4)
     "sessionize_events",
     "tokens_by_exchange",
-    # (c) the stalest r4-or-older driver rows that still fit in 50
     "q2_daily_stats",
+    "q3_recency_check",
+    "q4_latest_prices",
     "q6_volume_profile",
+    "q7_sample",
     "enrich_tokens_join",
     "unknown_exchange_tokens",
     "pricing_summary",
@@ -72,6 +66,9 @@ _PRIORITY = [
     "revenue_by_nation",
     "top_customers",
     "customer_order_ranks",
+    "customer_balance_quartiles",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
     "orders_above_nation_avg",
     "shipping_priority",
     "late_shipment_priorities",
@@ -84,20 +81,20 @@ _PRIORITY = [
     "disjunctive_revenue",
     "supplier_late_blame",
     "kmeans_refine",
-    "ann_ivf_topk",
+    "trailing_activity_range",
+    "event_type_pivot",
+    "event_type_unpivot",
+    "union_nationkeys",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_stats",
     "text_tokenize_regex",
-    # (d) filler to 50: the flagship
-    "q5_daily_ohlcv",
-    # next round: finish the r4-stale refresh displaced by this
-    # round's changed-code entries (q3_recency_check,
-    # q4_latest_prices, q7_sample, trailing_activity_range,
-    # event_type_unpivot, event_type_pivot, union_nationkeys,
-    # customers_without_orders, customers_with_urgent_orders,
-    # customer_balance_quartiles, text_token_stats, text_quality,
-    # text_lang_stats, distinct_tokens_approx), then the r5-stale
-    # refresh
-    # (dedup_clusters_minhash, dedup_survivors, decontaminate_ngrams,
-    # q1_latest_tick, q8_token_stats, forecast_revenue, ...)
+    "distinct_tokens_approx",
+    # next round: ann_ivf_topk (last r4 name, displaced), then the
+    # r5-stale refresh (ann_topk_quantized, chunk_documents,
+    # customer_order_distribution, decode_ticks,
+    # decode_ticks_enriched, decontaminate_*, dedup_embedding_fast,
+    # distinct_users_hll/theta, doc_bigram_logprob, ...)
 ]
 
 
@@ -134,6 +131,7 @@ def _registries():
         "angelone_clickhouse_spark.sql",
         "angelone_clickhouse_spark.sources.token_config",
         "angelone_clickhouse_spark.streaming.batch_equiv",
+        "angelone_clickhouse_spark.streaming.docdedup",
         "angelone_clickhouse_spark.streaming.stream_join",
         "angelone_clickhouse_spark.streaming.sessions",
     ):

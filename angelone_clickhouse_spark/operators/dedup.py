@@ -535,11 +535,36 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(new x bucket collision), independent of corpus pair count."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs).localCheckpoint(eager=True)
-    bands = _band_keys(sig).withColumn(
-        "is_new", (F.col("doc_id") % NEW_DOC_MOD) == 0
+    is_new = (F.col("doc_id") % NEW_DOC_MOD) == 0
+    matches = _incremental_verdicts(sig.filter(is_new), sig.filter(~is_new))
+    newdocs = docs.filter(is_new).select("doc_id")
+    return newdocs.join(matches, "doc_id", "left").select(
+        "doc_id",
+        "dup_of_existing",
+        "dup_of_batch",
+        (
+            F.col("dup_of_existing").isNull()
+            & F.col("dup_of_batch").isNull()
+        ).alias("keep"),
     )
-    a = bands.filter(F.col("is_new")).alias("a")
-    b = bands.alias("b")
+
+
+def _incremental_verdicts(
+    new_sig: DataFrame, index_sig: DataFrame
+) -> DataFrame:
+    """(doc_id, dup_of_existing, dup_of_batch) for every row of
+    ``new_sig`` that has at least one qualifying match against the
+    index or a smaller-id new row — the shared pair-generation core
+    of :func:`dedup_incremental` (mod-split fixture) and the
+    streaming document gate (per-epoch batch vs survivor index).
+
+    Preconditions: both frames carry (doc_id, h0..h{N-1}) with
+    DISJOINT doc_id spaces. No existing-vs-existing candidate is
+    generated: the probe side of the band join is new rows only."""
+    bn = _band_keys(new_sig).withColumn("is_new", F.lit(True))
+    bi = _band_keys(index_sig).withColumn("is_new", F.lit(False))
+    a = bn.alias("a")
+    b = bn.unionByName(bi).alias("b")
     cand = (
         a.join(
             b,
@@ -555,9 +580,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    allsig = new_sig.unionByName(index_sig)
     verified = (
-        cand.join(sig.alias("sa"), cand.doc_id == F.col("sa.doc_id"))
-        .join(sig.alias("sb"), cand.other_id == F.col("sb.doc_id"))
+        cand.join(allsig.alias("sa"), cand.doc_id == F.col("sa.doc_id"))
+        .join(allsig.alias("sb"), cand.other_id == F.col("sb.doc_id"))
         .select(
             cand.doc_id,
             "other_id",
@@ -566,25 +592,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("est") >= JACCARD_THRESHOLD)
     )
-    matches = verified.groupBy("doc_id").agg(
+    return verified.groupBy("doc_id").agg(
         F.min(F.when(~F.col("other_new"), F.col("other_id"))).alias(
             "dup_of_existing"
         ),
         F.min(F.when(F.col("other_new"), F.col("other_id"))).alias(
             "dup_of_batch"
         ),
-    )
-    newdocs = docs.filter((F.col("doc_id") % NEW_DOC_MOD) == 0).select(
-        "doc_id"
-    )
-    return newdocs.join(matches, "doc_id", "left").select(
-        "doc_id",
-        "dup_of_existing",
-        "dup_of_batch",
-        (
-            F.col("dup_of_existing").isNull()
-            & F.col("dup_of_batch").isNull()
-        ).alias("keep"),
     )
 
 

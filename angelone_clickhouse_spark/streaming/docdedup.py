@@ -1,0 +1,309 @@
+"""Streaming near-duplicate document gate: micro-batches of documents
+are cleared against a persisted SURVIVOR signature index, and only
+kept documents' signatures join the index.
+
+This is the streaming twin of ``operators/dedup.dedup_incremental``
+— the shape a production training-data pipeline actually runs: each
+arriving batch (a crawl shard, an ingest epoch) is deduplicated
+against everything kept so far WITHOUT ever re-pairing the corpus,
+then the survivors extend the index for the next batch. The
+reference has no dedup at all (it re-inserts duplicate WebSocket
+frames — SURVEY §2.3 streaming-dedup row; main.go's insert path has
+no existence check), so like the rest of the dedup ladder this is a
+north-star extension.
+
+Semantics per epoch (MinHash-estimated, same threshold as
+``dedup_minhash_lsh``):
+
+* ``dup_of_index``  — smallest indexed (kept-earlier) doc_id whose
+  signature similarity clears the threshold (NULL if none).
+* ``dup_of_batch``  — smallest SMALLER-id doc in the SAME epoch that
+  clears it, kept or not (the one-pass within-batch rule of
+  ``dedup_incremental``).
+* ``keep``          — both NULL. Only kept docs' signatures are
+  appended to the index: a doc whose only match was itself dropped
+  is still kept the next time something like it arrives.
+
+Crash/retry contract (foreachBatch is AT-LEAST-ONCE): both sinks are
+epoch-prefixed flat parquet appends following ingest.py's
+``_commit_epoch_files`` device — a retried epoch first SWEEPS its own
+``e{epoch}-`` files from BOTH the verdict dir and the index dir, so
+the index read never sees a crashed attempt's partial append and the
+recomputation is bit-deterministic (MinHash is a pure function of the
+text). At cluster scale the same contract comes from a committing
+table format (Delta/Iceberg).
+
+Scale notes: the index is only ever probed through its band keys
+(shuffle bounded by band-bucket collisions, probe side is the small
+epoch), and grows by at most one row per kept doc. At 100 TB the
+index is a bucketed table on band_key; everything else is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.operators.dedup import (
+    N_MINHASH,
+    _incremental_verdicts,
+    minhash_signatures,
+)
+
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+SIG_SCHEMA = "doc_id long, " + ", ".join(
+    f"h{i} long" for i in range(N_MINHASH)
+)
+
+# registry-entry replay layout: documents split into this many epoch
+# files by doc_id % N_STREAM_EPOCHS, replayed in epoch order
+N_STREAM_EPOCHS = 4
+
+
+def _sweep_prefix(out_dir: str, prefix: str) -> None:
+    """Delete a crashed earlier attempt's files for this epoch."""
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith(prefix):
+                os.remove(os.path.join(out_dir, name))
+
+
+def _commit_epoch_flat(df: DataFrame, out_dir: str, epoch_id: int) -> None:
+    """Stage ``df`` with a normal parquet write, then move its part
+    files into the flat dataset under the epoch prefix — ingest.py's
+    committer without the date partitioning (these outputs are small:
+    one verdict row per doc, one index row per kept doc)."""
+    staging = os.path.join(out_dir + ".stage", f"epoch-{epoch_id}")
+    shutil.rmtree(staging, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(staging):
+        if name.startswith("part-"):
+            os.rename(
+                os.path.join(staging, name),
+                os.path.join(out_dir, f"e{epoch_id}-" + name),
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _read_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The survivor signature index, or an empty frame before the
+    first epoch commits."""
+    if os.path.isdir(index_dir) and any(
+        n.endswith(".parquet") or n.startswith("e")
+        for n in os.listdir(index_dir)
+    ):
+        return spark.read.schema(SIG_SCHEMA).parquet(index_dir)
+    return spark.createDataFrame([], SIG_SCHEMA)
+
+
+def dedup_epoch(
+    batch_docs: DataFrame, index_sig: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One epoch of the gate as a pure frame-in/frame-out function
+    (directly testable; the foreachBatch writer is plumbing around
+    it): returns (verdicts, kept_signatures).
+
+    Docs under 3 words have an empty shingle set, hence no signature
+    row: they are trivially kept and contribute nothing to the index
+    — consistent, since an empty set can never clear the threshold
+    against anything."""
+    sig = minhash_signatures(batch_docs).localCheckpoint(eager=True)
+    m = _incremental_verdicts(sig, index_sig)
+    verdicts = (
+        batch_docs.select("doc_id")
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of_existing").alias("dup_of_index"),
+            "dup_of_batch",
+            (
+                F.col("dup_of_existing").isNull()
+                & F.col("dup_of_batch").isNull()
+            ).alias("keep"),
+        )
+    )
+    kept_sig = sig.join(
+        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    return verdicts, kept_sig
+
+
+def make_docdedup_epoch_writer(out_dir: str, index_dir: str):
+    """The foreachBatch function: sweep this epoch's files from both
+    sinks (retry idempotence), read the index WITHOUT them, compute,
+    commit verdicts then kept signatures."""
+
+    def write_epoch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        _sweep_prefix(out_dir, f"e{epoch_id}-")
+        _sweep_prefix(index_dir, f"e{epoch_id}-")
+        index_sig = _read_index(spark, index_dir)
+        verdicts, kept_sig = dedup_epoch(batch, index_sig)
+        verdicts = verdicts.localCheckpoint(eager=True)
+        _commit_epoch_flat(verdicts, out_dir, epoch_id)
+        _commit_epoch_flat(kept_sig, index_dir, epoch_id)
+
+    return write_epoch
+
+
+def dedup_docs_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    timeout_s: int = 600,
+) -> None:
+    """Run the gate over a document file stream to completion
+    (availableNow). ``max_files_per_trigger=1`` makes each replay
+    file one epoch; files are picked up in modification-time order
+    (see ingest.py's operational note — the replay writer stamps
+    spaced mtimes for exactly this reason)."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_docdedup_epoch_writer(out_dir, index_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def write_epoch_replay(
+    spark: SparkSession, sf_dir: str, docs_dir: str
+) -> None:
+    """Split the documents table into N_STREAM_EPOCHS single-file
+    epochs (epoch = doc_id % N_STREAM_EPOCHS) with strictly
+    increasing mtimes, so the file source replays them in epoch
+    order."""
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    os.makedirs(docs_dir, exist_ok=True)
+    base = 1_000_000_000  # fixed epoch-seconds base: deterministic order
+    for k in range(N_STREAM_EPOCHS):
+        staging = os.path.join(docs_dir + ".stage", f"epoch-{k}")
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            docs.filter((F.col("doc_id") % N_STREAM_EPOCHS) == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        part = [n for n in os.listdir(staging) if n.startswith("part-")][0]
+        dst = os.path.join(docs_dir, f"epoch-{k}.parquet")
+        os.rename(os.path.join(staging, part), dst)
+        os.utime(dst, (base + 10 * k, base + 10 * k))
+        shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(docs_dir + ".stage", ignore_errors=True)
+
+
+# one replay dir per sf_dir: building it is harness setup, not
+# operator work (bench runs each query multiple times); the streaming
+# job itself re-runs in full on every call with fresh sinks
+_REPLAY_CACHE: dict[str, str] = {}
+
+
+def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible face of the streaming gate: replay the
+    documents table in N_STREAM_EPOCHS epochs through the survivor-
+    index dedup stream and return every epoch's verdicts. The DuckDB
+    oracle unrolls the same epoch sequence as chained CTEs (epoch k
+    matches kept docs of epochs < k plus smaller ids of epoch k), so
+    a green row proves the stream's cumulative index state exact."""
+    docs_dir = _REPLAY_CACHE.get(sf_dir)
+    if docs_dir is None:
+        docs_dir = os.path.join(
+            tempfile.mkdtemp(prefix="stream_dedup_docs_"), "in"
+        )
+        write_epoch_replay(spark, sf_dir, docs_dir)
+        _REPLAY_CACHE[sf_dir] = docs_dir
+    work = tempfile.mkdtemp(prefix="stream_dedup_docs_run_")
+    out_dir = os.path.join(work, "verdicts")
+    index_dir = os.path.join(work, "index")
+    dedup_docs_stream(
+        spark, docs_dir, out_dir, index_dir, os.path.join(work, "ckpt")
+    )
+    return spark.read.schema(
+        "doc_id long, dup_of_index long, dup_of_batch long, keep boolean"
+    ).parquet(out_dir)
+
+
+def _stream_oracle_sql() -> str:
+    """DuckDB twin of :func:`stream_dedup_docs`: the shared
+    w/sh/sig/bands CTEs of the LSH oracle, then one (m_k, v_k,
+    kept_k) CTE triple per epoch — epoch k's candidates come from
+    kept docs of earlier epochs plus smaller-id docs of epoch k,
+    exactly the stream's survivor-index semantics."""
+    from angelone_clickhouse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _minhash_oracle_sql,
+    )
+
+    lsh = _minhash_oracle_sql()
+    prefix = lsh[: lsh.index("cand AS (")]
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    )
+    ne = N_STREAM_EPOCHS
+    blocks = []
+    for k in range(ne):
+        index_arm = (
+            f"OR (bb.doc_id % {ne} < {k} "
+            f"AND bb.doc_id IN (SELECT doc_id FROM kept{k - 1}))"
+            if k > 0
+            else ""
+        )
+        blocks.append(
+            f"""m{k} AS (
+  SELECT c.doc_id,
+         min(CASE WHEN NOT c.src_new THEN c.b_id END) AS dup_of_index,
+         min(CASE WHEN c.src_new THEN c.b_id END) AS dup_of_batch
+  FROM (
+    SELECT DISTINCT ba.doc_id, bb.doc_id AS b_id,
+           (bb.doc_id % {ne} = {k}) AS src_new
+    FROM bands ba
+    JOIN bands bb ON ba.band = bb.band AND ba.band_key = bb.band_key
+               AND ba.doc_id <> bb.doc_id
+    WHERE ba.doc_id % {ne} = {k}
+      AND ((bb.doc_id % {ne} = {k} AND bb.doc_id < ba.doc_id)
+           {index_arm})
+  ) c
+  JOIN sig sa ON sa.doc_id = c.doc_id
+  JOIN sig sb ON sb.doc_id = c.b_id
+  WHERE round(({matches}) / {float(N_MINHASH)}, 4) >= {JACCARD_THRESHOLD}
+  GROUP BY c.doc_id
+),
+v{k} AS (
+  SELECT d.doc_id, m.dup_of_index, m.dup_of_batch,
+         (m.dup_of_index IS NULL AND m.dup_of_batch IS NULL) AS keep
+  FROM documents d LEFT JOIN m{k} m USING (doc_id)
+  WHERE d.doc_id % {ne} = {k}
+),
+kept{k} AS (
+  SELECT doc_id FROM v{k} WHERE keep{"" if k == 0 else f'''
+  UNION ALL
+  SELECT doc_id FROM kept{k - 1}'''}
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM v{k}" for k in range(ne))
+    return prefix + ",\n".join(blocks) + "\n" + union
+
+
+QUERIES = {"stream_dedup_docs": stream_dedup_docs}
+ORACLES = {"stream_dedup_docs": _stream_oracle_sql()}
