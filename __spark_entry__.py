@@ -38,6 +38,9 @@ _PRIORITY = [
     # row at all. This window = (a) surface changed/new THIS round,
     # (b) the row-less r8-new ops, (c) every remaining r4-stale name.
     # (a) changed/new in r9 — must (re-)earn rows
+    "tfidf_top_terms",         # NEW: per-doc tf-idf keyword extraction
+    "shard_plan",              # NEW: deterministic shuffle/shard layout
+    "source_mixture_weights",  # NEW: capped source mixture reweighting
     "stream_dedup_docs",       # NEW: streaming survivor-index dedup
     "dedup_incremental",       # NEW: batch-vs-corpus dedup
     "dedup_ngram_jaccard",     # positional filter + 2-stage verify
@@ -123,6 +126,7 @@ def _registries():
         "angelone_clickhouse_spark.operators.skew",
         "angelone_clickhouse_spark.operators.pipeline",
         "angelone_clickhouse_spark.operators.curation",
+        "angelone_clickhouse_spark.operators.mixing",
         "angelone_clickhouse_spark.operators.timeseries",
         "angelone_clickhouse_spark.operators.asof",
         "angelone_clickhouse_spark.operators.finance",

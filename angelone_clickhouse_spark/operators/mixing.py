@@ -1,0 +1,281 @@
+"""Dataset-assembly operators over the ``documents`` table: per-doc
+TF-IDF keyword extraction, deterministic shuffle/shard planning, and
+capped source-mixture reweighting.
+
+These are the last-mile steps a training-data pipeline runs AFTER
+dedup/curation (operators/dedup.py, curation.py, pipeline.py): pick
+the per-domain mixture, lay the kept documents out into shards in a
+reproducible pseudo-random order, and attach lightweight relevance
+metadata. The reference engine has none of these (its pipeline ends
+at ClickHouse inserts — main.go's insert path, SURVEY §2.3 capability
+gaps); like the rest of the LLM-pipeline ladder they are north-star
+extensions, shaped after public practice (C4/Gopher-style mixtures,
+DoReMi-style domain reweighting in its static capped form, tf-idf as
+in any IR textbook).
+
+All three are pure built-in-function DataFrame plans with full DuckDB
+value oracles. Determinism policy follows the repo convention:
+integer arithmetic and md5 bucketing wherever a value feeds a
+comparison or a rank; the single IEEE step in tf-idf (an integer
+times one log10 of an exact integer ratio) is bit-identical
+cross-engine and rounded to 6 decimals before the rank, with a token
+tie-break, so ordering can never diverge on ulp noise (same device as
+curation.doc_unigram_logprob).
+
+Scale notes (100 TB):
+- tfidf_top_terms: tf is a (doc_id, token) groupBy and df a token
+  groupBy — both partial-aggregate before shuffling; the doc-count
+  scalar broadcasts; the token->df join shuffles |vocab|-bounded
+  partials, and the final top-k per doc is a bounded window over
+  (doc_id, token) aggregates, never raw tokens.
+- shard_plan: the only shuffle is the repartition-by-shard that a
+  real writer needs anyway; within-shard order is a window over the
+  md5 key, i.e. each shard sorts locally after the exchange. No RNG
+  coordination, bit-reproducible on rerun — resuming a crashed
+  shard-writing job reproduces byte-identical shards.
+- source_mixture_weights: per-source token counts are computed from
+  each row's own token-array size (no explode); everything after the
+  groupBy is arithmetic over |sources| rows with two broadcast
+  scalars. This is the op whose OUTPUT drives the sampler, so it
+  being exact integer milli/micro units means two engines (or two
+  runs) can never disagree on a sampling plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from angelone_clickhouse_spark.sources.tables import load_table
+
+TFIDF_TOP_K = 5  # terms kept per document
+
+N_SHARDS = 8  # shard_plan fan-out
+
+# source_mixture_weights: cap any one source at this share (milli
+# units of the corpus token total) before renormalizing — the static
+# capped-proportion mixture (C4-style "no domain dominates" rule; the
+# sf fixtures' 20 sources spread 42-57 milli, so 50 splits them
+# non-degenerately: heavy sources bind at the cap, light ones keep
+# their natural share).
+MIX_CAP_MILLI = 50
+SAMPLE_BUDGET_DOCS = 10_000  # turn weights into a per-source doc budget
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP_K`` terms per document by tf-idf.
+
+    score = tf * log10(N / df), with tf the in-doc term count, df the
+    number of documents containing the term, N the corpus size.
+    Rounded to 6 decimals BEFORE ranking (token ascending breaks
+    ties), so the rank is deterministic cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log10(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "df", "score", "rnk")
+    )
+
+
+def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard layout: every document
+    gets a content-free md5 order key, a shard (key mod N_SHARDS) and
+    its position within the shard — the exact layout a shard writer
+    materializes before training. Reproducible with no RNG state
+    (same md5-bucket device as curation.dataset_split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+        ).alias("hkey"),
+    ).select(
+        "doc_id",
+        "hkey",
+        (
+            F.expr(
+                "cast(conv(substring(hkey, 1, 15), 16, 10) as bigint)"
+            )
+            % N_SHARDS
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        "hkey",
+    )
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-proportion source mixture: per-source token share in
+    milli units, capped at MIX_CAP_MILLI, renormalized to micro-unit
+    sampling weights, and turned into a per-source document budget.
+    Integer division end-to-end — the plan two runs produce can never
+    differ by a ulp."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("tot_tokens"))
+    shared = (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(1000 * n_tokens) div tot_tokens").alias(
+                "share_milli"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "share_milli",
+            F.least(
+                F.col("share_milli"), F.lit(MIX_CAP_MILLI).cast("bigint")
+            ).alias("capped_milli"),
+        )
+    )
+    capped_tot = shared.agg(
+        F.sum("capped_milli").alias("tot_capped")
+    )
+    return (
+        shared.crossJoin(F.broadcast(capped_tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "share_milli",
+            (F.col("share_milli") > MIX_CAP_MILLI).alias("capped"),
+            F.expr("(1000000 * capped_milli) div tot_capped").alias(
+                "weight_micro"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "share_milli",
+            "capped",
+            "weight_micro",
+            F.expr(
+                f"(weight_micro * {SAMPLE_BUDGET_DOCS}) div 1000000"
+            ).alias("budget_docs"),
+        )
+    )
+
+
+QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
+    "shard_plan": shard_plan,
+    "source_mixture_weights": source_mixture_weights,
+}
+
+ORACLES = {
+    "tfidf_top_terms": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         round(tf.tf * log10(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+           AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, score, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token ASC
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TFIDF_TOP_K}
+""",
+    "shard_plan": f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('shard:' || CAST(doc_id AS VARCHAR)) AS hkey
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, hkey,
+         ('0x' || substring(hkey, 1, 15))::BIGINT % {N_SHARDS} AS shard
+  FROM keyed
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY hkey
+       ) AS INTEGER) AS pos,
+       hkey
+FROM sharded
+""",
+    "source_mixture_weights": f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS tot_tokens FROM per_src),
+shared AS (
+  SELECT source, n_docs, n_tokens,
+         (1000 * n_tokens) // tot_tokens AS share_milli
+  FROM per_src CROSS JOIN tot
+),
+capped AS (
+  SELECT *, least(share_milli, {MIX_CAP_MILLI}) AS capped_milli
+  FROM shared
+),
+ctot AS (SELECT sum(capped_milli) AS tot_capped FROM capped)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(share_milli AS BIGINT) AS share_milli,
+       share_milli > {MIX_CAP_MILLI} AS capped,
+       CAST((1000000 * capped_milli) // tot_capped AS BIGINT)
+         AS weight_micro,
+       CAST(((1000000 * capped_milli) // tot_capped)
+            * {SAMPLE_BUDGET_DOCS} // 1000000 AS BIGINT) AS budget_docs
+FROM capped CROSS JOIN ctot
+""",
+}

@@ -1,0 +1,135 @@
+"""Value-level tests for operators/mixing.py (dataset assembly:
+tf-idf keywords, shard layout, source mixture). The DuckDB oracle
+covers cross-engine parity; these pin the semantics against plain
+Python and the invariants a consumer (shard writer / sampler) relies
+on."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.operators.mixing import (
+    MIX_CAP_MILLI,
+    N_SHARDS,
+    SAMPLE_BUDGET_DOCS,
+    TFIDF_TOP_K,
+    shard_plan,
+    source_mixture_weights,
+    tfidf_top_terms,
+)
+from tests.conftest import SF_CORRECT
+
+
+def _load_docs(spark):
+    return {
+        r.doc_id: r
+        for r in spark.read.parquet(
+            f"{SF_CORRECT}/documents.parquet"
+        ).collect()
+    }
+
+
+def test_tfidf_matches_python_reference(spark):
+    """Brute-force tf/df/score and the top-k selection for a handful
+    of docs."""
+    docs = _load_docs(spark)
+    n_docs = len(docs)
+    df_counter = Counter()
+    for r in docs.values():
+        df_counter.update(set(r.text.split(" ")))
+    got = (
+        tfidf_top_terms(spark, SF_CORRECT)
+        .filter(F.col("doc_id") < 5)
+        .collect()
+    )
+    by_doc = {}
+    for row in got:
+        by_doc.setdefault(row.doc_id, []).append(row)
+    for doc_id, rows in by_doc.items():
+        toks = docs[doc_id].text.split(" ")
+        tf_counter = Counter(toks)
+        scored = sorted(
+            (
+                (
+                    round(
+                        tf * math.log10(n_docs / df_counter[t]), 6
+                    ),
+                    t,
+                )
+                for t, tf in tf_counter.items()
+            ),
+            key=lambda st: (-st[0], st[1]),
+        )
+        expect = scored[:TFIDF_TOP_K]
+        rows.sort(key=lambda r: r.rnk)
+        assert len(rows) == min(TFIDF_TOP_K, len(tf_counter))
+        for rank, (row, (score, term)) in enumerate(
+            zip(rows, expect), start=1
+        ):
+            assert row.rnk == rank
+            assert row.token == term
+            assert row.tf == tf_counter[term]
+            assert row.df == df_counter[term]
+            assert row.score == score
+
+
+def test_shard_plan_partitions_the_corpus(spark):
+    rows = shard_plan(spark, SF_CORRECT).collect()
+    docs = _load_docs(spark)
+    assert sorted(r.doc_id for r in rows) == sorted(docs)
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.shard < N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r)
+    # every shard populated and within 3x of uniform at n=500
+    assert len(by_shard) == N_SHARDS
+    for shard, members in by_shard.items():
+        assert len(members) < 3 * len(rows) / N_SHARDS
+        # positions are contiguous 1..n in hkey order
+        members.sort(key=lambda r: r.pos)
+        assert [m.pos for m in members] == list(
+            range(1, len(members) + 1)
+        )
+        assert [m.hkey for m in members] == sorted(
+            m.hkey for m in members
+        )
+
+
+def test_shard_plan_deterministic(spark):
+    a = {r.doc_id: (r.shard, r.pos) for r in shard_plan(spark, SF_CORRECT).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in shard_plan(spark, SF_CORRECT).collect()}
+    assert a == b
+
+
+def test_mixture_weights_match_python_reference(spark):
+    docs = _load_docs(spark)
+    n_toks = Counter()
+    n_docs = Counter()
+    for r in docs.values():
+        n_toks[r.source] += len(r.text.split(" "))
+        n_docs[r.source] += 1
+    tot = sum(n_toks.values())
+    share = {s: 1000 * c // tot for s, c in n_toks.items()}
+    capped = {s: min(v, MIX_CAP_MILLI) for s, v in share.items()}
+    tot_capped = sum(capped.values())
+    rows = source_mixture_weights(spark, SF_CORRECT).collect()
+    assert len(rows) == len(n_toks)
+    for r in rows:
+        assert r.n_docs == n_docs[r.source]
+        assert r.n_tokens == n_toks[r.source]
+        assert r.share_milli == share[r.source]
+        assert r.capped == (share[r.source] > MIX_CAP_MILLI)
+        w = 1_000_000 * capped[r.source] // tot_capped
+        assert r.weight_micro == w
+        assert r.budget_docs == w * SAMPLE_BUDGET_DOCS // 1_000_000
+    # the cap must actually bind on the fixture (non-degenerate test)
+    assert any(r.capped for r in rows)
+    assert not all(r.capped for r in rows)
+    # a sampler can trust the plan: weights sum to <= 1 and within
+    # one rounding ulp per source of exactly 1
+    total_w = sum(r.weight_micro for r in rows)
+    assert 1_000_000 - len(rows) < total_w <= 1_000_000
+    assert sum(r.budget_docs for r in rows) <= SAMPLE_BUDGET_DOCS
