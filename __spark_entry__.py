@@ -41,6 +41,7 @@ _PRIORITY = [
     "tfidf_top_terms",         # NEW: per-doc tf-idf keyword extraction
     "shard_plan",              # NEW: deterministic shuffle/shard layout
     "source_mixture_weights",  # NEW: capped source mixture reweighting
+    "novelty_ngram_rate",      # NEW: arrival-order n-gram novelty
     "stream_dedup_docs",       # NEW: streaming survivor-index dedup
     "dedup_incremental",       # NEW: batch-vs-corpus dedup
     "dedup_ngram_jaccard",     # positional filter + 2-stage verify

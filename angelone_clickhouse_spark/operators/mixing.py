@@ -13,7 +13,8 @@ extensions, shaped after public practice (C4/Gopher-style mixtures,
 DoReMi-style domain reweighting in its static capped form, tf-idf as
 in any IR textbook).
 
-All three are pure built-in-function DataFrame plans with full DuckDB
+All four ops (the three above plus the arrival-order n-gram novelty
+score) are pure built-in-function DataFrame plans with full DuckDB
 value oracles. Determinism policy follows the repo convention:
 integer arithmetic and md5 bucketing wherever a value feeds a
 comparison or a rank; the single IEEE step in tf-idf (an integer
@@ -39,6 +40,8 @@ Scale notes (100 TB):
   scalars. This is the op whose OUTPUT drives the sampler, so it
   being exact integer milli/micro units means two engines (or two
   runs) can never disagree on a sampling plan.
+- novelty_ngram_rate: see its docstring (span_dedup_corpus's shuffle
+  profile with an in-row dedupe before the explode).
 """
 
 from __future__ import annotations
@@ -61,6 +64,8 @@ N_SHARDS = 8  # shard_plan fan-out
 # their natural share).
 MIX_CAP_MILLI = 50
 SAMPLE_BUDGET_DOCS = 10_000  # turn weights into a per-source doc budget
+
+NOVELTY_N = 3  # word n-gram width for novelty_ngram_rate
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,13 +202,96 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def novelty_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content novelty under arrival order (doc_id, the
+    repo-wide "smaller id came first" convention shared with
+    dedup_incremental): the fraction of a doc's DISTINCT word
+    ``NOVELTY_N``-grams that no smaller-id document contains. The
+    data-pruning / curriculum signal — a doc that only restates
+    already-seen n-grams scores 0, a doc of entirely new content
+    scores 1000 (exact milli units).
+
+    Scale notes (100 TB): gram construction is row-local
+    (transform over the doc's own word array, map-side, deduped
+    in-row before the explode); the first-seen table is a min()
+    aggregate keyed on gram content — map-side partials shuffle once,
+    boilerplate-gram skew is AQE's skew-join case exactly as in
+    span_dedup_corpus; the gram->first join reuses the same key; the
+    final rollup shuffles on doc_id. No window over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = ", ".join(f"w[i+{k}]" for k in range(NOVELTY_N))
+    grams = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(w) >= {NOVELTY_N} THEN"
+            f" array_distinct(transform(sequence(0, size(w) - {NOVELTY_N}),"
+            f"                          i -> concat_ws(' ', {idx})))"
+            f" ELSE CAST(array() AS ARRAY<STRING>) END"
+        ).alias("g"),
+    )
+    dg = grams.select("doc_id", F.explode("g").alias("gram"))
+    first = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        dg.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.expr(
+                "CASE WHEN n_grams > 0 THEN (1000 * n_novel) div n_grams"
+                " END"
+            ).alias("novelty_milli"),
+        )
+    )
+
+
+def _novelty_oracle_sql() -> str:
+    from angelone_clickhouse_spark.operators.curation import _gram_sql
+
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, gram
+  FROM d, UNNEST({_gram_sql(NOVELTY_N)}) AS t(gram)
+),
+first AS (SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram),
+per AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM dg JOIN first USING (gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN n_grams > 0 THEN (1000 * n_novel) // n_grams END
+            AS BIGINT) AS novelty_milli
+FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "shard_plan": shard_plan,
     "source_mixture_weights": source_mixture_weights,
+    "novelty_ngram_rate": novelty_ngram_rate,
 }
 
 ORACLES = {
+    "novelty_ngram_rate": _novelty_oracle_sql(),
     "tfidf_top_terms": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents

@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 from angelone_clickhouse_spark.operators.mixing import (
     MIX_CAP_MILLI,
     N_SHARDS,
+    NOVELTY_N,
     SAMPLE_BUDGET_DOCS,
     TFIDF_TOP_K,
+    novelty_ngram_rate,
     shard_plan,
     source_mixture_weights,
     tfidf_top_terms,
@@ -133,3 +135,37 @@ def test_mixture_weights_match_python_reference(spark):
     total_w = sum(r.weight_micro for r in rows)
     assert 1_000_000 - len(rows) < total_w <= 1_000_000
     assert sum(r.budget_docs for r in rows) <= SAMPLE_BUDGET_DOCS
+
+
+def test_novelty_matches_python_reference(spark):
+    """Brute-force the arrival-order first-seen computation over the
+    whole fixture corpus."""
+    docs = _load_docs(spark)
+    first_seen = {}
+    expect = {}
+    for doc_id in sorted(docs):
+        w = docs[doc_id].text.split(" ")
+        grams = (
+            {
+                " ".join(w[i : i + NOVELTY_N])
+                for i in range(len(w) - NOVELTY_N + 1)
+            }
+            if len(w) >= NOVELTY_N
+            else set()
+        )
+        novel = sum(1 for g in grams if g not in first_seen)
+        for g in grams:
+            first_seen.setdefault(g, doc_id)
+        expect[doc_id] = (
+            len(grams),
+            novel,
+            1000 * novel // len(grams) if grams else None,
+        )
+    rows = novelty_ngram_rate(spark, SF_CORRECT).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert (r.n_grams, r.n_novel, r.novelty_milli) == expect[r.doc_id]
+    # the fixture must exercise both ends non-degenerately: the first
+    # doc is all-novel, later docs mostly restate the tiny vocabulary
+    assert expect[min(docs)][2] == 1000
+    assert any(v[2] is not None and v[2] < 1000 for v in expect.values())
