@@ -42,6 +42,9 @@ _PRIORITY = [
     "shard_plan",              # NEW: deterministic shuffle/shard layout
     "source_mixture_weights",  # NEW: capped source mixture reweighting
     "novelty_ngram_rate",      # NEW: arrival-order n-gram novelty
+    "mixture_sample",          # NEW: two-phase exact mixture sampler
+    "bpe_merge_pairs",         # NEW: BPE merge-pair statistics
+    "vocab_oov_rate",          # NEW: OOV rate vs top-k vocabulary
     "stream_dedup_docs",       # NEW: streaming survivor-index dedup
     "dedup_incremental",       # NEW: batch-vs-corpus dedup
     "dedup_ngram_jaccard",     # positional filter + 2-stage verify
@@ -87,16 +90,13 @@ _PRIORITY = [
     "kmeans_refine",
     "trailing_activity_range",
     "event_type_pivot",
-    "event_type_unpivot",
-    "union_nationkeys",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_stats",
-    "text_tokenize_regex",
-    "distinct_tokens_approx",
-    # next round: ann_ivf_topk (last r4 name, displaced), then the
-    # r5-stale refresh (ann_topk_quantized, chunk_documents,
-    # customer_order_distribution, decode_ticks,
+    # exactly 50 entries above — the driver gate stops there. Next
+    # round: the r4-stale names displaced by this round's new ops
+    # (event_type_unpivot, union_nationkeys, text_token_stats,
+    # text_quality, text_lang_stats, text_tokenize_regex,
+    # distinct_tokens_approx, ann_ivf_topk), then the r5-stale
+    # refresh (ann_topk_quantized,
+    # chunk_documents, customer_order_distribution, decode_ticks,
     # decode_ticks_enriched, decontaminate_*, dedup_embedding_fast,
     # distinct_users_hll/theta, doc_bigram_logprob, ...)
 ]
@@ -128,6 +128,7 @@ def _registries():
         "angelone_clickhouse_spark.operators.pipeline",
         "angelone_clickhouse_spark.operators.curation",
         "angelone_clickhouse_spark.operators.mixing",
+        "angelone_clickhouse_spark.operators.vocab",
         "angelone_clickhouse_spark.operators.timeseries",
         "angelone_clickhouse_spark.operators.asof",
         "angelone_clickhouse_spark.operators.finance",

@@ -67,6 +67,11 @@ SAMPLE_BUDGET_DOCS = 10_000  # turn weights into a per-source doc budget
 
 NOVELTY_N = 3  # word n-gram width for novelty_ngram_rate
 
+# mixture_sample: corpus fraction distributed across sources by
+# weight_micro (milli units), and the stage-1 salt fan-out
+MIXTURE_SAMPLE_FRAC_MILLI = 250
+SAMPLE_SALT = 4
+
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``TFIDF_TOP_K`` terms per document by tf-idf.
@@ -202,6 +207,58 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the mixture: the deterministic per-source document
+    sample that :func:`source_mixture_weights` budgets. Each source
+    contributes its weight_micro share of a corpus-fraction target
+    (``MIXTURE_SAMPLE_FRAC_MILLI`` milli of total docs), selected by
+    md5 order — exact per-source top-k, no RNG state, so two runs (or
+    two engines) materialize the identical sample.
+
+    Scale notes (100 TB): a plain ``row_number() OVER (PARTITION BY
+    source)`` puts an entire source in ONE task — the classic skew
+    trap for group top-k (a web-crawl source is most of the corpus).
+    This is the two-phase exact form instead: stage 1 ranks within
+    (source, salt) — ``SAMPLE_SALT`` bounded partitions per source —
+    and keeps each salt's top-``budget``; the per-source top-budget is
+    provably contained in that union, so stage 2's authoritative
+    per-source rank runs over at most salt x budget survivors, never
+    the raw source. Budgets ride a broadcast (one row per source).
+    All-JVM: two window passes + one broadcast join, no Python.
+    """
+    weights = source_mixture_weights(spark, sf_dir)
+    tot = weights.agg(F.sum("n_docs").alias("tot_docs"))
+    budgets = (
+        weights.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(
+                f"(weight_micro * tot_docs * {MIXTURE_SAMPLE_FRAC_MILLI})"
+                " div 1000000000"
+            ).alias("budget_docs"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+        ).alias("hkey"),
+        (F.col("doc_id") % SAMPLE_SALT).alias("salt"),
+    ).join(F.broadcast(budgets), "source")
+    w1 = Window.partitionBy("source", "salt").orderBy("hkey", "doc_id")
+    pruned = keyed.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= F.col("budget_docs")
+    )
+    w2 = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= F.col("budget_docs"))
+        .select("source", "doc_id", "sample_rank", "budget_docs")
+    )
+
+
 def novelty_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document content novelty under arrival order (doc_id, the
     repo-wide "smaller id came first" convention shared with
@@ -283,14 +340,69 @@ FROM d LEFT JOIN per USING (doc_id)
 """
 
 
+# shared by the source_mixture_weights oracle and (as a CTE body) the
+# mixture_sample oracle — one spelling of the budget arithmetic
+_MIX_WEIGHTS_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS tot_tokens FROM per_src),
+shared AS (
+  SELECT source, n_docs, n_tokens,
+         (1000 * n_tokens) // tot_tokens AS share_milli
+  FROM per_src CROSS JOIN tot
+),
+capped AS (
+  SELECT *, least(share_milli, {MIX_CAP_MILLI}) AS capped_milli
+  FROM shared
+),
+ctot AS (SELECT sum(capped_milli) AS tot_capped FROM capped)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(share_milli AS BIGINT) AS share_milli,
+       share_milli > {MIX_CAP_MILLI} AS capped,
+       CAST((1000000 * capped_milli) // tot_capped AS BIGINT)
+         AS weight_micro,
+       CAST(((1000000 * capped_milli) // tot_capped)
+            * {SAMPLE_BUDGET_DOCS} // 1000000 AS BIGINT) AS budget_docs
+FROM capped CROSS JOIN ctot
+"""
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "shard_plan": shard_plan,
     "source_mixture_weights": source_mixture_weights,
+    "mixture_sample": mixture_sample,
     "novelty_ngram_rate": novelty_ngram_rate,
 }
 
 ORACLES = {
+    "mixture_sample": f"""
+WITH wts AS ({_MIX_WEIGHTS_SQL}),
+wtot AS (SELECT sum(n_docs) AS tot_docs FROM wts),
+budgets AS (
+  SELECT source,
+         (weight_micro * tot_docs * {MIXTURE_SAMPLE_FRAC_MILLI})
+           // 1000000000 AS budget_docs
+  FROM wts CROSS JOIN wtot
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT r.source, r.doc_id,
+       CAST(rnk AS INTEGER) AS sample_rank,
+       CAST(budget_docs AS BIGINT) AS budget_docs
+FROM ranked r JOIN budgets b USING (source)
+WHERE rnk <= budget_docs
+""",
     "novelty_ngram_rate": _novelty_oracle_sql(),
     "tfidf_top_terms": f"""
 WITH toks AS (
@@ -338,32 +450,5 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard,
        hkey
 FROM sharded
 """,
-    "source_mixture_weights": f"""
-WITH per_src AS (
-  SELECT source, count(*) AS n_docs,
-         sum(len(string_split(text, ' '))) AS n_tokens
-  FROM documents GROUP BY source
-),
-tot AS (SELECT sum(n_tokens) AS tot_tokens FROM per_src),
-shared AS (
-  SELECT source, n_docs, n_tokens,
-         (1000 * n_tokens) // tot_tokens AS share_milli
-  FROM per_src CROSS JOIN tot
-),
-capped AS (
-  SELECT *, least(share_milli, {MIX_CAP_MILLI}) AS capped_milli
-  FROM shared
-),
-ctot AS (SELECT sum(capped_milli) AS tot_capped FROM capped)
-SELECT source,
-       CAST(n_docs AS BIGINT) AS n_docs,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(share_milli AS BIGINT) AS share_milli,
-       share_milli > {MIX_CAP_MILLI} AS capped,
-       CAST((1000000 * capped_milli) // tot_capped AS BIGINT)
-         AS weight_micro,
-       CAST(((1000000 * capped_milli) // tot_capped)
-            * {SAMPLE_BUDGET_DOCS} // 1000000 AS BIGINT) AS budget_docs
-FROM capped CROSS JOIN ctot
-""",
+    "source_mixture_weights": _MIX_WEIGHTS_SQL,
 }

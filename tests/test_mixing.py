@@ -13,10 +13,12 @@ from pyspark.sql import functions as F
 
 from angelone_clickhouse_spark.operators.mixing import (
     MIX_CAP_MILLI,
+    MIXTURE_SAMPLE_FRAC_MILLI,
     N_SHARDS,
     NOVELTY_N,
     SAMPLE_BUDGET_DOCS,
     TFIDF_TOP_K,
+    mixture_sample,
     novelty_ngram_rate,
     shard_plan,
     source_mixture_weights,
@@ -169,3 +171,57 @@ def test_novelty_matches_python_reference(spark):
     # doc is all-novel, later docs mostly restate the tiny vocabulary
     assert expect[min(docs)][2] == 1000
     assert any(v[2] is not None and v[2] < 1000 for v in expect.values())
+
+
+def test_mixture_sample_matches_python_reference(spark):
+    """Brute-force the budget arithmetic and the md5-order per-source
+    top-k; the two-phase salt pruning must be invisible in the result
+    (exact containment property)."""
+    import hashlib
+
+    docs = _load_docs(spark)
+    weights = {
+        r.source: r for r in source_mixture_weights(spark, SF_CORRECT).collect()
+    }
+    tot_docs = sum(r.n_docs for r in weights.values())
+    budget = {
+        s: r.weight_micro * tot_docs * MIXTURE_SAMPLE_FRAC_MILLI
+        // 1_000_000_000
+        for s, r in weights.items()
+    }
+    by_source = {}
+    for d in docs.values():
+        hkey = hashlib.md5(f"mix:{d.doc_id}".encode()).hexdigest()
+        by_source.setdefault(d.source, []).append((hkey, d.doc_id))
+    expect = set()
+    for s, items in by_source.items():
+        for rank, (_, doc_id) in enumerate(sorted(items), start=1):
+            if rank <= budget[s]:
+                expect.add((s, doc_id, rank))
+    rows = mixture_sample(spark, SF_CORRECT).collect()
+    assert {(r.source, r.doc_id, r.sample_rank) for r in rows} == expect
+    for r in rows:
+        assert r.budget_docs == budget[r.source]
+    # non-degeneracy: every source is represented AND truncated (the
+    # sample must be a strict per-source subset, or the rank filter
+    # is untested)
+    got_sources = {r.source for r in rows}
+    assert got_sources == set(by_source)
+    for s in by_source:
+        n_kept = sum(1 for r in rows if r.source == s)
+        assert 0 < n_kept < len(by_source[s])
+
+
+def test_mixture_sample_plan_is_two_phase(spark):
+    """Both window passes must partition as designed: stage 1 on
+    (source, salt) — the skew-bounding prune — then the authoritative
+    per-source rank; budgets ride a broadcast join."""
+    plan = (
+        mixture_sample(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") >= 2
+    assert "salt" in plan
+    assert "BroadcastHashJoin" in plan

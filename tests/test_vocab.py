@@ -1,0 +1,101 @@
+"""Value-level tests for operators/vocab.py (BPE merge-pair
+statistics, OOV coverage). The DuckDB oracles cover cross-engine
+parity; these pin the semantics against plain Python and the
+invariants a tokenizer trainer relies on (occurrence weighting,
+deterministic top-k boundary, broadcast probe shape)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from angelone_clickhouse_spark.operators.vocab import (
+    MERGE_TOP_K,
+    VOCAB_K,
+    bpe_merge_pairs,
+    vocab_oov_rate,
+)
+from tests.conftest import SF_CORRECT
+
+
+def _texts(spark):
+    return {
+        r.doc_id: r.text
+        for r in spark.read.parquet(
+            f"{SF_CORRECT}/documents.parquet"
+        ).collect()
+    }
+
+
+def _word_freq(texts):
+    wf = Counter()
+    for t in texts.values():
+        wf.update(t.split(" "))
+    return wf
+
+
+def test_bpe_pairs_match_python_reference(spark):
+    """Brute-force the word-frequency-weighted adjacent pair counts
+    and the (count DESC, pair ASC) top-k."""
+    texts = _texts(spark)
+    wf = _word_freq(texts)
+    pair_occ = Counter()
+    pair_words = {}
+    for word, freq in wf.items():
+        for i in range(len(word) - 1):
+            pair = f"{word[i]} {word[i + 1]}"
+            pair_occ[pair] += freq
+            pair_words.setdefault(pair, set()).add(word)
+    expect = sorted(pair_occ.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :MERGE_TOP_K
+    ]
+    rows = bpe_merge_pairs(spark, SF_CORRECT).collect()
+    assert len(rows) == min(MERGE_TOP_K, len(pair_occ))
+    got = [(r.pair, r.n_occurrences) for r in rows]
+    assert got == expect
+    for r in rows:
+        assert r.n_word_types == len(pair_words[r.pair])
+    # occurrence weighting must differ from word-type counting
+    # somewhere in the window, or the test degenerates
+    assert any(
+        r.n_occurrences != r.n_word_types for r in rows
+    )
+
+
+def test_oov_rate_matches_python_reference(spark):
+    """Brute-force the truncated vocabulary and every doc's OOV
+    count; the fixture must be non-degenerate (both in-vocab and OOV
+    token mass present)."""
+    texts = _texts(spark)
+    wf = _word_freq(texts)
+    assert len(wf) > VOCAB_K, "fixture vocab must overflow VOCAB_K"
+    vocab = {
+        w
+        for w, _ in sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :VOCAB_K
+        ]
+    }
+    rows = vocab_oov_rate(spark, SF_CORRECT).collect()
+    assert len(rows) == len(texts)
+    any_oov = any_in = False
+    for r in rows:
+        toks = texts[r.doc_id].split(" ")
+        n_oov = sum(1 for t in toks if t not in vocab)
+        assert (r.n_tokens, r.n_oov) == (len(toks), n_oov)
+        assert r.oov_milli == 1000 * n_oov // len(toks)
+        any_oov |= n_oov > 0
+        any_in |= n_oov < len(toks)
+    assert any_oov and any_in
+
+
+def test_oov_probe_is_broadcast(spark):
+    """The vocabulary membership probe must be a broadcast hash join
+    (the vocabulary is VOCAB_K rows by construction) — a shuffle here
+    would shuffle the whole exploded token stream at scale."""
+    plan = (
+        vocab_oov_rate(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
