@@ -275,20 +275,15 @@ def novelty_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-gram skew is AQE's skew-join case exactly as in
     span_dedup_corpus; the gram->first join reuses the same key; the
     final rollup shuffles on doc_id. No window over the corpus."""
+    from angelone_clickhouse_spark.operators.pipeline import _word_ngrams
+
     docs = load_table(spark, sf_dir, "documents")
-    idx = ", ".join(f"w[i+{k}]" for k in range(NOVELTY_N))
-    grams = docs.select(
-        "doc_id", F.split("text", " ").alias("w")
-    ).select(
-        "doc_id",
-        F.expr(
-            f"CASE WHEN size(w) >= {NOVELTY_N} THEN"
-            f" array_distinct(transform(sequence(0, size(w) - {NOVELTY_N}),"
-            f"                          i -> concat_ws(' ', {idx})))"
-            f" ELSE CAST(array() AS ARRAY<STRING>) END"
-        ).alias("g"),
-    )
-    dg = grams.select("doc_id", F.explode("g").alias("gram"))
+    # _word_ngrams carries the two devices this op needs: the short-doc
+    # guard and the materialize-before-explode cut (Generate
+    # re-evaluates its child per OUTPUT row — quadratic per doc on the
+    # raw transform(); measured 15 s -> ~3 s at sf0.1). It also stops
+    # the self-join below re-deriving the explode on both sides.
+    dg = _word_ngrams(docs, NOVELTY_N)
     first = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per = (
         dg.join(first, "gram")
