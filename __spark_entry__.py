@@ -43,6 +43,7 @@ _PRIORITY = [
     "source_mixture_weights",  # NEW: capped source mixture reweighting
     "novelty_ngram_rate",      # NEW: arrival-order n-gram novelty
     "mixture_sample",          # NEW: two-phase exact mixture sampler
+    "knn_graph",               # NEW: blocked exact self-kNN graph
     "bpe_merge_pairs",         # NEW: BPE merge-pair statistics
     "vocab_oov_rate",          # NEW: OOV rate vs top-k vocabulary
     "stream_dedup_docs",       # NEW: streaming survivor-index dedup
@@ -89,10 +90,9 @@ _PRIORITY = [
     "supplier_late_blame",
     "kmeans_refine",
     "trailing_activity_range",
-    "event_type_pivot",
     # exactly 50 entries above — the driver gate stops there. Next
     # round: the r4-stale names displaced by this round's new ops
-    # (event_type_unpivot, union_nationkeys, text_token_stats,
+    # (event_type_pivot, event_type_unpivot, union_nationkeys, text_token_stats,
     # text_quality, text_lang_stats, text_tokenize_regex,
     # distinct_tokens_approx, ann_ivf_topk), then the r5-stale
     # refresh (ann_topk_quantized,

@@ -156,6 +156,143 @@ def dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 5  # neighbors per vector in knn_graph
+# Per-cell shortlist keeps k + this margin: the per-cell top-k by true
+# cosine provably contains the global top-k (a vector beaten by k
+# others inside one cell is beaten by k others globally), and the
+# margin absorbs numpy-vs-JVM 1e-6 grid flips near the k boundary
+# before the exact re-rank decides.
+KNN_CELL_MARGIN = 8
+KNN_SHORTLIST_SCHEMA = "src_id long, neighbor_id long, cos_np double"
+
+
+def _rows_topk(src_ids, src_m, dst_ids, dst_m, s, exclude_self):
+    """Per-row top-``s`` of ``src_m @ dst_m.T`` under the final
+    ranking order (cos DESC, neighbor_id ASC) — one numpy matmul per
+    cell, then a per-row lexsort shortlist."""
+    cos = np.round(src_m @ dst_m.T, 6)
+    if exclude_self:
+        cos[src_ids[:, None] == dst_ids[None, :]] = -2.0  # sentinel < any cosine
+    srcs, nids, sims = [], [], []
+    for r in range(cos.shape[0]):
+        row = cos[r]
+        idx = np.lexsort((dst_ids, -row))[:s]
+        idx = idx[row[idx] > -1.5]
+        srcs.append(np.full(len(idx), src_ids[r], dtype=np.int64))
+        nids.append(dst_ids[idx])
+        sims.append(row[idx])
+    if not srcs:
+        return pd.DataFrame(
+            {"src_id": [], "neighbor_id": [], "cos_np": []}
+        ).astype({"src_id": "int64", "neighbor_id": "int64"})
+    return pd.DataFrame(
+        {
+            "src_id": np.concatenate(srcs),
+            "neighbor_id": np.concatenate(nids),
+            "cos_np": np.concatenate(sims),
+        }
+    )
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus self-kNN graph: every vector's ``KNN_K`` nearest
+    neighbors by cosine — the structure SemDeDup-style pruning,
+    duplicate-graph construction, and diversity sampling consume.
+
+    Same two-stage contract as the other fast ops: the blocked matmul
+    grid of :func:`candidate_pairs_fast` does the O(n²) work, but each
+    cell emits only each row's per-cell top-(k + margin) under the
+    final ranking order (both directions of every off-diagonal cell);
+    the union of per-cell winners provably contains the true top-k,
+    and the exact JVM re-score + window rank makes the output
+    bit-identical to a brute-force evaluation — so a brute-force
+    DuckDB oracle checks the whole blocked path verbatim.
+
+    Scale notes (100 TB): shuffle volume is n·sqrt(P) replicated rows
+    (the standard blocked all-pairs), each cell's shortlist bounds the
+    post-matmul data to (k + margin) rows per vector per cell — the
+    candidate stream is linear in n, never quadratic; the final rank
+    partitions by src_id over ≤ (k + margin)·n_blocks rows per vector.
+    The corpus is never collected or broadcast."""
+    from angelone_clickhouse_spark.operators.similarity import _cos, _vectors
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_blocks = max(1, math.ceil(emb.count() / BLOCK_ROWS))
+    blk = (F.col("vec_id") % n_blocks).cast("int")
+    a_rep = emb.select(
+        "vec_id",
+        "embedding",
+        blk.alias("bi"),
+        F.explode(F.sequence(blk, F.lit(n_blocks - 1))).alias("bj"),
+        F.lit(0).alias("side"),
+    )
+    b_rep = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), blk)).alias("bi"),
+        blk.alias("bj"),
+        F.lit(1).alias("side"),
+    )
+    s = KNN_K + KNN_CELL_MARGIN
+
+    def cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        a_ids, a = _unit_rows(pdf[pdf["side"] == 0])
+        b_ids, b = _unit_rows(pdf[pdf["side"] == 1])
+        out = _rows_topk(a_ids, a, b_ids, b, s, exclude_self=bi == bj)
+        if bi != bj:
+            # off-diagonal: the cell is these blocks' only meeting
+            # point, so emit the reverse direction too
+            out = pd.concat(
+                [out, _rows_topk(b_ids, b, a_ids, a, s, exclude_self=False)]
+            )
+        return out
+
+    shortlist = (
+        a_rep.unionByName(b_rep)
+        .groupBy("bi", "bj")
+        .applyInPandas(cell, schema=KNN_SHORTLIST_SCHEMA)
+        .select("src_id", "neighbor_id")
+    )
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    scored = (
+        shortlist.join(a, "src_id")
+        .join(b, "neighbor_id")
+        .select(
+            "src_id",
+            "neighbor_id",
+            F.round(
+                _cos(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "src_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as similarity.ann_topk_cosine (exact top-k for
     query vectors, rounded-cosine ordering, neighbor_id tiebreak):
@@ -232,7 +369,32 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_embedding_fast": dedup_embedding_fast,
     "ann_topk_fast": ann_topk_fast,
+    "knn_graph": knn_graph,
 }
+
+_KNN_ORACLE_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS src_id,
+         n.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS cos_sim
+  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+)
+SELECT src_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY src_id
+           ORDER BY cos_sim DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+) r
+WHERE rank <= {KNN_K}
+"""
 
 
 def _shared_oracles() -> dict[str, str]:
@@ -245,6 +407,7 @@ def _shared_oracles() -> dict[str, str]:
     return {
         "dedup_embedding_fast": _dedup.ORACLES["dedup_embedding"],
         "ann_topk_fast": _sim.ORACLES["ann_topk_cosine"],
+        "knn_graph": _KNN_ORACLE_SQL,
     }
 
 

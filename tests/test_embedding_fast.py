@@ -87,3 +87,48 @@ def test_no_unbounded_driver_materialization(spark, sf_dir, monkeypatch):
         assert df.count() > 0
 
 
+
+
+def test_knn_graph_matches_bruteforce(spark, sf_dir):
+    """Brute-force the full self-kNN graph in numpy/python under the
+    exact final ranking (rounded cosine DESC, neighbor_id ASC)."""
+    import numpy as np
+
+    from angelone_clickhouse_spark.operators.embedding_fast import (
+        KNN_K,
+        knn_graph,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(m @ m.T, 6)
+    expect = set()
+    for i in range(len(ids)):
+        order = sorted(
+            ((cos[i, j], ids[j]) for j in range(len(ids)) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (c, nid) in enumerate(order[:KNN_K], start=1):
+            expect.add((int(ids[i]), int(nid), rank))
+    got = knn_graph(spark, sf_dir).collect()
+    assert {(r.src_id, r.neighbor_id, r.rank) for r in got} == expect
+    assert len(got) == len(ids) * KNN_K
+
+
+def test_knn_graph_multiblock_equal_singleblock(spark, sf_dir, monkeypatch):
+    """Per-cell shortlists + the off-diagonal reverse direction must
+    reconstruct the identical graph at any block count."""
+    from angelone_clickhouse_spark.operators.embedding_fast import knn_graph
+
+    one = sorted(
+        (r.src_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in knn_graph(spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(embedding_fast, "BLOCK_ROWS", 64)  # 500 rows -> 8 blocks
+    many = sorted(
+        (r.src_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in knn_graph(spark, sf_dir).collect()
+    )
+    assert one == many
