@@ -47,6 +47,7 @@ _PRIORITY = [
     "bpe_merge_pairs",         # NEW: BPE merge-pair statistics
     "vocab_oov_rate",          # NEW: OOV rate vs top-k vocabulary
     "stream_dedup_docs",       # NEW: streaming survivor-index dedup
+    "stream_novelty_docs",     # NEW: streaming seen-gram novelty
     "dedup_incremental",       # NEW: batch-vs-corpus dedup
     "dedup_ngram_jaccard",     # positional filter + 2-stage verify
     "dedup_clusters",          # same core + new CC convergence probe
@@ -89,10 +90,10 @@ _PRIORITY = [
     "disjunctive_revenue",
     "supplier_late_blame",
     "kmeans_refine",
-    "trailing_activity_range",
     # exactly 50 entries above — the driver gate stops there. Next
     # round: the r4-stale names displaced by this round's new ops
-    # (event_type_pivot, event_type_unpivot, union_nationkeys, text_token_stats,
+    # (trailing_activity_range, event_type_pivot, event_type_unpivot,
+    # union_nationkeys, text_token_stats,
     # text_quality, text_lang_stats, text_tokenize_regex,
     # distinct_tokens_approx, ann_ivf_topk), then the r5-stale
     # refresh (ann_topk_quantized,
@@ -138,6 +139,7 @@ def _registries():
         "angelone_clickhouse_spark.sources.token_config",
         "angelone_clickhouse_spark.streaming.batch_equiv",
         "angelone_clickhouse_spark.streaming.docdedup",
+        "angelone_clickhouse_spark.streaming.novelty",
         "angelone_clickhouse_spark.streaming.stream_join",
         "angelone_clickhouse_spark.streaming.sessions",
     ):

@@ -92,15 +92,18 @@ def _commit_epoch_flat(df: DataFrame, out_dir: str, epoch_id: int) -> None:
     shutil.rmtree(staging, ignore_errors=True)
 
 
-def _read_index(spark: SparkSession, index_dir: str) -> DataFrame:
-    """The survivor signature index, or an empty frame before the
-    first epoch commits."""
+def _read_index(
+    spark: SparkSession, index_dir: str, schema: str = SIG_SCHEMA
+) -> DataFrame:
+    """An epoch-appended index (survivor signatures here, seen grams
+    in streaming/novelty.py), or an empty frame before the first
+    epoch commits."""
     if os.path.isdir(index_dir) and any(
         n.endswith(".parquet") or n.startswith("e")
         for n in os.listdir(index_dir)
     ):
-        return spark.read.schema(SIG_SCHEMA).parquet(index_dir)
-    return spark.createDataFrame([], SIG_SCHEMA)
+        return spark.read.schema(schema).parquet(index_dir)
+    return spark.createDataFrame([], schema)
 
 
 def dedup_epoch(
