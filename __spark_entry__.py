@@ -44,6 +44,9 @@ _PRIORITY = [
     "novelty_ngram_rate",      # NEW: arrival-order n-gram novelty
     "mixture_sample",          # NEW: two-phase exact mixture sampler
     "knn_graph",               # NEW: blocked exact self-kNN graph
+    "knn_label_purity",        # NEW: kNN label-purity diagnostic
+    "pack_efficiency",         # NEW: per-source packing report
+    "doc_length_histogram",    # NEW: corpus length profile
     "bpe_merge_pairs",         # NEW: BPE merge-pair statistics
     "vocab_oov_rate",          # NEW: OOV rate vs top-k vocabulary
     "stream_dedup_docs",       # NEW: streaming survivor-index dedup
@@ -87,13 +90,11 @@ _PRIORITY = [
     "promo_revenue_share",
     "parts_supplier_counts",
     "large_orders",
-    "disjunctive_revenue",
-    "supplier_late_blame",
-    "kmeans_refine",
     # exactly 50 entries above — the driver gate stops there. Next
     # round: the r4-stale names displaced by this round's new ops
-    # (trailing_activity_range, event_type_pivot, event_type_unpivot,
-    # union_nationkeys, text_token_stats,
+    # (disjunctive_revenue, supplier_late_blame,
+    # kmeans_refine, trailing_activity_range, event_type_pivot,
+    # event_type_unpivot, union_nationkeys, text_token_stats,
     # text_quality, text_lang_stats, text_tokenize_regex,
     # distinct_tokens_approx, ann_ivf_topk), then the r5-stale
     # refresh (ann_topk_quantized,

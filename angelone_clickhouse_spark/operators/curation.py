@@ -180,6 +180,51 @@ def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEN_BUCKET_W = 16  # doc_length_histogram bucket width (tokens)
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: documents bucketed by whitespace token
+    count in ``LEN_BUCKET_W``-token bins, with each bin's document
+    and token share in exact milli units — the distribution a length
+    filter or packing-budget choice is read off.
+
+    One map-side-combined shuffle on the bucket id (cardinality =
+    max_len / width), one broadcast total. Fixture lengths span
+    10-99 tokens, so ~6 bins are populated at every SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.expr(f"size(split(text, ' ')) div {LEN_BUCKET_W}").alias(
+            "bucket"
+        ),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).alias("tot_docs"),
+        F.sum("n_tokens").alias("tot_tokens"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.col("bucket") * LEN_BUCKET_W).alias("lo_tokens"),
+            "n_docs",
+            "n_tokens",
+            F.expr("(1000 * n_docs) div tot_docs").alias(
+                "docs_share_milli"
+            ),
+            F.expr("(1000 * n_tokens) div tot_tokens").alias(
+                "tokens_share_milli"
+            ),
+        )
+    )
+
+
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: regexp_replace chain over email / phone / IP
     patterns, map-side only.
@@ -528,6 +573,7 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "dataset_split": dataset_split,
     "corpus_top_tokens": corpus_top_tokens,
+    "doc_length_histogram": doc_length_histogram,
     "doc_unigram_logprob": doc_unigram_logprob,
     "pii_redact": pii_redact,
     "cap_per_source": cap_per_source,
@@ -559,6 +605,24 @@ def _dup_sql(n: int) -> str:
 
 
 ORACLES = {
+    "doc_length_histogram": f"""
+WITH b AS (
+  SELECT len(string_split(text, ' ')) // {LEN_BUCKET_W} AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT count(*) AS tot_docs, sum(n_tokens) AS tot_tokens FROM b)
+SELECT bucket,
+       CAST(bucket * {LEN_BUCKET_W} AS BIGINT) AS lo_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST((1000 * count(*)) // any_value(tot_docs) AS BIGINT)
+         AS docs_share_milli,
+       CAST((1000 * sum(n_tokens)) // any_value(tot_tokens) AS BIGINT)
+         AS tokens_share_milli
+FROM b CROSS JOIN tot
+GROUP BY bucket
+""",
     "doc_unigram_logprob": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents

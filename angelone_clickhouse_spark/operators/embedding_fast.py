@@ -293,6 +293,51 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality diagnostic over the kNN graph: for each
+    vector, how many of its ``KNN_K`` nearest neighbors share its
+    label (exact integer milli rate). Low corpus-wide purity means
+    the embedding doesn't separate the labels — the go/no-go signal
+    before trusting SemDeDup-style semantic pruning on it.
+
+    Scale notes: one broadcast of the (vec_id, label) projection onto
+    the kNN edge list (labels are a narrow column of the corpus — at
+    100 TB this is the same join keyed twice, both sides shuffling on
+    vec_id if too big to broadcast), then a per-source rollup. All
+    the O(n²) work lives in :func:`knn_graph` above."""
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    g = knn_graph(spark, sf_dir)
+    src_l = labels.select(
+        F.col("vec_id").alias("src_id"), F.col("label").alias("src_label")
+    )
+    nbr_l = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nbr_label"),
+    )
+    return (
+        g.join(F.broadcast(src_l), "src_id")
+        .join(F.broadcast(nbr_l), "neighbor_id")
+        .groupBy("src_id", "src_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                (F.col("nbr_label") == F.col("src_label")).cast("long")
+            ).alias("n_same_label"),
+        )
+        .select(
+            "src_id",
+            F.col("src_label").alias("label"),
+            "n_neighbors",
+            "n_same_label",
+            F.expr("(1000 * n_same_label) div n_neighbors").alias(
+                "purity_milli"
+            ),
+        )
+    )
+
+
 def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as similarity.ann_topk_cosine (exact top-k for
     query vectors, rounded-cosine ordering, neighbor_id tiebreak):
@@ -370,6 +415,7 @@ QUERIES = {
     "dedup_embedding_fast": dedup_embedding_fast,
     "ann_topk_fast": ann_topk_fast,
     "knn_graph": knn_graph,
+    "knn_label_purity": knn_label_purity,
 }
 
 _KNN_ORACLE_SQL = f"""
@@ -396,6 +442,22 @@ FROM (
 WHERE rank <= {KNN_K}
 """
 
+_KNN_PURITY_ORACLE_SQL = f"""
+WITH knn AS ({_KNN_ORACLE_SQL}),
+l AS (SELECT vec_id, label FROM embeddings)
+SELECT k.src_id,
+       sl.label,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(sum(CASE WHEN nl.label = sl.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_same_label,
+       CAST((1000 * sum(CASE WHEN nl.label = sl.label THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS purity_milli
+FROM knn k
+JOIN l sl ON sl.vec_id = k.src_id
+JOIN l nl ON nl.vec_id = k.neighbor_id
+GROUP BY k.src_id, sl.label
+"""
+
 
 def _shared_oracles() -> dict[str, str]:
     """The fast paths re-score survivors with the exact ops' JVM
@@ -408,6 +470,7 @@ def _shared_oracles() -> dict[str, str]:
         "dedup_embedding_fast": _dedup.ORACLES["dedup_embedding"],
         "ann_topk_fast": _sim.ORACLES["ann_topk_cosine"],
         "knn_graph": _KNN_ORACLE_SQL,
+        "knn_label_purity": _KNN_PURITY_ORACLE_SQL,
     }
 
 

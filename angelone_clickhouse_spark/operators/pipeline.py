@@ -242,6 +242,51 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality report over :func:`sequence_pack`'s layout,
+    per source: how many PACK_BUDGET-token sequences the source
+    fills, how full they are (exact milli fill counting the final
+    partial sequence's tail as waste), and how many documents a
+    chunk boundary splits — the three numbers a pretraining data
+    engineer reads before accepting a packing run.
+
+    Derives from sequence_pack's OUTPUT (same cum-sum, zero drift):
+    a doc is split iff offset_in_seq + n_tokens > PACK_BUDGET; the
+    sequence count is ceil(total_tokens / budget). One rollup shuffle
+    on source."""
+    packed = sequence_pack(spark, sf_dir)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(
+                (
+                    F.col("offset_in_seq") + F.col("n_tokens")
+                    > PACK_BUDGET
+                ).cast("long")
+            ).alias("n_split_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_split_docs",
+            F.expr(
+                f"(n_tokens + {PACK_BUDGET} - 1) div {PACK_BUDGET}"
+            ).alias("n_seqs"),
+            F.expr(
+                f"(1000 * n_tokens) div"
+                f" (((n_tokens + {PACK_BUDGET} - 1) div {PACK_BUDGET})"
+                f" * {PACK_BUDGET})"
+            ).alias("fill_milli"),
+            F.expr("(1000 * n_split_docs) div n_docs").alias(
+                "split_milli"
+            ),
+        )
+    )
+
+
 CHUNK_TOKENS = 64  # RAG chunk length (whitespace tokens)
 CHUNK_STRIDE = 48  # start-to-start stride -> 16-token overlap
 
@@ -428,6 +473,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "quality_quantile_gate": quality_quantile_gate,
     "sequence_pack": sequence_pack,
+    "pack_efficiency": pack_efficiency,
     "chunk_documents": chunk_documents,
     "pipeline_e2e": pipeline_e2e,
 }
@@ -569,6 +615,40 @@ ORACLES_R4["decontaminate_fingerprint"] = (
     .replace("__BM__", str(BENCH_MOD))
 )
 ORACLES.update(ORACLES_R4)
+
+ORACLES["pack_efficiency"] = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM toks
+),
+agg AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(n_tokens) AS n_tokens,
+         sum(CASE WHEN cum % {PACK_BUDGET} + n_tokens > {PACK_BUDGET}
+             THEN 1 ELSE 0 END) AS n_split_docs
+  FROM c GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_split_docs AS BIGINT) AS n_split_docs,
+       CAST((n_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS BIGINT)
+         AS n_seqs,
+       CAST((1000 * n_tokens) //
+            (((n_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET})
+             * {PACK_BUDGET}) AS BIGINT) AS fill_milli,
+       CAST((1000 * n_split_docs) // n_docs AS BIGINT) AS split_milli
+FROM agg
+"""
 
 ORACLES["pipeline_e2e"] = f"""
 WITH pool AS (

@@ -143,3 +143,34 @@ def test_hll_union_estimate_accuracy(spark):
     assert sum(1 for r in rows if r.event_type == "<union>") == 1
     assert all(r.est_within_eps for r in rows)
     assert all(r.exact_users > 0 for r in rows)
+
+
+def test_doc_length_histogram_matches_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from angelone_clickhouse_spark.operators.curation import (
+        LEN_BUCKET_W,
+        doc_length_histogram,
+    )
+
+    lens = [
+        len(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    n_docs = Counter(n // LEN_BUCKET_W for n in lens)
+    n_toks = Counter()
+    for n in lens:
+        n_toks[n // LEN_BUCKET_W] += n
+    tot_docs, tot_toks = len(lens), sum(lens)
+    rows = doc_length_histogram(spark, sf_dir).collect()
+    assert {r.bucket for r in rows} == set(n_docs)
+    assert len(rows) > 1  # the fixture spans several bins
+    for r in rows:
+        assert r.lo_tokens == r.bucket * LEN_BUCKET_W
+        assert r.n_docs == n_docs[r.bucket]
+        assert r.n_tokens == n_toks[r.bucket]
+        assert r.docs_share_milli == 1000 * n_docs[r.bucket] // tot_docs
+        assert (
+            r.tokens_share_milli == 1000 * n_toks[r.bucket] // tot_toks
+        )
+    assert sum(r.n_docs for r in rows) == tot_docs

@@ -132,3 +132,49 @@ def test_knn_graph_multiblock_equal_singleblock(spark, sf_dir, monkeypatch):
         for r in knn_graph(spark, sf_dir).collect()
     )
     assert one == many
+
+
+def test_knn_label_purity_matches_bruteforce(spark, sf_dir):
+    """Brute-force the purity rollup over the brute-force graph; the
+    fixture must exercise both pure and mixed neighborhoods."""
+    import numpy as np
+
+    from angelone_clickhouse_spark.operators.embedding_fast import (
+        KNN_K,
+        knn_label_purity,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    labels = {r.vec_id: r.label for r in rows}
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(m @ m.T, 6)
+    expect = {}
+    for i in range(len(ids)):
+        order = sorted(
+            ((cos[i, j], ids[j]) for j in range(len(ids)) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )[:KNN_K]
+        same = sum(1 for _, nid in order if labels[nid] == labels[ids[i]])
+        expect[int(ids[i])] = (
+            labels[ids[i]],
+            len(order),
+            same,
+            1000 * same // len(order),
+        )
+    got = knn_label_purity(spark, sf_dir).collect()
+    assert len(got) == len(ids)
+    for r in got:
+        assert (
+            r.label,
+            r.n_neighbors,
+            r.n_same_label,
+            r.purity_milli,
+        ) == expect[r.src_id]
+    purities = {v[3] for v in expect.values()}
+    # non-degenerate: mixed neighborhoods AND at least one same-label
+    # hit somewhere (the fixture labels are noisy, so fully-pure
+    # neighborhoods need not exist)
+    assert len(purities) > 1
+    assert max(purities) > 0

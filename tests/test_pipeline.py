@@ -225,3 +225,43 @@ def test_fingerprint_decon_flags_planted_contamination(spark, sf_dir):
     assert out.filter(F.col("doc_id") % BENCH_MOD == 0).count() == 0
     assert out.filter(F.col("n_hit_fps") < 1).count() == 0
     assert out.count() > 0  # word-soup fixture guarantees some overlap
+
+
+def test_pack_efficiency_matches_python_reference(spark, sf_dir):
+    """Brute-force the per-source packing report from the raw corpus:
+    same (source, doc_id) order, same cum-sum, same split rule."""
+    from angelone_clickhouse_spark.operators.pipeline import pack_efficiency
+
+    docs = sorted(
+        (
+            (r.source, r.doc_id, len(r.text.split(" ")))
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        )
+    )
+    per = {}
+    cum = {}
+    for source, _doc_id, n in docs:
+        c = cum.get(source, 0)
+        s = per.setdefault(source, [0, 0, 0])  # n_docs, n_tokens, n_split
+        s[0] += 1
+        s[1] += n
+        if c % PACK_BUDGET + n > PACK_BUDGET:
+            s[2] += 1
+        cum[source] = c + n
+    rows = pack_efficiency(spark, sf_dir).collect()
+    assert len(rows) == len(per)
+    any_split = False
+    for r in rows:
+        n_docs, n_tokens, n_split = per[r.source]
+        n_seqs = (n_tokens + PACK_BUDGET - 1) // PACK_BUDGET
+        assert (r.n_docs, r.n_tokens, r.n_split_docs, r.n_seqs) == (
+            n_docs,
+            n_tokens,
+            n_split,
+            n_seqs,
+        )
+        assert r.fill_milli == 1000 * n_tokens // (n_seqs * PACK_BUDGET)
+        assert r.split_milli == 1000 * n_split // n_docs
+        any_split |= n_split > 0
+    # docs average ~54 tokens against a 512 budget: splits must occur
+    assert any_split
