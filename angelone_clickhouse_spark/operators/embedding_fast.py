@@ -58,6 +58,11 @@ BLOCK_ROWS = 1024
 
 def _unit_rows(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    if len(ids) == 0:
+        # sparse vec_ids can leave a residue class (hence a cell
+        # side) empty; np.array([]) is 1-D and would crash the
+        # normalization below
+        return ids, np.empty((0, 1), dtype=np.float64)
     m = np.array(list(pdf["embedding"]), dtype=np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     return ids, m
@@ -94,6 +99,10 @@ def candidate_pairs_fast(
         bi, bj = key
         a_ids, a = _unit_rows(pdf[pdf["side"] == 0])
         b_ids, b = _unit_rows(pdf[pdf["side"] == 1])
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64"}
+            )
         cos = np.round(a @ b.T, 6)  # (a_block, b_block)
         mask = cos >= threshold
         if bi == bj:
@@ -170,6 +179,10 @@ def _rows_topk(src_ids, src_m, dst_ids, dst_m, s, exclude_self):
     """Per-row top-``s`` of ``src_m @ dst_m.T`` under the final
     ranking order (cos DESC, neighbor_id ASC) — one numpy matmul per
     cell, then a per-row lexsort shortlist."""
+    if len(src_ids) == 0 or len(dst_ids) == 0:
+        return pd.DataFrame(
+            {"src_id": [], "neighbor_id": [], "cos_np": []}
+        ).astype({"src_id": "int64", "neighbor_id": "int64"})
     cos = np.round(src_m @ dst_m.T, 6)
     if exclude_self:
         cos[src_ids[:, None] == dst_ids[None, :]] = -2.0  # sentinel < any cosine

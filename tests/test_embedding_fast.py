@@ -178,3 +178,39 @@ def test_knn_label_purity_matches_bruteforce(spark, sf_dir):
     # neighborhoods need not exist)
     assert len(purities) > 1
     assert max(purities) > 0
+
+
+def test_sparse_vec_ids_leave_empty_cells_harmless(spark, monkeypatch):
+    """vec_ids need not be contiguous: a residue class of
+    vec_id % n_blocks with no members makes a cell side EMPTY, which
+    must yield an empty cell result, not a numpy shape crash — for
+    the pair grid and both kNN directions."""
+    import numpy as np
+
+    from angelone_clickhouse_spark.operators.embedding_fast import (
+        KNN_K,
+        candidate_pairs_fast,
+        knn_graph,
+    )
+
+    rng = np.random.RandomState(7)
+    # ids all = 1 (mod 3): with BLOCK_ROWS=4 -> n_blocks=3, residues
+    # 0 and 2 are EMPTY blocks
+    ids = [1, 4, 7, 10, 13, 16, 19, 22, 25, 28]
+    rows = [
+        (int(i), [float(x) for x in rng.randn(8)], "l0") for i in ids
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sparse_emb_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    monkeypatch.setattr(embedding_fast, "BLOCK_ROWS", 4)
+    pairs = candidate_pairs_fast(spark, d, -1.0).collect()
+    assert len(pairs) == len(ids) * (len(ids) - 1) // 2  # every pair once
+    g = knn_graph(spark, d).collect()
+    assert len(g) == len(ids) * KNN_K
+    assert {r.src_id for r in g} == set(ids)
