@@ -49,6 +49,7 @@ _PRIORITY = [
     "doc_length_histogram",    # NEW: corpus length profile
     "bpe_merge_pairs",         # NEW: BPE merge-pair statistics
     "vocab_oov_rate",          # NEW: OOV rate vs top-k vocabulary
+    "vocab_coverage_curve",    # NEW: token coverage vs vocab size
     "stream_dedup_docs",       # NEW: streaming survivor-index dedup
     "stream_novelty_docs",     # NEW: streaming seen-gram novelty
     "dedup_incremental",       # NEW: batch-vs-corpus dedup
@@ -89,10 +90,9 @@ _PRIORITY = [
     "returned_item_revenue",
     "promo_revenue_share",
     "parts_supplier_counts",
-    "large_orders",
     # exactly 50 entries above — the driver gate stops there. Next
     # round: the r4-stale names displaced by this round's new ops
-    # (disjunctive_revenue, supplier_late_blame,
+    # (large_orders, disjunctive_revenue, supplier_late_blame,
     # kmeans_refine, trailing_activity_range, event_type_pivot,
     # event_type_unpivot, union_nationkeys, text_token_stats,
     # text_quality, text_lang_stats, text_tokenize_regex,

@@ -122,6 +122,48 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token coverage at power-of-two vocabulary sizes (plus the full
+    vocabulary as the final point): for each candidate size, what
+    exact milli fraction of all corpus tokens the top-that-many words
+    cover — the curve a tokenizer-size decision is read off.
+
+    Scale notes: the global rank/cumsum window runs over the WORD-TYPE
+    table (the same sub-linear-in-corpus table bpe_merge_pairs
+    iterates), never the corpus — a single-task sort of |vocab| rows,
+    which is the textbook shape for this table (at 100 TB word types
+    are millions, not billions; the corpus-side work is the one
+    map-side-combined word-count shuffle)."""
+    from pyspark.sql.window import Window
+
+    wf = _word_freq(spark, sf_dir)
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    ranked = wf.select(
+        "freq",
+        F.row_number().over(w).alias("rn"),
+        F.sum("freq").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_tokens"),
+    )
+    tot = wf.agg(
+        F.sum("freq").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.expr("(rn & (rn - 1)) = 0")) | (F.col("rn") == F.col("n_types"))
+        )
+        .select(
+            F.col("rn").cast("long").alias("vocab_size"),
+            "cum_tokens",
+            F.expr("(1000 * cum_tokens) div tot_tokens").alias(
+                "coverage_milli"
+            ),
+        )
+    )
+
+
 _WF_SQL = """
   SELECT word, count(*) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -131,9 +173,27 @@ _WF_SQL = """
 QUERIES = {
     "bpe_merge_pairs": bpe_merge_pairs,
     "vocab_oov_rate": vocab_oov_rate,
+    "vocab_coverage_curve": vocab_coverage_curve,
 }
 
 ORACLES = {
+    "vocab_coverage_curve": f"""
+WITH wf AS ({_WF_SQL}),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, word ASC) AS rn,
+         sum(freq) OVER (ORDER BY freq DESC, word ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM wf
+),
+tot AS (SELECT sum(freq) AS tot_tokens, count(*) AS n_types FROM wf)
+SELECT CAST(rn AS BIGINT) AS vocab_size,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((1000 * cum_tokens) // tot_tokens AS BIGINT)
+         AS coverage_milli
+FROM ranked CROSS JOIN tot
+WHERE (rn & (rn - 1)) = 0 OR rn = n_types
+""",
     "bpe_merge_pairs": f"""
 WITH wf AS ({_WF_SQL}),
 p AS (

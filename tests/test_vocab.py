@@ -99,3 +99,27 @@ def test_oov_probe_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_coverage_curve_matches_python_reference(spark):
+    """Brute-force the rank/cumsum curve; power-of-two sizes plus the
+    full-vocabulary terminal point, which must reach coverage 1000."""
+    from angelone_clickhouse_spark.operators.vocab import (
+        vocab_coverage_curve,
+    )
+
+    wf = _word_freq(_texts(spark))
+    ordered = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(wf.values())
+    cum, expect = 0, {}
+    for rn, (_, freq) in enumerate(ordered, start=1):
+        cum += freq
+        if rn & (rn - 1) == 0 or rn == len(ordered):
+            expect[rn] = (cum, 1000 * cum // tot)
+    rows = vocab_coverage_curve(spark, SF_CORRECT).collect()
+    assert {r.vocab_size for r in rows} == set(expect)
+    for r in rows:
+        assert (r.cum_tokens, r.coverage_milli) == expect[r.vocab_size]
+    # monotone, terminal point covers everything, first point doesn't
+    assert expect[max(expect)][1] == 1000
+    assert expect[1][1] < 1000
