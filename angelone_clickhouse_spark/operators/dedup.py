@@ -182,9 +182,17 @@ def _pairwise_jaccard(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     # Two-stage verification. Stage 1 SCREENS on the long hash arrays:
-    # nch = |hashes_a ∩ hashes_b| >= true overlap (collisions only
-    # add), and x/(na+nb-x) is increasing in x, so the screen value
-    # upper-bounds the true jaccard and the filter never drops a
+    # nch = |hashes_a ∩ hashes_b| >= true overlap PROVIDED no two
+    # DISTINCT shingles within one document collide at xxhash64 — an
+    # intra-doc collision would merge two hash-array elements and could
+    # undercount nch below the true string overlap, screening out a
+    # qualifying pair. We assume no intra-doc 64-bit collisions (for a
+    # d-shingle doc the chance is ~d^2/2^65; at d=10^4 that is ~3e-12
+    # per doc), the same assumption the prefix join above already
+    # makes, so the bit-exact contract with the string-based DuckDB
+    # oracle holds modulo that probability. CROSS-doc collisions only
+    # ADD to nch, and x/(na+nb-x) is increasing in x, so the screen
+    # value upper-bounds the true jaccard and the filter never drops a
     # qualifying pair. Stage 2 computes the EXACT jaccard from the
     # string sets for the screen's survivors only (~0.1% of
     # candidates here) — the expensive string intersect never runs on
@@ -668,7 +676,10 @@ def connected_components(
         prev_sum = label_sum
         label_sum = new_sum
         labels = new_labels
-        if prev_sum is not None and new_sum == prev_sum:
+        # new_sum is None iff the node set is empty (F.sum over zero
+        # rows yields NULL) — an empty graph is trivially converged, so
+        # break immediately instead of running max_iter empty rounds.
+        if new_sum is None or (prev_sum is not None and new_sum == prev_sum):
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
