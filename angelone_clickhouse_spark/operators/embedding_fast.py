@@ -43,7 +43,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from angelone_clickhouse_spark.operators.dedup import COSINE_THRESHOLD
-from angelone_clickhouse_spark.operators.similarity import N_QUERIES, TOP_K
+from angelone_clickhouse_spark.operators.similarity import (
+    EMB_DIM,
+    N_QUERIES,
+    TOP_K,
+)
 from angelone_clickhouse_spark.sources.tables import load_table
 
 PAIR_SCHEMA = "vec_a long, vec_b long, cos_sim double"
@@ -267,6 +271,22 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(cell, schema=KNN_SHORTLIST_SCHEMA)
         .select("src_id", "neighbor_id")
     )
+    return _rescore_rank_edges(spark, sf_dir, shortlist, KNN_K)
+
+
+def _rescore_rank_edges(
+    spark: SparkSession, sf_dir: str, edges: DataFrame, k: int
+) -> DataFrame:
+    """Shared exact tail of every kNN-graph path: re-score candidate
+    (src_id, neighbor_id) edges with the exact JVM cosine (the
+    sequential fold that is bit-identical to DuckDB's
+    list_dot_product, rounded to 6), then keep each source's top-k by
+    (cos_sim DESC, neighbor_id ASC). Living in one place keeps the
+    exact/approx ranking contract identical across the exact blocked
+    graph and its ANN twins, which is what lets one brute-force/LSH
+    oracle check each path verbatim."""
+    from angelone_clickhouse_spark.operators.similarity import _cos, _vectors
+
     vecs = _vectors(spark, sf_dir)
     a = vecs.select(
         F.col("vec_id").alias("src_id"),
@@ -279,7 +299,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("bn"),
     )
     scored = (
-        shortlist.join(a, "src_id")
+        edges.join(a, "src_id")
         .join(b, "neighbor_id")
         .select(
             "src_id",
@@ -296,7 +316,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
+        .filter(F.col("rank") <= k)
         .select(
             "src_id",
             "neighbor_id",
@@ -304,6 +324,191 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --- ANN self-kNN graph (the sub-quadratic twin of knn_graph) --------
+#
+# knn_graph above is the exact oracle baseline and inherently O(n^2)
+# FLOPs (SCALE.md: 5.1x at 10x data). The twin below replaces the
+# all-pairs block grid with LSH-bucketed candidate generation: a pair
+# is considered only if it shares a (table, bucket) key in one of
+# n_tables independent random-hyperplane tables (with hamming-1
+# multi-probe on the first n_flips planes), so total candidate volume
+# is ~ n * n_tables * (1 + n_flips) * bucket_size instead of n^2.
+#
+# The plane count ADAPTS to the corpus: planes = max(4,
+# ceil(log2(n / ANN_TARGET_BUCKET))), holding expected bucket size
+# ~constant as the corpus grows — candidate volume stays linear in n
+# (the DuckDB oracle computes the identical count from count(*), so
+# the contract survives any SF). Recall depends on how clustered the
+# embeddings are; the fixture is near-uniform (the worst case), so
+# the audited amplified setting scans a large corpus fraction to
+# reach recall >= 0.9 — on real clustered embeddings the same
+# machinery scans far less (see AUDIT_SETTINGS notes in
+# similarity.py). knn_ann_recall measures both registered settings
+# against the exact graph in-engine.
+
+ANN_TARGET_BUCKET = 8.0  # expected rows per LSH bucket (sets planes)
+KNN_ANN_TABLES, KNN_ANN_FLIPS = 4, 2  # scale-shaped default
+KNN_ANN_AMP_TABLES, KNN_ANN_AMP_FLIPS = 10, 6  # audited >=0.9 family
+
+
+def _adaptive_planes(n: int) -> int:
+    return max(4, math.ceil(math.log2(max(n, 2) / ANN_TARGET_BUCKET)))
+
+
+def knn_graph_ann_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    n_flips: int,
+    n_tables: int,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed approximate self-kNN graph.
+
+    Pipeline: one corpus pass computes all n_tables bucket ids
+    (deterministic md5-derived hyperplanes, similarity._bucket); the
+    corpus lands in its (t, bucket) cells and ALSO probes each cell
+    one hamming-flip away (first n_flips planes); each cell runs one
+    numpy matmul emitting per-probe-row top-(k + margin) under the
+    final ranking order; a global per-source numpy shortlist trims to
+    k + margin; the exact JVM re-score + rank makes the output
+    bit-identical to exactly ranking the FULL LSH candidate union —
+    which is what the DuckDB oracle computes (no cell truncation in
+    SQL; the margin absorbs numpy-vs-JVM 1e-6 grid flips at shortlist
+    boundaries, the same contract knn_graph's brute-force oracle
+    relies on).
+
+    Scale notes (100 TB): no all-pairs grid anywhere — the only
+    corpus shuffles are the (t, bucket) cell grouping (corpus
+    replicated n_tables * (2 + n_flips) ways, each row ~dim floats)
+    and the candidate dedup; cells are ~ANN_TARGET_BUCKET rows by
+    construction (hash-balanced; identical-vector pileups are the
+    skew caveat and land in one cell — cap cells or salt identical
+    hashes if a real corpus has them). Candidate volume is linear in
+    n at fixed settings because planes grow with log2(n)."""
+    from pyspark.sql.window import Window
+
+    from angelone_clickhouse_spark.operators.similarity import (
+        _bucket,
+        _vectors,
+    )
+
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    if n_planes is None:
+        n_planes = _adaptive_planes(vecs.count())
+    n_flips = min(n_flips, n_planes)
+    b = vecs
+    for t in range(n_tables):
+        b = _bucket(b, n_planes, plane_offset=t * n_planes, out=f"b{t}")
+    tb = b.select(
+        "vec_id",
+        F.col("v").alias("embedding"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("tb.t").alias("t"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    corpus = tb.withColumn("side", F.lit(1))
+    probe = tb.select(
+        "vec_id",
+        "embedding",
+        "t",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(n_flips)
+                ],
+            )
+        ).alias("bucket"),
+    ).withColumn("side", F.lit(0))
+    s = KNN_K + KNN_CELL_MARGIN
+
+    def cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        a_ids, a = _unit_rows(pdf[pdf["side"] == 0])
+        b_ids, bm = _unit_rows(pdf[pdf["side"] == 1])
+        return _rows_topk(a_ids, a, b_ids, bm, s, exclude_self=True)
+
+    cells = (
+        probe.unionByName(corpus)
+        .groupBy("t", "bucket")
+        .applyInPandas(cell, schema=KNN_SHORTLIST_SCHEMA)
+    )
+    w_np = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_np"), F.asc("neighbor_id")
+    )
+    cand = (
+        cells.dropDuplicates(["src_id", "neighbor_id"])
+        .withColumn("_r", F.row_number().over(w_np))
+        .filter(F.col("_r") <= s)
+        .select("src_id", "neighbor_id")
+    )
+    return _rescore_rank_edges(spark, sf_dir, cand, KNN_K)
+
+
+def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-shaped default setting (few tables, shallow multi-probe):
+    the cheap index a clustered real corpus would run; modest recall
+    on the near-uniform fixture by design (measured, not hidden — see
+    knn_ann_recall)."""
+    return knn_graph_ann_impl(spark, sf_dir, KNN_ANN_FLIPS, KNN_ANN_TABLES)
+
+
+def knn_graph_ann_amplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amplified setting — the self-graph sibling of similarity's
+    production-grade (6-plane, full multi-probe, 10-table) audited
+    family: recall >= 0.9 measured on the worst-case fixture at the
+    driver's gate SF (asserted in tests/test_embedding_fast.py)."""
+    return knn_graph_ann_impl(
+        spark, sf_dir, KNN_ANN_AMP_FLIPS, KNN_ANN_AMP_TABLES
+    )
+
+
+def knn_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of both registered ANN graph settings against the exact
+    blocked graph, per source — the audit that turns the ANN twin
+    into a defensible 100 TB claim (both operands are the registry's
+    own operators, so a green row certifies the pair's shared ranking
+    contract, like ann_recall_audit does for query top-k)."""
+    exact = knn_graph(spark, sf_dir).select("src_id", "neighbor_id")
+    out = None
+    for setting, flips, tables in (
+        ("default", KNN_ANN_FLIPS, KNN_ANN_TABLES),
+        ("amplified", KNN_ANN_AMP_FLIPS, KNN_ANN_AMP_TABLES),
+    ):
+        approx = knn_graph_ann_impl(spark, sf_dir, flips, tables).select(
+            "src_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        r = (
+            exact.join(approx, ["src_id", "neighbor_id"], "left")
+            .groupBy("src_id")
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("n_matched"),
+            )
+            .select(
+                F.lit(setting).alias("setting"),
+                "src_id",
+                "k",
+                "n_matched",
+                (F.col("n_matched") / F.col("k")).alias("recall"),
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
 
 
 def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,7 +634,106 @@ QUERIES = {
     "ann_topk_fast": ann_topk_fast,
     "knn_graph": knn_graph,
     "knn_label_purity": knn_label_purity,
+    "knn_graph_ann": knn_graph_ann,
+    "knn_graph_ann_amplified": knn_graph_ann_amplified,
+    "knn_ann_recall": knn_ann_recall,
 }
+
+
+def _knn_ann_oracle_sql(n_flips: int, n_tables: int) -> str:
+    """DuckDB spelling of knn_graph_ann_impl at a (flips, tables)
+    setting, with the SAME adaptive plane count computed from
+    count(*) in SQL (greatest(4, ceil(log2(n / target)))) — so one
+    static string stays parity-true at every SF. Hyperplanes are the
+    md5-derived family similarity._plane defines, with the plane
+    index fully dynamic (md5(p || '_' || d)); the candidate union is
+    ranked WITHOUT the Spark side's numpy shortlists, which is the
+    same margin-absorbed contract knn_graph's brute-force oracle
+    uses."""
+    return f"""
+WITH params AS (
+  SELECT GREATEST(4, CAST(ceil(log2(count(*) / {ANN_TARGET_BUCKET!r})) AS INTEGER)) AS np
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+planes AS (
+  SELECT p,
+         list_transform(generate_series(0, {EMB_DIM} - 1),
+           d -> ((('0x' || substring(md5(p::VARCHAR || '_' || d), 1, 15))::BIGINT
+                  % 2001 - 1000) / 1000.0)) AS h
+  FROM (SELECT UNNEST(generate_series(0, {n_tables} * np - 1)) AS p
+        FROM params)
+),
+bits AS (
+  SELECT e.vec_id,
+         CAST(pl.p // params.np AS INTEGER) AS t,
+         CASE WHEN list_dot_product(e.v, pl.h) > 0
+              THEN (1::BIGINT << CAST(pl.p % params.np AS INTEGER))
+              ELSE 0::BIGINT END AS bit
+  FROM e CROSS JOIN planes pl CROSS JOIN params
+),
+tb AS (
+  SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id, t
+),
+probes AS (
+  SELECT vec_id AS src_id, t,
+         UNNEST(list_concat([bucket],
+           list_transform(generate_series(0, LEAST({n_flips}, params.np) - 1),
+             pp -> xor(bucket, 1::BIGINT << CAST(pp AS INTEGER))))) AS probe
+  FROM tb CROSS JOIN params
+),
+cand AS (
+  SELECT DISTINCT p.src_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN tb c ON c.t = p.t AND c.bucket = p.probe
+  WHERE c.vec_id <> p.src_id
+),
+scored AS (
+  SELECT cand.src_id, cand.neighbor_id,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM cand
+  JOIN e a ON a.vec_id = cand.src_id
+  JOIN e b ON b.vec_id = cand.neighbor_id
+)
+SELECT src_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY src_id
+           ORDER BY cos_sim DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+) r
+WHERE rank <= {KNN_K}
+"""
+
+
+def _knn_ann_recall_oracle_sql() -> str:
+    parts = []
+    for setting, flips, tables in (
+        ("default", KNN_ANN_FLIPS, KNN_ANN_TABLES),
+        ("amplified", KNN_ANN_AMP_FLIPS, KNN_ANN_AMP_TABLES),
+    ):
+        parts.append(
+            f"""
+SELECT '{setting}' AS setting,
+       e.src_id,
+       count(*) AS k,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS recall
+FROM ({_KNN_ORACLE_SQL}) e
+LEFT JOIN ({_knn_ann_oracle_sql(flips, tables)}) a
+  ON e.src_id = a.src_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.src_id
+"""
+        )
+    return " UNION ALL ".join(f"({p})" for p in parts)
 
 _KNN_ORACLE_SQL = f"""
 WITH e AS (
@@ -484,6 +788,13 @@ def _shared_oracles() -> dict[str, str]:
         "ann_topk_fast": _sim.ORACLES["ann_topk_cosine"],
         "knn_graph": _KNN_ORACLE_SQL,
         "knn_label_purity": _KNN_PURITY_ORACLE_SQL,
+        "knn_graph_ann": _knn_ann_oracle_sql(
+            KNN_ANN_FLIPS, KNN_ANN_TABLES
+        ),
+        "knn_graph_ann_amplified": _knn_ann_oracle_sql(
+            KNN_ANN_AMP_FLIPS, KNN_ANN_AMP_TABLES
+        ),
+        "knn_ann_recall": _knn_ann_recall_oracle_sql(),
     }
 
 
