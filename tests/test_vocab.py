@@ -123,3 +123,61 @@ def test_coverage_curve_matches_python_reference(spark):
     # monotone, terminal point covers everything, first point doesn't
     assert expect[max(expect)][1] == 1000
     assert expect[1][1] < 1000
+
+
+def _bpe_python_reference(wf, k):
+    """Plain-Python Sennrich-style trainer: greedy left-to-right merge
+    of the (count DESC, a ASC, b ASC) winner, k iterations."""
+    state = {w: [c for c in w] for w in wf}
+    merges = []
+    for _ in range(k):
+        occ = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                occ[(syms[i], syms[i + 1])] += wf[w]
+        if not occ:
+            break
+        (a, b), n = sorted(
+            occ.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((f"{a} {b}", n))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The relational greedy-merge loop must reproduce the classic
+    scan-left implementation exactly: same winning pair and count at
+    every iteration (this pins the gaps-and-islands overlap parity
+    device against the imperative while-loop semantics)."""
+    from angelone_clickhouse_spark.operators.vocab import (
+        BPE_MERGES,
+        bpe_train,
+    )
+
+    wf = _word_freq(_texts(spark))
+    expect = _bpe_python_reference(wf, BPE_MERGES)
+    rows = sorted(
+        bpe_train(spark, SF_CORRECT).collect(), key=lambda r: r.merge_idx
+    )
+    got = [(r.pair, r.n_occurrences) for r in rows]
+    assert got == expect
+    # merge-frequency monotonicity: a merge can only create pairs
+    # rarer than itself and never raises an existing pair's count
+    counts = [n for _, n in got]
+    assert counts == sorted(counts, reverse=True)
+    # first merge must later re-merge into a longer symbol somewhere
+    # in the window, or the iteration depth is degenerate for the
+    # fixture (a multi-char symbol appears inside a later pair)
+    assert any(
+        len(p.replace(" ", "")) > 2 for p, _ in got
+    ), "no multi-character merge in the window — raise BPE_MERGES"
