@@ -53,6 +53,10 @@ from angelone_clickhouse_spark.operators.dedup import (
     _incremental_verdicts,
     minhash_signatures,
 )
+from angelone_clickhouse_spark.streaming.epoch_commit import (
+    commit_epoch_flat,
+    sweep_prefix,
+)
 
 DOCS_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
@@ -66,30 +70,10 @@ SIG_SCHEMA = "doc_id long, " + ", ".join(
 N_STREAM_EPOCHS = 4
 
 
-def _sweep_prefix(out_dir: str, prefix: str) -> None:
-    """Delete a crashed earlier attempt's files for this epoch."""
-    if os.path.isdir(out_dir):
-        for name in os.listdir(out_dir):
-            if name.startswith(prefix):
-                os.remove(os.path.join(out_dir, name))
-
-
-def _commit_epoch_flat(df: DataFrame, out_dir: str, epoch_id: int) -> None:
-    """Stage ``df`` with a normal parquet write, then move its part
-    files into the flat dataset under the epoch prefix — ingest.py's
-    committer without the date partitioning (these outputs are small:
-    one verdict row per doc, one index row per kept doc)."""
-    staging = os.path.join(out_dir + ".stage", f"epoch-{epoch_id}")
-    shutil.rmtree(staging, ignore_errors=True)
-    df.coalesce(1).write.mode("overwrite").parquet(staging)
-    os.makedirs(out_dir, exist_ok=True)
-    for name in os.listdir(staging):
-        if name.startswith("part-"):
-            os.rename(
-                os.path.join(staging, name),
-                os.path.join(out_dir, f"e{epoch_id}-" + name),
-            )
-    shutil.rmtree(staging, ignore_errors=True)
+# Backward-compatible names for the shared committer (the full
+# at-least-once contract is documented once, in epoch_commit.py).
+_sweep_prefix = sweep_prefix
+_commit_epoch_flat = commit_epoch_flat
 
 
 def _read_index(

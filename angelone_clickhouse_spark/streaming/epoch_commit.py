@@ -1,0 +1,120 @@
+"""THE epoch committer: retry-idempotent parquet appends for
+foreachBatch sinks, in one place (VERDICT r9 #5 — this device was
+previously spelled separately in ingest.py, docdedup.py and
+novelty.py).
+
+The at-least-once contract, documented once
+-------------------------------------------
+
+Structured Streaming's ``foreachBatch`` guarantees each epoch runs AT
+LEAST once: a crash anywhere between the sink write and the streaming
+commit log re-runs the whole epoch with the SAME ``epoch_id`` and (for
+replayable sources) the same input rows. A plain ``mode("append")``
+write therefore duplicates the epoch's rows on retry. The committer
+turns that into effective exactly-once for deterministic epoch
+computations, with three moves:
+
+1. **Stage** — write the epoch with a normal parquet job into a
+   private staging directory (``<out>.stage/epoch-<id>``), never into
+   the dataset.
+2. **Sweep** — delete every file in the dataset carrying this epoch's
+   deterministic ``e{epoch_id}-`` prefix (a crashed earlier attempt's
+   leftovers). Readers between sweep and commit see the dataset
+   *without* the epoch — exactly the state the retry is about to
+   recompute from, so index-consuming epochs (docdedup/novelty) stay
+   bit-deterministic.
+3. **Commit** — rename the staged part files into the dataset under
+   the epoch prefix. Renames are per-file (not atomic as a set), which
+   is why the sweep must run first on the retry path.
+
+At cluster scale the same contract comes from a committing table
+format (Delta/Iceberg transactional append); this device stands in for
+it on a plain filesystem and keeps the plan shape identical. The
+driver-side file loops are bounded by the trigger size (files per
+epoch), never by data size.
+
+``streaming/rollup.py`` deliberately does NOT use this module: its
+sink is a per-day REPLACEMENT (merge + swap with ``_last_epoch``
+markers), not an append — a different idempotence contract.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def epoch_prefix(epoch_id: int) -> str:
+    return f"e{epoch_id}-"
+
+
+def sweep_prefix(out_dir: str, prefix: str) -> None:
+    """Delete a crashed earlier attempt's files for this epoch (flat
+    dataset layout)."""
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith(prefix):
+                os.remove(os.path.join(out_dir, name))
+
+
+def sweep_prefix_partitioned(
+    out_dir: str, prefix: str, partition_prefix: str = "date="
+) -> None:
+    """Sweep for a hive-partitioned dataset: walk each
+    ``<partition_prefix>*`` directory and delete this epoch's files."""
+    if not os.path.isdir(out_dir):
+        return
+    for dpart in os.listdir(out_dir):
+        d = os.path.join(out_dir, dpart)
+        if dpart.startswith(partition_prefix) and os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.startswith(prefix):
+                    os.remove(os.path.join(d, name))
+
+
+def commit_epoch_flat(df: DataFrame, out_dir: str, epoch_id: int) -> None:
+    """Stage ``df`` (single part file — these outputs are per-epoch
+    small by construction), sweep, and commit into a FLAT dataset
+    under the epoch prefix."""
+    staging = os.path.join(out_dir + ".stage", f"epoch-{epoch_id}")
+    shutil.rmtree(staging, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    sweep_prefix(out_dir, epoch_prefix(epoch_id))
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(staging):
+        if name.startswith("part-"):
+            os.rename(
+                os.path.join(staging, name),
+                os.path.join(out_dir, epoch_prefix(epoch_id) + name),
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def commit_epoch_partitioned(
+    staging_dir: str,
+    out_dir: str,
+    epoch_id: int,
+    partition_prefix: str = "date=",
+) -> None:
+    """Sweep + commit an ALREADY-STAGED hive-partitioned epoch write
+    into the partitioned dataset (the caller stages, because the
+    staging job carries sink-specific layout: repartition/sort/
+    maxRecordsPerFile — see ingest.make_epoch_appender)."""
+    prefix = epoch_prefix(epoch_id)
+    sweep_prefix_partitioned(out_dir, prefix, partition_prefix)
+    for dpart in os.listdir(staging_dir):
+        src_dir = os.path.join(staging_dir, dpart)
+        if not dpart.startswith(partition_prefix) or not os.path.isdir(
+            src_dir
+        ):
+            continue
+        dst_dir = os.path.join(out_dir, dpart)
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in os.listdir(src_dir):
+            if name.startswith("part-"):
+                os.rename(
+                    os.path.join(src_dir, name),
+                    os.path.join(dst_dir, prefix + name),
+                )

@@ -47,6 +47,9 @@ from pyspark.sql.window import Window
 from angelone_clickhouse_spark.sources.tables import trunc_ntz
 
 from angelone_clickhouse_spark.sources.decoder import decode_frames, wire_to_ticks
+from angelone_clickhouse_spark.streaming.epoch_commit import (
+    commit_epoch_partitioned,
+)
 
 FRAME_STREAM_SCHEMA = "frame binary"
 
@@ -102,38 +105,9 @@ def decode_tick_stream(frames: DataFrame, watermark: str = "1 hour") -> DataFram
     return ticks.dropDuplicates(["token", "sequence_number"])
 
 
-def _commit_epoch_files(staging_dir: str, out_dir: str, epoch_id: int) -> None:
-    """Move a staged epoch's part files into the date-partitioned
-    dataset under deterministic epoch-prefixed names, after deleting
-    any files a crashed earlier attempt of the SAME epoch left behind
-    — the retry-idempotence device foreachBatch's AT-LEAST-ONCE
-    contract requires for an append sink (rollup.py solves the same
-    problem with per-day swap + ``_last_epoch`` markers; a plain
-    append only needs prefix-cleanup + rename). Driver-side loop over
-    the epoch's files — bounded by the trigger size, not data size;
-    at cluster scale the same contract comes from a committing table
-    format (Delta/Iceberg), which this device stands in for on a
-    plain filesystem."""
-    prefix = f"e{epoch_id}-"
-    if os.path.isdir(out_dir):  # sweep a crashed attempt's files
-        for dpart in os.listdir(out_dir):
-            d = os.path.join(out_dir, dpart)
-            if dpart.startswith("date=") and os.path.isdir(d):
-                for name in os.listdir(d):
-                    if name.startswith(prefix):
-                        os.remove(os.path.join(d, name))
-    for dpart in os.listdir(staging_dir):
-        src_dir = os.path.join(staging_dir, dpart)
-        if not dpart.startswith("date=") or not os.path.isdir(src_dir):
-            continue
-        dst_dir = os.path.join(out_dir, dpart)
-        os.makedirs(dst_dir, exist_ok=True)
-        for name in os.listdir(src_dir):
-            if name.startswith("part-"):
-                os.rename(
-                    os.path.join(src_dir, name),
-                    os.path.join(dst_dir, prefix + name),
-                )
+# Backward-compatible name for the shared committer (the full
+# at-least-once contract is documented once, in epoch_commit.py).
+_commit_epoch_files = commit_epoch_partitioned
 
 
 def make_epoch_appender(
@@ -142,9 +116,10 @@ def make_epoch_appender(
     """The foreachBatch append function for :func:`ingest_to_parquet`
     — module-level so its retry-idempotence is directly testable.
     Stages the epoch with a normal parquet write, then commits via
-    :func:`_commit_epoch_files`; a retried epoch (crash anywhere
-    between the sink write and the streaming commit log) replaces its
-    own files instead of appending duplicates."""
+    :func:`epoch_commit.commit_epoch_partitioned` (the shared
+    sweep+rename committer); a retried epoch (crash anywhere between
+    the sink write and the streaming commit log) replaces its own
+    files instead of appending duplicates."""
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
         staging = os.path.join(

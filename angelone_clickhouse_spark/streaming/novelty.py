@@ -51,12 +51,14 @@ from pyspark.sql import functions as F
 
 from angelone_clickhouse_spark.operators.mixing import NOVELTY_N
 from angelone_clickhouse_spark.streaming.docdedup import (
-    _commit_epoch_flat,
     _read_index,
-    _sweep_prefix,
     DOCS_SCHEMA,
     N_STREAM_EPOCHS,
     write_epoch_replay,
+)
+from angelone_clickhouse_spark.streaming.epoch_commit import (
+    commit_epoch_flat,
+    sweep_prefix,
 )
 
 GRAM_SCHEMA = "gram string"
@@ -115,14 +117,14 @@ def make_novelty_epoch_writer(out_dir: str, index_dir: str):
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        _sweep_prefix(out_dir, f"e{epoch_id}-")
-        _sweep_prefix(index_dir, f"e{epoch_id}-")
+        sweep_prefix(out_dir, f"e{epoch_id}-")
+        sweep_prefix(index_dir, f"e{epoch_id}-")
         index = _read_index(spark, index_dir, GRAM_SCHEMA)
         verdicts, new_grams = novelty_epoch(batch, index)
         verdicts = verdicts.localCheckpoint(eager=True)
         new_grams = new_grams.localCheckpoint(eager=True)
-        _commit_epoch_flat(verdicts, out_dir, epoch_id)
-        _commit_epoch_flat(new_grams, index_dir, epoch_id)
+        commit_epoch_flat(verdicts, out_dir, epoch_id)
+        commit_epoch_flat(new_grams, index_dir, epoch_id)
 
     return write_epoch
 
