@@ -140,6 +140,7 @@ def _registries():
         "angelone_clickhouse_spark.sources.token_config",
         "angelone_clickhouse_spark.streaming.batch_equiv",
         "angelone_clickhouse_spark.streaming.docdedup",
+        "angelone_clickhouse_spark.streaming.embdedup",
         "angelone_clickhouse_spark.streaming.novelty",
         "angelone_clickhouse_spark.streaming.stream_join",
         "angelone_clickhouse_spark.streaming.sessions",

@@ -1,0 +1,163 @@
+"""Streaming survivor-index embedding dedup (streaming/embdedup.py):
+stream == sequential-batch equivalence, retry idempotence, restart
+resume, and a planted-duplicate sanity check. Mirrors
+tests/test_docdedup.py — same contract, cosine instead of MinHash."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.streaming.docdedup import (
+    N_STREAM_EPOCHS,
+    _read_index,
+)
+from angelone_clickhouse_spark.streaming.embdedup import (
+    EMB_SCHEMA,
+    INDEX_SCHEMA,
+    VERDICT_SCHEMA,
+    make_embdedup_epoch_writer,
+    semdedup_epoch,
+    semdedup_stream,
+    write_emb_epoch_replay,
+)
+
+
+def _rows(df):
+    return {
+        (r.vec_id, r.dup_of_index, r.dup_of_batch, r.keep)
+        for r in df.collect()
+    }
+
+
+def _verdicts(spark, out_dir):
+    return spark.read.schema(VERDICT_SCHEMA).parquet(out_dir)
+
+
+def _index_rows(spark, index_dir):
+    return {
+        (r.vec_id, tuple(r.v))
+        for r in _read_index(spark, index_dir, INDEX_SCHEMA).collect()
+    }
+
+
+def _sequential_replica(spark, sf_dir):
+    """The stream's semantics as a driver-side loop over batch jobs:
+    epoch k's vectors vs the accumulated kept-vector index."""
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = spark.createDataFrame([], INDEX_SCHEMA)
+    out = set()
+    for k in range(N_STREAM_EPOCHS):
+        batch = emb.filter((F.col("vec_id") % N_STREAM_EPOCHS) == k)
+        verdicts, kept = semdedup_epoch(batch, index)
+        verdicts = verdicts.localCheckpoint(eager=True)
+        out |= _rows(verdicts)
+        index = index.unionByName(
+            kept.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
+    return out, index
+
+
+def test_stream_equals_sequential_batch(spark, sf_dir, tmp_path):
+    emb_dir = str(tmp_path / "in")
+    write_emb_epoch_replay(spark, sf_dir, emb_dir)
+    out_dir, index_dir = str(tmp_path / "v"), str(tmp_path / "idx")
+    semdedup_stream(
+        spark, emb_dir, out_dir, index_dir, str(tmp_path / "ckpt")
+    )
+    got = _rows(_verdicts(spark, out_dir))
+    want, want_index = _sequential_replica(spark, sf_dir)
+    assert got == want
+    assert _index_rows(spark, index_dir) == {
+        (r.vec_id, tuple(r.v)) for r in want_index.collect()
+    }
+    n_vec = spark.read.parquet(emb_dir).count()
+    assert len(got) == n_vec
+    assert len({g[0] for g in got}) == n_vec
+    # non-degenerate: the gate must both keep and drop something
+    assert any(g[3] for g in got) and any(not g[3] for g in got)
+
+
+def test_epoch_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-running an epoch must
+    replace its own files, not append duplicates — including the
+    index, whose partial append would poison the NEXT epoch."""
+    emb_dir = str(tmp_path / "in")
+    write_emb_epoch_replay(spark, sf_dir, emb_dir)
+    files = sorted(os.listdir(emb_dir))
+    out_dir, index_dir = str(tmp_path / "v"), str(tmp_path / "idx")
+    writer = make_embdedup_epoch_writer(out_dir, index_dir)
+
+    def batch_of(name):
+        return spark.read.schema(EMB_SCHEMA).parquet(
+            os.path.join(emb_dir, name)
+        )
+
+    writer(batch_of(files[0]), 0)
+    once_v = _rows(_verdicts(spark, out_dir))
+    once_i = _index_rows(spark, index_dir)
+    writer(batch_of(files[0]), 0)  # the retry
+    assert _rows(_verdicts(spark, out_dir)) == once_v
+    assert _index_rows(spark, index_dir) == once_i
+    writer(batch_of(files[1]), 1)  # next epoch still sees a clean index
+    assert len(_verdicts(spark, out_dir).collect()) == batch_of(
+        files[0]
+    ).count() + batch_of(files[1]).count()
+
+
+def test_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Stop after the first two epochs, add the rest, re-run with the
+    same checkpoint: final state equals one uninterrupted run."""
+    full_dir = str(tmp_path / "all")
+    write_emb_epoch_replay(spark, sf_dir, full_dir)
+    files = sorted(os.listdir(full_dir))
+    emb_dir = str(tmp_path / "in")
+    os.makedirs(emb_dir)
+    for name in files[:2]:
+        shutil.copy2(
+            os.path.join(full_dir, name), os.path.join(emb_dir, name)
+        )
+    out_dir, index_dir = str(tmp_path / "v"), str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    semdedup_stream(spark, emb_dir, out_dir, index_dir, ckpt)
+    assert len(_rows(_verdicts(spark, out_dir))) == spark.read.parquet(
+        emb_dir
+    ).count()
+    for name in files[2:]:
+        shutil.copy2(
+            os.path.join(full_dir, name), os.path.join(emb_dir, name)
+        )
+    semdedup_stream(spark, emb_dir, out_dir, index_dir, ckpt)
+    got = _rows(_verdicts(spark, out_dir))
+    want, _ = _sequential_replica(spark, sf_dir)
+    assert got == want
+
+
+def test_planted_duplicates_gated(spark):
+    """A vector identical to an indexed survivor is a dup_of_index; a
+    within-batch copy of a new vector is a dup_of_batch pointing at
+    the smaller id; an orthogonal vector is kept."""
+    dim = 4
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    index = spark.createDataFrame([(0, e1)], INDEX_SCHEMA)
+    batch = spark.createDataFrame(
+        [
+            (10, [float(x) for x in e1], 0),  # copy of indexed 0
+            (11, [float(x) for x in e2], 0),  # novel
+            (12, [float(x) for x in e2], 0),  # copy of 11 (same batch)
+        ],
+        EMB_SCHEMA,
+    )
+    verdicts, kept = semdedup_epoch(batch, index)
+    got = _rows(verdicts)
+    assert got == {
+        (10, 0, None, False),
+        (11, None, None, True),
+        (12, None, 11, False),
+    }
+    assert {r.vec_id for r in kept.collect()} == {11}
