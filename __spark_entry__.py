@@ -32,75 +32,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # their value-parity guarantee via tests/test_full_parity.py at
 # sf0.001 and tools/check_parity.py runs at larger SFs.
 _PRIORITY = [
-    # r9 window. NOTE: no CORRECTNESS_r08.json was recorded, so the
-    # r8 window earned no driver rows — the r4-stale refresh r8
-    # attempted is still owed, and the r8-new media ops still have no
-    # row at all. This window = (a) surface changed/new THIS round,
-    # (b) the row-less r8-new ops, (c) every remaining r4-stale name.
-    # (a) changed/new in r9 — must (re-)earn rows
-    "tfidf_top_terms",         # NEW: per-doc tf-idf keyword extraction
-    "shard_plan",              # NEW: deterministic shuffle/shard layout
-    "source_mixture_weights",  # NEW: capped source mixture reweighting
-    "novelty_ngram_rate",      # NEW: arrival-order n-gram novelty
-    "mixture_sample",          # NEW: two-phase exact mixture sampler
-    "knn_graph",               # NEW: blocked exact self-kNN graph
-    "knn_label_purity",        # NEW: kNN label-purity diagnostic
-    "pack_efficiency",         # NEW: per-source packing report
-    "doc_length_histogram",    # NEW: corpus length profile
-    "bpe_merge_pairs",         # NEW: BPE merge-pair statistics
-    "vocab_oov_rate",          # NEW: OOV rate vs top-k vocabulary
-    "vocab_coverage_curve",    # NEW: token coverage vs vocab size
-    "stream_dedup_docs",       # NEW: streaming survivor-index dedup
-    "stream_novelty_docs",     # NEW: streaming seen-gram novelty
-    "dedup_incremental",       # NEW: batch-vs-corpus dedup
-    "dedup_ngram_jaccard",     # positional filter + 2-stage verify
-    "dedup_clusters",          # same core + new CC convergence probe
-    "dedup_minhash_lsh",       # _band_keys/_est_sim refactor
-    "dedup_clusters_minhash",  # CC convergence probe
-    "dedup_survivors",         # CC convergence probe
-    # (b) r8-new ops that never got a driver row
-    "audio_features",
-    "image_resize",
-    "multimodal_gate",
-    "video_frames",
-    # (c) the r4-stale refresh (rows last green in r4)
-    "sessionize_events",
-    "tokens_by_exchange",
-    "q2_daily_stats",
-    "q3_recency_check",
-    "q4_latest_prices",
-    "q6_volume_profile",
-    "q7_sample",
-    "enrich_tokens_join",
-    "unknown_exchange_tokens",
-    "pricing_summary",
-    "revenue_rollup",
-    "order_priority_cube",
-    "revenue_by_nation",
-    "top_customers",
-    "customer_order_ranks",
-    "customer_balance_quartiles",
-    "customers_with_urgent_orders",
-    "customers_without_orders",
-    "orders_above_nation_avg",
-    "shipping_priority",
-    "late_shipment_priorities",
-    "volume_shipping",
-    "nation_profit",
-    "returned_item_revenue",
-    "promo_revenue_share",
-    "parts_supplier_counts",
-    # exactly 50 entries above — the driver gate stops there. Next
-    # round: the r4-stale names displaced by this round's new ops
-    # (large_orders, disjunctive_revenue, supplier_late_blame,
-    # kmeans_refine, trailing_activity_range, event_type_pivot,
-    # event_type_unpivot, union_nationkeys, text_token_stats,
-    # text_quality, text_lang_stats, text_tokenize_regex,
-    # distinct_tokens_approx, ann_ivf_topk), then the r5-stale
-    # refresh (ann_topk_quantized,
-    # chunk_documents, customer_order_distribution, decode_ticks,
-    # decode_ticks_enriched, decontaminate_*, dedup_embedding_fast,
-    # distinct_users_hll/theta, doc_bigram_logprob, ...)
+    # r10 window = (a) new this round, (b) ops whose CODE changed this
+    # round (must re-earn a row), (c) the ENTIRE remaining r4-stale
+    # refresh (VERDICT r9 #1), (d) the 23 oldest r5-stale names that
+    # fit. After this round no driver row predates r5, and 15 r5
+    # names remain for r11 (listed at the bottom).
+    # (a) new in r10
+    "knn_graph_ann",            # NEW: LSH-bucketed ANN self-kNN graph
+    "knn_graph_ann_amplified",  # NEW: >=0.9-recall amplified setting
+    "knn_ann_recall",           # NEW: ANN-graph recall audit
+    "ann_lsh_topk_amplified",   # NEW: audited amplified query top-k
+    "bpe_train",                # NEW: iterated BPE trainer
+    "stream_semdedup",          # NEW: streaming embedding gate
+    # (b) code changed in r10
+    "vocab_coverage_curve",     # distributed two-phase cumsum
+    "knn_graph",                # shared _rescore_rank_edges tail
+    "dedup_clusters",           # empty-graph convergence probe
+    "dedup_clusters_minhash",   # empty-graph convergence probe
+    "dedup_survivors",          # empty-graph convergence probe
+    "stream_dedup_docs",        # shared epoch committer
+    "stream_novelty_docs",      # shared epoch committer
+    # (c) the complete r4-stale refresh
+    "ann_ivf_topk",
+    "disjunctive_revenue",
+    "distinct_tokens_approx",
+    "event_type_pivot",
+    "event_type_unpivot",
+    "kmeans_refine",
+    "large_orders",
+    "supplier_late_blame",
+    "text_lang_stats",
+    "text_quality",
+    "text_token_stats",
+    "text_tokenize_regex",
+    "trailing_activity_range",
+    "union_nationkeys",
+    # (d) 23 oldest r5-stale names (alphabetical, with the three
+    # declared-surface queries q1/q5/q8 pulled forward)
+    "ann_topk_quantized",
+    "chunk_documents",
+    "customer_order_distribution",
+    "decode_ticks",
+    "decode_ticks_enriched",
+    "decontaminate_fingerprint",
+    "decontaminate_hashed",
+    "decontaminate_ngrams",
+    "dedup_embedding_fast",
+    "distinct_users_hll",
+    "distinct_users_theta",
+    "doc_bigram_logprob",
+    "doc_unigram_logprob",
+    "dominant_part_suppliers",
+    "event_transitions",
+    "forecast_revenue",
+    "idle_rich_customers",
+    "important_brands",
+    "kmeans_assign",
+    "local_supplier_volume",
+    "q1_latest_tick",
+    "q5_daily_ohlcv",
+    "q8_token_stats",
+    # exactly 50 entries above — the driver gate stops there. r11
+    # owes the final 15 r5-stale names: market_share, max_drawdown,
+    # min_cost_suppliers, orders_monthly_growth, pipeline_e2e,
+    # price_quantiles_kll, rolling_volatility, ship_latency_classes,
+    # small_qty_revenue, source_overlap_matrix, span_dedup_corpus,
+    # span_dedup_rewrite, text_fingerprint, top_supplier_revenue,
+    # top_tokens_sketch.
 ]
 
 
