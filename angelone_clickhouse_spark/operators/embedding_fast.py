@@ -477,21 +477,34 @@ def knn_graph_ann_amplified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# settings the self-graph recall audit sweeps: (name, flips, tables,
+# planes — None = adaptive). The first two are the registered ops; the
+# third holds the plane count FIXED at 6 while amplifying, which
+# demonstrates that on the near-uniform worst-case fixture recall at
+# ANY corpus size is a scan-fraction SETTING, not a ceiling: adaptive
+# planes trade recall for linear candidate volume (amplified recall
+# 0.95 at n=500/np=6 -> 0.66 at n=2000/np=8), and pinning the planes
+# buys it back by scanning a constant corpus fraction — the knob a
+# real deployment turns per-corpus using exactly this audit.
+KNN_ANN_AUDIT_SETTINGS: tuple[tuple[str, int, int, int | None], ...] = (
+    ("default", KNN_ANN_FLIPS, KNN_ANN_TABLES, None),
+    ("amplified", KNN_ANN_AMP_FLIPS, KNN_ANN_AMP_TABLES, None),
+    ("amplified_fixed_planes", KNN_ANN_AMP_FLIPS, KNN_ANN_AMP_TABLES, 6),
+)
+
+
 def knn_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of both registered ANN graph settings against the exact
-    blocked graph, per source — the audit that turns the ANN twin
-    into a defensible 100 TB claim (both operands are the registry's
-    own operators, so a green row certifies the pair's shared ranking
+    """Recall of the ANN graph settings against the exact blocked
+    graph, per source — the audit that turns the ANN twin into a
+    defensible 100 TB claim (the operands are the registry's own
+    operators, so a green row certifies the pair's shared ranking
     contract, like ann_recall_audit does for query top-k)."""
     exact = knn_graph(spark, sf_dir).select("src_id", "neighbor_id")
     out = None
-    for setting, flips, tables in (
-        ("default", KNN_ANN_FLIPS, KNN_ANN_TABLES),
-        ("amplified", KNN_ANN_AMP_FLIPS, KNN_ANN_AMP_TABLES),
-    ):
-        approx = knn_graph_ann_impl(spark, sf_dir, flips, tables).select(
-            "src_id", "neighbor_id", F.lit(1).alias("hit")
-        )
+    for setting, flips, tables, planes in KNN_ANN_AUDIT_SETTINGS:
+        approx = knn_graph_ann_impl(
+            spark, sf_dir, flips, tables, planes
+        ).select("src_id", "neighbor_id", F.lit(1).alias("hit"))
         r = (
             exact.join(approx, ["src_id", "neighbor_id"], "left")
             .groupBy("src_id")
@@ -640,20 +653,29 @@ QUERIES = {
 }
 
 
-def _knn_ann_oracle_sql(n_flips: int, n_tables: int) -> str:
-    """DuckDB spelling of knn_graph_ann_impl at a (flips, tables)
-    setting, with the SAME adaptive plane count computed from
-    count(*) in SQL (greatest(4, ceil(log2(n / target)))) — so one
-    static string stays parity-true at every SF. Hyperplanes are the
-    md5-derived family similarity._plane defines, with the plane
-    index fully dynamic (md5(p || '_' || d)); the candidate union is
-    ranked WITHOUT the Spark side's numpy shortlists, which is the
-    same margin-absorbed contract knn_graph's brute-force oracle
-    uses."""
+def _knn_ann_oracle_sql(
+    n_flips: int, n_tables: int, n_planes: int | None = None
+) -> str:
+    """DuckDB spelling of knn_graph_ann_impl at a (flips, tables,
+    planes) setting, with the SAME adaptive plane count computed from
+    count(*) in SQL (greatest(4, ceil(log2(n / target)))) when
+    ``n_planes`` is None — so one static string stays parity-true at
+    every SF. Hyperplanes are the md5-derived family
+    similarity._plane defines, with the plane index fully dynamic
+    (md5(p || '_' || d)); the candidate union is ranked WITHOUT the
+    Spark side's numpy shortlists, which is the same margin-absorbed
+    contract knn_graph's brute-force oracle uses."""
+    # params must be exactly ONE row (every stage CROSS JOINs it): the
+    # adaptive spelling aggregates; the fixed spelling has no FROM.
+    params_cte = (
+        f"SELECT GREATEST(4, CAST(ceil(log2(count(*) /"
+        f" {ANN_TARGET_BUCKET!r})) AS INTEGER)) AS np FROM embeddings"
+        if n_planes is None
+        else f"SELECT {n_planes} AS np"
+    )
     return f"""
 WITH params AS (
-  SELECT GREATEST(4, CAST(ceil(log2(count(*) / {ANN_TARGET_BUCKET!r})) AS INTEGER)) AS np
-  FROM embeddings
+  {params_cte}
 ),
 e AS (
   SELECT vec_id,
@@ -714,10 +736,7 @@ WHERE rank <= {KNN_K}
 
 def _knn_ann_recall_oracle_sql() -> str:
     parts = []
-    for setting, flips, tables in (
-        ("default", KNN_ANN_FLIPS, KNN_ANN_TABLES),
-        ("amplified", KNN_ANN_AMP_FLIPS, KNN_ANN_AMP_TABLES),
-    ):
+    for setting, flips, tables, planes in KNN_ANN_AUDIT_SETTINGS:
         parts.append(
             f"""
 SELECT '{setting}' AS setting,
@@ -728,7 +747,7 @@ SELECT '{setting}' AS setting,
        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
             AS DOUBLE) / count(*) AS recall
 FROM ({_KNN_ORACLE_SQL}) e
-LEFT JOIN ({_knn_ann_oracle_sql(flips, tables)}) a
+LEFT JOIN ({_knn_ann_oracle_sql(flips, tables, planes)}) a
   ON e.src_id = a.src_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.src_id
 """
