@@ -44,6 +44,7 @@ _PRIORITY = [
     "ann_lsh_topk_amplified",   # NEW: audited amplified query top-k
     "bpe_train",                # NEW: iterated BPE trainer
     "stream_semdedup",          # NEW: streaming embedding gate
+    "knn_graph_ivf",            # NEW: IVF-bucketed ANN self-kNN graph
     # (b) code changed in r10
     "vocab_coverage_curve",     # distributed two-phase cumsum
     "knn_graph",                # shared _rescore_rank_edges tail
@@ -88,12 +89,13 @@ _PRIORITY = [
     "idle_rich_customers",
     "important_brands",
     "kmeans_assign",
-    "local_supplier_volume",
     "q1_latest_tick",
     "q5_daily_ohlcv",
     "q8_token_stats",
-    # exactly 50 entries above — the driver gate stops there. r11
-    # owes the final 15 r5-stale names: market_share, max_drawdown,
+    # exactly 50 entries above — the driver gate stops there (the
+    # late-added knn_graph_ivf displaced local_supplier_volume from
+    # slot (d) to r11). r11 owes the final 16 r5-stale names:
+    # local_supplier_volume, market_share, max_drawdown,
     # min_cost_suppliers, orders_monthly_growth, pipeline_e2e,
     # price_quantiles_kll, rolling_volatility, ship_latency_classes,
     # small_qty_revenue, source_overlap_matrix, span_dedup_corpus,

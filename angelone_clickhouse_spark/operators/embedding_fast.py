@@ -435,6 +435,18 @@ def knn_graph_ann_impl(
             )
         ).alias("bucket"),
     ).withColumn("side", F.lit(0))
+    cells = _cells_shortlist(probe, corpus, ["t", "bucket"])
+    return _shortlist_rescore_rank(spark, sf_dir, cells, KNN_K)
+
+
+def _cells_shortlist(
+    probe: DataFrame, corpus: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Shared cell stage of the ANN self-graph family: group probe
+    (side=0) and corpus (side=1) rows — (vec_id, embedding, *keys,
+    side) — by the bucket key and run one numpy matmul per cell,
+    emitting each probe row's per-cell top-(k + margin) under the
+    final ranking order (self matches excluded)."""
     s = KNN_K + KNN_CELL_MARGIN
 
     def cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -442,11 +454,25 @@ def knn_graph_ann_impl(
         b_ids, bm = _unit_rows(pdf[pdf["side"] == 1])
         return _rows_topk(a_ids, a, b_ids, bm, s, exclude_self=True)
 
-    cells = (
+    return (
         probe.unionByName(corpus)
-        .groupBy("t", "bucket")
+        .groupBy(*keys)
         .applyInPandas(cell, schema=KNN_SHORTLIST_SCHEMA)
     )
+
+
+def _shortlist_rescore_rank(
+    spark: SparkSession, sf_dir: str, cells: DataFrame, k: int
+) -> DataFrame:
+    """Shared tail of the ANN self-graph family: dedup candidate
+    edges across cells, trim to a per-source numpy shortlist
+    (k + margin — the margin absorbs numpy-vs-JVM 1e-6 grid flips at
+    the boundary, knn_graph's contract), then the exact JVM re-score
+    + rank, so the output equals exactly ranking the full candidate
+    union — which is what the SQL oracles compute."""
+    from pyspark.sql.window import Window
+
+    s = KNN_K + KNN_CELL_MARGIN
     w_np = Window.partitionBy("src_id").orderBy(
         F.desc("cos_np"), F.asc("neighbor_id")
     )
@@ -456,7 +482,63 @@ def knn_graph_ann_impl(
         .filter(F.col("_r") <= s)
         .select("src_id", "neighbor_id")
     )
-    return _rescore_rank_edges(spark, sf_dir, cand, KNN_K)
+    return _rescore_rank_edges(spark, sf_dir, cand, k)
+
+
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN self-kNN graph — the inverted-file sibling of
+    :func:`knn_graph_ann` (the other classic shortlist structure,
+    completing the LSH/IVF pair the exact graph's scale story names):
+    every vector lives in its nearest-centroid list and PROBES its
+    ``N_PROBE`` closest lists; candidates are (prober, list member)
+    pairs, then the family's shared cell-shortlist -> exact re-score
+    -> rank tail.
+
+    Centroids are the same deterministic SEED corpus vectors
+    ann_ivf_topk uses (similarity.py: a float k-means mean would
+    break the cross-engine oracle; at cluster scale you run k-means||
+    once and persist the assignment as a bucketed table, plan shape
+    unchanged). Scale notes: centroid count grows ~sqrt(n) at scale
+    (fixed at N_CENTROIDS here), probes bound the scanned fraction to
+    ~N_PROBE/N_CENTROIDS; the corpus shuffles once per side on the
+    list id, centroids broadcast, nothing collects."""
+    from pyspark.sql.window import Window
+
+    from angelone_clickhouse_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        _cos,
+        _vectors,
+    )
+
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+    cents = vecs.filter(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    sim = F.round(
+        _cos(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn")), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cent_sim"), F.asc("cent_id")
+    )
+    ranked = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cent_id", sim.alias("cent_sim"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    members = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("v").alias("embedding"), "cent_id"
+    ).withColumn("side", F.lit(1))
+    probes = ranked.filter(F.col("rn") <= N_PROBE).select(
+        "vec_id", F.col("v").alias("embedding"), "cent_id"
+    ).withColumn("side", F.lit(0))
+    cells = _cells_shortlist(probes, members, ["cent_id"])
+    return _shortlist_rescore_rank(spark, sf_dir, cells, KNN_K)
 
 
 def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,11 +582,16 @@ def knn_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators, so a green row certifies the pair's shared ranking
     contract, like ann_recall_audit does for query top-k)."""
     exact = knn_graph(spark, sf_dir).select("src_id", "neighbor_id")
+    arms: list[tuple[str, DataFrame]] = [
+        (setting, knn_graph_ann_impl(spark, sf_dir, flips, tables, planes))
+        for setting, flips, tables, planes in KNN_ANN_AUDIT_SETTINGS
+    ]
+    arms.append(("ivf", knn_graph_ivf(spark, sf_dir)))
     out = None
-    for setting, flips, tables, planes in KNN_ANN_AUDIT_SETTINGS:
-        approx = knn_graph_ann_impl(
-            spark, sf_dir, flips, tables, planes
-        ).select("src_id", "neighbor_id", F.lit(1).alias("hit"))
+    for setting, graph in arms:
+        approx = graph.select(
+            "src_id", "neighbor_id", F.lit(1).alias("hit")
+        )
         r = (
             exact.join(approx, ["src_id", "neighbor_id"], "left")
             .groupBy("src_id")
@@ -649,8 +736,68 @@ QUERIES = {
     "knn_label_purity": knn_label_purity,
     "knn_graph_ann": knn_graph_ann,
     "knn_graph_ann_amplified": knn_graph_ann_amplified,
+    "knn_graph_ivf": knn_graph_ivf,
     "knn_ann_recall": knn_ann_recall,
 }
+
+
+def _knn_ivf_oracle_sql() -> str:
+    """DuckDB spelling of knn_graph_ivf: the ann_ivf_topk assignment
+    CTEs (seed centroids, rounded-cosine argmax with cent_id
+    tiebreak) with the probe side being EVERY vector's top-N_PROBE
+    lists, candidates ranked exactly — no cell truncation, the same
+    margin-absorbed contract as the LSH oracle."""
+    from angelone_clickhouse_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+  FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+assign AS (
+  SELECT e.vec_id, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6)
+                    DESC, c.cent_id ASC
+         ) AS rn
+  FROM e CROSS JOIN cents c
+),
+members AS (SELECT vec_id, cent_id FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS src_id, cent_id FROM assign
+           WHERE rn <= {N_PROBE}),
+cand AS (
+  SELECT DISTINCT p.src_id, m.vec_id AS neighbor_id
+  FROM probes p JOIN members m ON m.cent_id = p.cent_id
+  WHERE m.vec_id <> p.src_id
+),
+scored AS (
+  SELECT cand.src_id, cand.neighbor_id,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM cand
+  JOIN e a ON a.vec_id = cand.src_id
+  JOIN e b ON b.vec_id = cand.neighbor_id
+)
+SELECT src_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY src_id
+           ORDER BY cos_sim DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+) r
+WHERE rank <= {KNN_K}
+"""
 
 
 def _knn_ann_oracle_sql(
@@ -735,8 +882,13 @@ WHERE rank <= {KNN_K}
 
 
 def _knn_ann_recall_oracle_sql() -> str:
+    arms = [
+        (setting, _knn_ann_oracle_sql(flips, tables, planes))
+        for setting, flips, tables, planes in KNN_ANN_AUDIT_SETTINGS
+    ]
+    arms.append(("ivf", _knn_ivf_oracle_sql()))
     parts = []
-    for setting, flips, tables, planes in KNN_ANN_AUDIT_SETTINGS:
+    for setting, approx_sql in arms:
         parts.append(
             f"""
 SELECT '{setting}' AS setting,
@@ -747,7 +899,7 @@ SELECT '{setting}' AS setting,
        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
             AS DOUBLE) / count(*) AS recall
 FROM ({_KNN_ORACLE_SQL}) e
-LEFT JOIN ({_knn_ann_oracle_sql(flips, tables, planes)}) a
+LEFT JOIN ({approx_sql}) a
   ON e.src_id = a.src_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.src_id
 """
@@ -813,6 +965,7 @@ def _shared_oracles() -> dict[str, str]:
         "knn_graph_ann_amplified": _knn_ann_oracle_sql(
             KNN_ANN_AMP_FLIPS, KNN_ANN_AMP_TABLES
         ),
+        "knn_graph_ivf": _knn_ivf_oracle_sql(),
         "knn_ann_recall": _knn_ann_recall_oracle_sql(),
     }
 

@@ -229,29 +229,35 @@ def test_adaptive_planes_formula():
 
 
 def test_knn_ann_graph_contract(spark, sf_dir):
-    """Structural contract of the ANN twin: <= k ranked neighbors per
-    source, no self-edges, ranks dense from 1, and every edge shared
-    with the exact graph carries the identical rounded cosine (the
-    shared exact-rescore tail)."""
-    ann = embedding_fast.knn_graph_ann(spark, sf_dir).collect()
-    per_src: dict[int, list] = {}
-    for r in ann:
-        assert r.src_id != r.neighbor_id
-        per_src.setdefault(r.src_id, []).append(r)
-    for rows in per_src.values():
-        assert len(rows) <= embedding_fast.KNN_K
-        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    """Structural contract of BOTH ANN twins (LSH and IVF): <= k
+    ranked neighbors per source, no self-edges, ranks dense from 1,
+    and every edge shared with the exact graph carries the identical
+    rounded cosine (the shared exact-rescore tail)."""
     exact = {
         (r.src_id, r.neighbor_id): r.cos_sim
         for r in embedding_fast.knn_graph(spark, sf_dir).collect()
     }
-    shared = 0
-    for r in ann:
-        key = (r.src_id, r.neighbor_id)
-        if key in exact:
-            assert abs(exact[key] - r.cos_sim) <= 1e-9
-            shared += 1
-    assert shared > 0
+    for graph_fn in (
+        embedding_fast.knn_graph_ann,
+        embedding_fast.knn_graph_ivf,
+    ):
+        ann = graph_fn(spark, sf_dir).collect()
+        per_src: dict[int, list] = {}
+        for r in ann:
+            assert r.src_id != r.neighbor_id
+            per_src.setdefault(r.src_id, []).append(r)
+        for rows in per_src.values():
+            assert len(rows) <= embedding_fast.KNN_K
+            assert sorted(r.rank for r in rows) == list(
+                range(1, len(rows) + 1)
+            )
+        shared = 0
+        for r in ann:
+            key = (r.src_id, r.neighbor_id)
+            if key in exact:
+                assert abs(exact[key] - r.cos_sim) <= 1e-9
+                shared += 1
+        assert shared > 0
 
 
 def test_knn_ann_amplified_recall_at_least_090(spark, sf_dir):
