@@ -387,8 +387,6 @@ def knn_graph_ann_impl(
     skew caveat and land in one cell — cap cells or salt identical
     hashes if a real corpus has them). Candidate volume is linear in
     n at fixed settings because planes grow with log2(n)."""
-    from pyspark.sql.window import Window
-
     from angelone_clickhouse_spark.operators.similarity import (
         _bucket,
         _vectors,
