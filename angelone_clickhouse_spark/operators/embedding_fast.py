@@ -573,13 +573,29 @@ KNN_ANN_AUDIT_SETTINGS: tuple[tuple[str, int, int, int | None], ...] = (
 )
 
 
-def knn_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ann_recall(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Recall of the ANN graph settings against the exact blocked
     graph, per source — the audit that turns the ANN twin into a
     defensible 100 TB claim (the operands are the registry's own
     operators, so a green row certifies the pair's shared ranking
-    contract, like ann_recall_audit does for query top-k)."""
-    exact = knn_graph(spark, sf_dir).select("src_id", "neighbor_id")
+    contract, like ann_recall_audit does for query top-k).
+
+    The exact graph is MATERIALIZED once before joining into every
+    arm of the settings union (the ann_recall_audit device). Measured
+    honestly: at sf0.1 this buys only ~3% (9.7 vs 9.9 s) because
+    local-mode exchange reuse already de-duplicates the identical
+    exact subplan across arms — the cut is kept as the guaranteed
+    spelling (exchange reuse is an optimizer courtesy, not a
+    contract, and a cluster-side plan change or AQE re-plan can drop
+    it; with the cut the O(n²) matmul provably runs once)."""
+    from angelone_clickhouse_spark.materialize import materialize
+
+    exact = materialize(
+        knn_graph(spark, sf_dir).select("src_id", "neighbor_id"),
+        checkpoint_dir,
+    )
     arms: list[tuple[str, DataFrame]] = [
         (setting, knn_graph_ann_impl(spark, sf_dir, flips, tables, planes))
         for setting, flips, tables, planes in KNN_ANN_AUDIT_SETTINGS
