@@ -244,100 +244,120 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     in merge_idx — a merge can only create pairs rarer than itself
     and never raises an existing pair's count."""
     wf = _word_freq(spark, sf_dir)
-    wt = wf.select(
-        "word",
-        "freq",
-        F.expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-        ).alias("syms"),
-    ).localCheckpoint(eager=True)
+    wt = bpe_init(wf).localCheckpoint(eager=True)
     out = None
     for k in range(BPE_MERGES):
-        pairs = (
-            wt.select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "CASE WHEN size(syms) >= 2 THEN"
-                        " transform(sequence(1, size(syms) - 1),"
-                        "   j -> struct(element_at(syms, j) AS a,"
-                        "               element_at(syms, j + 1) AS b))"
-                        " ELSE CAST(array() AS"
-                        "   ARRAY<STRUCT<a: STRING, b: STRING>>) END"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("n_occ"))
-        )
-        top1 = pairs.orderBy(
-            F.desc("n_occ"), F.asc("a"), F.asc("b")
-        ).limit(1)
+        top1, rebuilt = _bpe_step(wt)
         step = top1.select(
             F.lit(k).cast("int").alias("merge_idx"),
             F.concat_ws(" ", "a", "b").alias("pair"),
             F.col("n_occ").alias("n_occurrences"),
         )
         out = step if out is None else out.unionByName(step)
-        ex = (
-            wt.crossJoin(F.broadcast(top1.select("a", "b")))
-            .select(
-                "word",
-                "freq",
-                "a",
-                "b",
-                F.explode(F.expr("sequence(1, size(syms))")).alias("pos"),
-                F.col("syms"),
-            )
-            .select(
-                "word",
-                "freq",
-                "a",
-                "b",
-                "pos",
-                F.expr("element_at(syms, pos)").alias("sym"),
-                F.expr("try_element_at(syms, pos + 1)").alias("nxt"),
-            )
-        )
-        from pyspark.sql.window import Window
-
-        matches = ex.filter(
-            (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))
-        ).select("word", "pos")
-        w_rn = Window.partitionBy("word").orderBy("pos")
-        runs = matches.withColumn(
-            "grp", F.col("pos") - F.row_number().over(w_rn)
-        )
-        w_run = Window.partitionBy("word", "grp")
-        sel = (
-            runs.withColumn("run_start", F.min("pos").over(w_run))
-            .filter((F.col("pos") - F.col("run_start")) % 2 == 0)
-            .select("word", F.col("pos").alias("mpos"))
-        )
-        here = sel.select("word", F.col("mpos").alias("pos"), F.lit(True).alias("merge_here"))
-        prev = sel.select("word", (F.col("mpos") + 1).alias("pos"), F.lit(True).alias("covered"))
-        rebuilt = (
-            ex.join(here, ["word", "pos"], "left")
-            .join(prev, ["word", "pos"], "left")
-            .filter(F.col("covered").isNull())
-            .select(
-                "word",
-                "freq",
-                "pos",
-                F.when(
-                    F.col("merge_here"), F.concat("sym", "nxt")
-                ).otherwise(F.col("sym")).alias("nsym"),
-            )
-            .groupBy("word", "freq")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, nsym))),"
-                    " s -> s.nsym)"
-                ).alias("syms")
-            )
-        )
         wt = rebuilt.localCheckpoint(eager=True)
     return out
+
+
+def bpe_init(wf: DataFrame) -> DataFrame:
+    """(word, freq) -> the iteration state: symbol sequences split to
+    single characters."""
+    return wf.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+
+
+def _bpe_step(wt: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """ONE BPE merge iteration over a (word, freq, syms) state frame:
+    returns (top1 with columns a/b/n_occ — empty when no pairs
+    remain, which empties the chain gracefully — and the rebuilt
+    state). Factored out of :func:`bpe_train` so the greedy
+    overlap-parity device is directly testable on adversarial symbol
+    chains (tests/test_vocab.py exercises aaaa / abab / aabaa
+    words against the classic scan-left implementation)."""
+    from pyspark.sql.window import Window
+
+    pairs = (
+        wt.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN"
+                    " transform(sequence(1, size(syms) - 1),"
+                    "   j -> struct(element_at(syms, j) AS a,"
+                    "               element_at(syms, j + 1) AS b))"
+                    " ELSE CAST(array() AS"
+                    "   ARRAY<STRUCT<a: STRING, b: STRING>>) END"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("n_occ"))
+    )
+    top1 = pairs.orderBy(F.desc("n_occ"), F.asc("a"), F.asc("b")).limit(1)
+    ex = (
+        wt.crossJoin(F.broadcast(top1.select("a", "b")))
+        .select(
+            "word",
+            "freq",
+            "a",
+            "b",
+            F.explode(F.expr("sequence(1, size(syms))")).alias("pos"),
+            F.col("syms"),
+        )
+        .select(
+            "word",
+            "freq",
+            "a",
+            "b",
+            "pos",
+            F.expr("element_at(syms, pos)").alias("sym"),
+            F.expr("try_element_at(syms, pos + 1)").alias("nxt"),
+        )
+    )
+    matches = ex.filter(
+        (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))
+    ).select("word", "pos")
+    w_rn = Window.partitionBy("word").orderBy("pos")
+    runs = matches.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_rn)
+    )
+    w_run = Window.partitionBy("word", "grp")
+    sel = (
+        runs.withColumn("run_start", F.min("pos").over(w_run))
+        .filter((F.col("pos") - F.col("run_start")) % 2 == 0)
+        .select("word", F.col("pos").alias("mpos"))
+    )
+    here = sel.select(
+        "word", F.col("mpos").alias("pos"), F.lit(True).alias("merge_here")
+    )
+    prev = sel.select(
+        "word", (F.col("mpos") + 1).alias("pos"), F.lit(True).alias("covered")
+    )
+    rebuilt = (
+        ex.join(here, ["word", "pos"], "left")
+        .join(prev, ["word", "pos"], "left")
+        .filter(F.col("covered").isNull())
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.when(F.col("merge_here"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("nsym"),
+        )
+        .groupBy("word", "freq")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, nsym))),"
+                " s -> s.nsym)"
+            ).alias("syms")
+        )
+    )
+    return top1, rebuilt
 
 
 _WF_SQL = """

@@ -181,3 +181,36 @@ def test_bpe_train_matches_python_reference(spark):
     assert any(
         len(p.replace(" ", "")) > 2 for p, _ in got
     ), "no multi-character merge in the window — raise BPE_MERGES"
+
+
+def test_bpe_step_adversarial_chains(spark):
+    """The gaps-and-islands overlap-parity device against the classic
+    scan-left loop, on the words that break naive spellings: repeated
+    single-symbol chains (aaaa — overlapping matches), alternations
+    (abab — non-overlapping matches sharing no symbol), and
+    interleavings (aabaa). Iterated to exhaustion."""
+    from angelone_clickhouse_spark.operators.vocab import (
+        _bpe_step,
+        bpe_init,
+    )
+
+    wf = {
+        "aaaa": 7, "aaaaa": 5, "aaaaaa": 3, "abab": 6, "ababab": 2,
+        "aabb": 4, "abba": 4, "aaab": 3, "baaa": 3, "aabaa": 2,
+        "b": 9, "ab": 8,
+    }
+    expect = _bpe_python_reference(wf, 10)
+    wt = bpe_init(
+        spark.createDataFrame(list(wf.items()), "word string, freq long")
+    ).localCheckpoint(eager=True)
+    got = []
+    for _ in range(10):
+        top1, rebuilt = _bpe_step(wt)
+        rows = top1.collect()
+        if rows:
+            got.append((f"{rows[0].a} {rows[0].b}", rows[0].n_occ))
+        wt = rebuilt.localCheckpoint(eager=True)
+    assert got == expect
+    # sanity: the chain words actually exercised overlap resolution
+    # (an 'a a'-style same-symbol merge happened in the window)
+    assert any(p.split(" ")[0] == p.split(" ")[1] for p, _ in got)
