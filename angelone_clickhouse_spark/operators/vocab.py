@@ -53,6 +53,14 @@ def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
+        # split() emits "" for consecutive/leading/trailing spaces;
+        # a degenerate empty "word" would make bpe_init's
+        # sequence(1, 0) yield the DESCENDING [1, 0] (a phantom
+        # ("","") pair) while the DuckDB oracle's generate_series(1,0)
+        # is empty — drop it here so every consumer (merge stats,
+        # OOV, coverage, the bpe_train loop) agrees with both the
+        # Python reference and the oracle on degenerate tokens.
+        .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -155,9 +163,23 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         n_buckets = 32
-    bucketed = wf.repartitionByRange(
-        max(n_buckets, 1), F.col("freq").desc(), F.col("word").asc()
-    ).withColumn("_b", F.spark_partition_id())
+    # localCheckpoint FREEZES the bucket assignment before the plan
+    # branches into `local` and `per_b` below. Without it, both
+    # branches re-derive _b from the same range exchange and agree
+    # only while the physical planner reuses that single exchange —
+    # RangePartitioner re-samples boundaries from a nondeterministic
+    # shuffle order on recomputation, so a dropped exchange reuse
+    # (AQE re-plan, future refactor) could rank rows against one
+    # bucket assignment and offset them against another. Exchange
+    # reuse is an optimizer courtesy, not a contract; correctness
+    # here must not depend on it (ADVICE r10).
+    bucketed = (
+        wf.repartitionByRange(
+            max(n_buckets, 1), F.col("freq").desc(), F.col("word").asc()
+        )
+        .withColumn("_b", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     w_local = Window.partitionBy("_b").orderBy(F.desc("freq"), F.asc("word"))
     local = bucketed.select(
         "_b",
@@ -363,6 +385,7 @@ def _bpe_step(wt: DataFrame) -> tuple[DataFrame, DataFrame]:
 _WF_SQL = """
   SELECT word, count(*) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
   GROUP BY word
 """
 
