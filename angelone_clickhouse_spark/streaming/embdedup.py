@@ -33,12 +33,17 @@ recomputation is bit-deterministic. Same contract as docdedup,
 tested the same three ways (stream==batch, retry idempotence,
 restart resume).
 
-Scale notes (100 TB): the index is probed only through the matmul
-scan (at real scale: front it with the LSH/IVF bucketing of
-knn_graph_ann so each epoch touches candidate buckets, not the full
-index — the verify tail is unchanged); index growth is one row per
-kept vector. The driver never sees the index — only the bounded
-arriving epoch.
+Scale notes (100 TB): ``stream_semdedup`` probes the index through a
+full matmul scan — exact, but O(|index|) FLOPs per epoch forever as
+the index grows. Its scale twin ``stream_semdedup_lsh`` (below)
+fronts the survivor index with the LSH band keys of knn_graph_ann:
+the index persists each survivor's n_tables cell keys alongside its
+vector, and an arriving epoch broadcasts its (bounded) probe-key set
+so the index-side work is one narrow scan + broadcast-hash collision
+join — the exact cosine verify runs ONLY on collided pairs, so
+per-epoch FLOPs track candidate volume (bucket occupancy x batch),
+not index size. Index growth is one row per kept vector either way;
+the driver never sees the index — only the bounded arriving epoch.
 """
 
 from __future__ import annotations
@@ -288,6 +293,256 @@ def stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(VERDICT_SCHEMA).parquet(out_dir)
 
 
+# --- LSH-fronted twin (VERDICT r10 weak #2) --------------------------
+#
+# Same gate, but a pair can only be a duplicate if the NEW vector's
+# multi-probe cell set hits one of the other vector's stored cells —
+# the knn_graph_ann band-key semantics (default setting: KNN_ANN_TABLES
+# tables, KNN_ANN_FLIPS flips, adaptive plane count), then the SAME
+# exact rounded-cosine verify. Like dedup_minhash_lsh vs dedup_exact,
+# the LSH front is part of the operator's SEMANTICS (the oracle
+# computes the identical cell keys in SQL), not a lossy shortcut
+# hidden from the contract.
+
+INDEX_LSH_SCHEMA = "vec_id long, v array<double>, cells array<long>"
+
+
+def _with_cells(vec: DataFrame, planes: int, n_tables: int) -> DataFrame:
+    """(vec_id, v) -> + cells array<long>: the vector's own cell key
+    per table, cell_key = t * 2^planes + bucket_t (the
+    ann_corpus_index encoding)."""
+    from angelone_clickhouse_spark.operators.similarity import _bucket
+
+    b = vec
+    for t in range(n_tables):
+        b = _bucket(b, planes, plane_offset=t * planes, out=f"_b{t}")
+    return b.select(
+        *vec.columns,
+        F.array(
+            *[
+                F.lit(t * (1 << planes)).cast("long") + F.col(f"_b{t}")
+                for t in range(n_tables)
+            ]
+        ).alias("cells"),
+    )
+
+
+def _probe_keys(planes: int, n_flips: int) -> F.Column:
+    """cells array -> flattened multi-probe key array (own cell plus
+    single-bit flips on the first n_flips planes of each table)."""
+    flips = min(n_flips, planes)
+    return F.flatten(
+        F.transform(
+            F.col("cells"),
+            lambda c: F.array(
+                c, *[c.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(flips)]
+            ),
+        )
+    )
+
+
+def _lsh_candidates(
+    probe_cells: DataFrame, stored_cells: DataFrame
+) -> DataFrame:
+    """Collision join: (new_id, cell_key) probes x (old_id, cell_key)
+    stored -> candidate (vec_id=new, other_id=old) pairs. The probe
+    side is the bounded arriving epoch and is BROADCAST, so the
+    stored side (the index) never shuffles — scan, pipeline explode,
+    hash-probe, done. Duplicate pairs from multi-table collisions are
+    left in: the verify tail min-aggregates, so they cost one extra
+    cheap cosine each instead of a dedup shuffle of vector-carrying
+    rows."""
+    return stored_cells.join(F.broadcast(probe_cells), "cell_key").filter(
+        F.col("other_id") != F.col("vec_id")
+    )
+
+
+def semdedup_lsh_epoch(
+    batch_emb: DataFrame,
+    index_vec: DataFrame,
+    planes: int,
+    n_tables: int,
+    n_flips: int,
+) -> tuple[DataFrame, DataFrame]:
+    """One epoch of the LSH-fronted gate (pure frame-in/frame-out):
+    returns (verdicts, kept_vectors_with_cells). ``index_vec`` carries
+    INDEX_LSH_SCHEMA. dup_of_index/dup_of_batch are the smallest
+    qualifying ids among LSH-collided, exactly-verified pairs."""
+    from angelone_clickhouse_spark.operators.similarity import _cos
+
+    new_vec = _with_cells(
+        _as_double_vecs(batch_emb), planes, n_tables
+    ).localCheckpoint(eager=True)
+    probe = F.broadcast(
+        new_vec.select(
+            F.col("vec_id"),
+            F.explode(_probe_keys(planes, n_flips)).alias("cell_key"),
+        ).dropDuplicates(["vec_id", "cell_key"])
+    )
+    idx_cells = index_vec.select(
+        F.col("vec_id").alias("other_id"),
+        F.explode("cells").alias("cell_key"),
+        F.lit(False).alias("other_new"),
+    )
+    batch_cells = new_vec.select(
+        F.col("vec_id").alias("other_id"),
+        F.explode("cells").alias("cell_key"),
+        F.lit(True).alias("other_new"),
+    )
+    cand = _lsh_candidates(probe, idx_cells.unionByName(batch_cells)).filter(
+        # within the batch only smaller ids qualify (the one-pass rule)
+        (~F.col("other_new")) | (F.col("other_id") < F.col("vec_id"))
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    va = F.broadcast(
+        new_vec.select("vec_id", F.col("v").alias("av"), nrm.alias("an"))
+    )
+    vb = (
+        index_vec.select("vec_id", "v")
+        .unionByName(new_vec.select("vec_id", "v"))
+        .select(
+            F.col("vec_id").alias("other_id"),
+            F.col("v").alias("bv"),
+            nrm.alias("bn"),
+        )
+    )
+    m = (
+        cand.join(vb, "other_id")
+        .join(va, "vec_id")
+        .filter(
+            F.round(
+                _cos(F.col("av"), F.col("bv"), F.col("an"), F.col("bn")), 6
+            )
+            >= COSINE_THRESHOLD
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(~F.col("other_new"), F.col("other_id"))).alias(
+                "dup_of_index"
+            ),
+            F.min(F.when(F.col("other_new"), F.col("other_id"))).alias(
+                "dup_of_batch"
+            ),
+        )
+    )
+    verdicts = (
+        new_vec.select("vec_id")
+        .join(m, "vec_id", "left")
+        .select(
+            "vec_id",
+            "dup_of_index",
+            "dup_of_batch",
+            (
+                F.col("dup_of_index").isNull()
+                & F.col("dup_of_batch").isNull()
+            ).alias("keep"),
+        )
+    )
+    kept_vec = new_vec.join(
+        verdicts.filter(F.col("keep")).select("vec_id"), "vec_id"
+    )
+    return verdicts, kept_vec
+
+
+def make_embdedup_lsh_epoch_writer(
+    out_dir: str, index_dir: str, planes: int, n_tables: int, n_flips: int
+):
+    """foreachBatch writer of the LSH-fronted gate — the same sweep /
+    read-index / compute / commit shape as the exact twin."""
+
+    def write_epoch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        sweep_prefix(out_dir, f"e{epoch_id}-")
+        sweep_prefix(index_dir, f"e{epoch_id}-")
+        index_vec = _read_index(spark, index_dir, INDEX_LSH_SCHEMA)
+        verdicts, kept_vec = semdedup_lsh_epoch(
+            batch, index_vec, planes, n_tables, n_flips
+        )
+        verdicts = verdicts.localCheckpoint(eager=True)
+        commit_epoch_flat(verdicts, out_dir, epoch_id)
+        commit_epoch_flat(kept_vec, index_dir, epoch_id)
+
+    return write_epoch
+
+
+def semdedup_lsh_stream(
+    spark: SparkSession,
+    emb_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    planes: int,
+    n_tables: int | None = None,
+    n_flips: int | None = None,
+    max_files_per_trigger: int = 1,
+    timeout_s: int = 600,
+) -> None:
+    """Run the LSH-fronted gate over an embedding file stream to
+    completion. ``planes`` is FIXED for the index lifetime (a real
+    deployment sizes it once from the expected corpus; the registry
+    op derives it from the replayed table's count with the
+    knn_graph_ann adaptive formula)."""
+    from angelone_clickhouse_spark.operators.embedding_fast import (
+        KNN_ANN_FLIPS,
+        KNN_ANN_TABLES,
+    )
+
+    n_tables = KNN_ANN_TABLES if n_tables is None else n_tables
+    n_flips = KNN_ANN_FLIPS if n_flips is None else n_flips
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(emb_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_embdedup_lsh_epoch_writer(
+                out_dir, index_dir, planes, n_tables, n_flips
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def stream_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible face of the LSH-fronted streaming gate: replay
+    the embeddings table in N_STREAM_EPOCHS epochs; a new vector is
+    gated only against LSH-collided survivors / smaller batch ids,
+    exactly verified. The DuckDB oracle unrolls the same epochs AND
+    derives the same md5 hyperplane cells in SQL, so a green row
+    proves both the collision semantics and the cumulative index
+    state."""
+    from angelone_clickhouse_spark.operators.embedding_fast import (
+        _adaptive_planes,
+    )
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    emb_dir = _REPLAY_CACHE.get(sf_dir)
+    if emb_dir is None:
+        emb_dir = os.path.join(
+            tempfile.mkdtemp(prefix="stream_semdedup_"), "in"
+        )
+        write_emb_epoch_replay(spark, sf_dir, emb_dir)
+        _REPLAY_CACHE[sf_dir] = emb_dir
+    planes = _adaptive_planes(load_table(spark, sf_dir, "embeddings").count())
+    work = tempfile.mkdtemp(prefix="stream_semdedup_lsh_run_")
+    out_dir = os.path.join(work, "verdicts")
+    index_dir = os.path.join(work, "index")
+    semdedup_lsh_stream(
+        spark, emb_dir, out_dir, index_dir, os.path.join(work, "ckpt"), planes
+    )
+    return spark.read.schema(VERDICT_SCHEMA).parquet(out_dir)
+
+
 def _stream_semdedup_oracle_sql() -> str:
     """Epoch-unrolled brute-force DuckDB twin: epoch k's qualifying
     others are kept vectors of earlier epochs plus smaller-id vectors
@@ -340,5 +595,112 @@ kept{k} AS MATERIALIZED (
     return "WITH " + ",\n".join(blocks) + "\n" + union
 
 
-QUERIES = {"stream_semdedup": stream_semdedup}
-ORACLES = {"stream_semdedup": _stream_semdedup_oracle_sql()}
+def _stream_semdedup_lsh_oracle_sql() -> str:
+    """Epoch-unrolled DuckDB twin of the LSH-fronted gate: the md5
+    hyperplane cell derivation of _knn_ann_oracle_sql (adaptive plane
+    count from count(*), multi-probe flips) produces a directional
+    candidate-pair set; each epoch's qualifying others are the
+    candidate-collided subset of (kept earlier) ∪ (smaller same-epoch
+    ids), exactly verified at the rounded-cosine threshold."""
+    from angelone_clickhouse_spark.operators.embedding_fast import (
+        ANN_TARGET_BUCKET,
+        KNN_ANN_FLIPS,
+        KNN_ANN_TABLES,
+    )
+    from angelone_clickhouse_spark.operators.similarity import EMB_DIM
+
+    ne, nt, nf = N_STREAM_EPOCHS, KNN_ANN_TABLES, KNN_ANN_FLIPS
+    blocks = [
+        f"""params AS (
+  SELECT GREATEST(4, CAST(ceil(log2(count(*) /
+    {ANN_TARGET_BUCKET!r})) AS INTEGER)) AS np FROM embeddings
+)""",
+        """e AS MATERIALIZED (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)""",
+        f"""pl AS MATERIALIZED (
+  SELECT p,
+         list_transform(generate_series(0, {EMB_DIM} - 1),
+           d -> ((('0x' || substring(md5(p::VARCHAR || '_' || d), 1, 15))::BIGINT
+                  % 2001 - 1000) / 1000.0)) AS h
+  FROM (SELECT UNNEST(generate_series(0, {nt} * np - 1)) AS p
+        FROM params)
+)""",
+        """tb AS MATERIALIZED (
+  SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket
+  FROM (
+    SELECT e.vec_id,
+           CAST(pl.p // params.np AS INTEGER) AS t,
+           CASE WHEN list_dot_product(e.v, pl.h) > 0
+                THEN (1::BIGINT << CAST(pl.p % params.np AS INTEGER))
+                ELSE 0::BIGINT END AS bit
+    FROM e CROSS JOIN pl CROSS JOIN params
+  )
+  GROUP BY vec_id, t
+)""",
+        f"""probes AS MATERIALIZED (
+  SELECT vec_id AS a_id, t,
+         UNNEST(list_concat([bucket],
+           list_transform(generate_series(0, LEAST({nf}, params.np) - 1),
+             pp -> xor(bucket, 1::BIGINT << CAST(pp AS INTEGER))))) AS probe
+  FROM tb CROSS JOIN params
+)""",
+        """cand AS MATERIALIZED (
+  SELECT DISTINCT p.a_id, c.vec_id AS b_id
+  FROM probes p JOIN tb c ON c.t = p.t AND c.bucket = p.probe
+  WHERE c.vec_id <> p.a_id
+)""",
+    ]
+    for k in range(ne):
+        index_arm = (
+            f"OR (b.vec_id % {ne} < {k} "
+            f"AND b.vec_id IN (SELECT vec_id FROM kept{k - 1}))"
+            if k > 0
+            else ""
+        )
+        blocks.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT vec_id,
+         min(CASE WHEN NOT src_new THEN b_id END) AS dup_of_index,
+         min(CASE WHEN src_new THEN b_id END) AS dup_of_batch
+  FROM (
+    SELECT a.vec_id, b.vec_id AS b_id, (b.vec_id % {ne} = {k}) AS src_new
+    FROM e a
+    JOIN cand cd ON cd.a_id = a.vec_id
+    JOIN e b
+      ON b.vec_id = cd.b_id
+     AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+           >= {COSINE_THRESHOLD}
+    WHERE a.vec_id % {ne} = {k}
+      AND ((b.vec_id % {ne} = {k} AND b.vec_id < a.vec_id)
+           {index_arm})
+  )
+  GROUP BY vec_id
+),
+v{k} AS MATERIALIZED (
+  SELECT e.vec_id, m.dup_of_index, m.dup_of_batch,
+         (m.dup_of_index IS NULL AND m.dup_of_batch IS NULL) AS keep
+  FROM e LEFT JOIN m{k} m USING (vec_id)
+  WHERE e.vec_id % {ne} = {k}
+),
+kept{k} AS MATERIALIZED (
+  SELECT vec_id FROM v{k} WHERE keep{"" if k == 0 else f'''
+  UNION ALL
+  SELECT vec_id FROM kept{k - 1}'''}
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM v{k}" for k in range(ne))
+    return "WITH " + ",\n".join(blocks) + "\n" + union
+
+
+QUERIES = {
+    "stream_semdedup": stream_semdedup,
+    "stream_semdedup_lsh": stream_semdedup_lsh,
+}
+ORACLES = {
+    "stream_semdedup": _stream_semdedup_oracle_sql(),
+    "stream_semdedup_lsh": _stream_semdedup_lsh_oracle_sql(),
+}
