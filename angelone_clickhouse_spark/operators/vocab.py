@@ -280,6 +280,73 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+ENCODE_VOCAB_K = 24  # subword vocab cap for bpe_encode's OOV rate
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply :func:`bpe_train`'s learned merges to the corpus — the
+    other half of a tokenizer build (the op a tokenizer CONSUMER
+    runs): iterate the same ``BPE_MERGES`` merge steps to the final
+    word-type symbol state, then ENCODE the corpus by joining each
+    corpus token to its word type's final symbol sequence. Per doc:
+
+    * n_tokens — encoded subword count;
+    * n_oov / oov_milli — tokens outside the top-``ENCODE_VOCAB_K``
+      learned subwords (count DESC, symbol ASC — the subword-level
+      sibling of vocab_oov_rate's word-level cap);
+    * n_chars / compression_milli — encoded tokens per 1000 chars,
+      the compression a tokenizer-size decision reads.
+
+    Scale notes (100 TB): encoding is the word-type factorization
+    again — the merge loop never touches the corpus, and the encode
+    step is ONE corpus-side join on word (broadcastable while the
+    type table is small; both sides shuffle on word at crawl scale),
+    then per-doc aggregation. The subword vocabulary is k rows by
+    construction and broadcasts. Degenerate corner shared with the
+    oracle: if merges exhaust before ``BPE_MERGES`` rounds the state
+    frame empties (both engines agree, emitting zero rows); a
+    production encoder would stop the loop at exhaustion instead.
+    """
+    wf = _word_freq(spark, sf_dir)
+    wt = bpe_init(wf).localCheckpoint(eager=True)
+    for _ in range(BPE_MERGES):
+        _top1, rebuilt = _bpe_step(wt)
+        wt = rebuilt.localCheckpoint(eager=True)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sym = toks.join(wt.select("word", "syms"), "word").select(
+        "doc_id", F.explode("syms").alias("s")
+    )
+    vocab = (
+        sym.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), F.asc("s"))
+        .limit(ENCODE_VOCAB_K)
+        .select("s", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        sym.join(F.broadcast(vocab), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+            F.sum(F.length("s")).alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(1000 * n_oov) div n_tokens").alias("oov_milli"),
+            "n_chars",
+            F.expr("(1000 * n_tokens) div n_chars").alias(
+                "compression_milli"
+            ),
+        )
+    )
+
+
 def bpe_init(wf: DataFrame) -> DataFrame:
     """(word, freq) -> the iteration state: symbol sequences split to
     single characters."""
@@ -389,12 +456,12 @@ _WF_SQL = """
   GROUP BY word
 """
 
-def _bpe_train_oracle_sql(k: int = BPE_MERGES) -> str:
-    """Unrolled DuckDB spelling of bpe_train: one (pairs -> top ->
-    explode -> greedy-select -> rebuild) CTE block per merge
-    iteration, UNION ALL of the per-iteration winners. The greedy
-    overlap resolution is the same gaps-and-islands parity device as
-    the Spark side."""
+def _bpe_chain_ctes(k: int) -> tuple[list[str], list[str]]:
+    """The shared unrolled DuckDB merge chain: one (pairs -> top ->
+    explode -> greedy-select -> rebuild) CTE block per iteration,
+    ending in final state ``wt{k}``. Returns (ctes, per-iteration
+    winner SELECTs). The greedy overlap resolution is the same
+    gaps-and-islands parity device as the Spark side."""
     ctes = [
         f"wf AS MATERIALIZED ({_WF_SQL})",
         "wt0 AS MATERIALIZED (SELECT word, freq,"
@@ -444,20 +511,69 @@ def _bpe_train_oracle_sql(k: int = BPE_MERGES) -> str:
             f"SELECT {i} AS merge_idx, a || ' ' || b AS pair,"
             f" CAST(n_occ AS BIGINT) AS n_occurrences FROM top{i}"
         )
+    return ctes, outs
+
+
+def _bpe_train_oracle_sql(k: int = BPE_MERGES) -> str:
+    ctes, outs = _bpe_chain_ctes(k)
     return (
         "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+    )
+
+
+def _bpe_encode_oracle_sql(k: int = BPE_MERGES) -> str:
+    """bpe_encode = the shared merge chain's final state wt{k},
+    joined onto the corpus tokens, symbol-exploded, capped-vocab
+    flagged, per-doc aggregated — the same devices as the Spark
+    side."""
+    ctes, _outs = _bpe_chain_ctes(k)
+    ctes.append(
+        """toks AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '')"""
+    )
+    ctes.append(
+        f"""sym AS MATERIALIZED (
+  SELECT t.doc_id, u.s
+  FROM toks t JOIN wt{k} w USING (word), UNNEST(w.syms) AS u(s))"""
+    )
+    ctes.append(
+        f"""vocab AS MATERIALIZED (
+  SELECT s, TRUE AS in_vocab FROM (
+    SELECT s, count(*) AS f FROM sym GROUP BY s
+    ORDER BY f DESC, s LIMIT {ENCODE_VOCAB_K}))"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST((1000 * sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS oov_milli,
+       CAST(sum(length(s)) AS BIGINT) AS n_chars,
+       CAST((1000 * count(*)) // sum(length(s)) AS BIGINT)
+         AS compression_milli
+FROM sym LEFT JOIN vocab v USING (s)
+GROUP BY doc_id
+"""
     )
 
 
 QUERIES = {
     "bpe_merge_pairs": bpe_merge_pairs,
     "bpe_train": bpe_train,
+    "bpe_encode": bpe_encode,
     "vocab_oov_rate": vocab_oov_rate,
     "vocab_coverage_curve": vocab_coverage_curve,
 }
 
 ORACLES = {
     "bpe_train": _bpe_train_oracle_sql(),
+    "bpe_encode": _bpe_encode_oracle_sql(),
     "vocab_coverage_curve": f"""
 WITH wf AS ({_WF_SQL}),
 ranked AS (

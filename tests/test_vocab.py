@@ -151,7 +151,7 @@ def _bpe_python_reference(wf, k):
                     out.append(syms[i])
                     i += 1
             state[w] = out
-    return merges
+    return merges, state
 
 
 def test_bpe_train_matches_python_reference(spark):
@@ -165,7 +165,7 @@ def test_bpe_train_matches_python_reference(spark):
     )
 
     wf = _word_freq(_texts(spark))
-    expect = _bpe_python_reference(wf, BPE_MERGES)
+    expect, _state = _bpe_python_reference(wf, BPE_MERGES)
     rows = sorted(
         bpe_train(spark, SF_CORRECT).collect(), key=lambda r: r.merge_idx
     )
@@ -199,7 +199,7 @@ def test_bpe_step_adversarial_chains(spark):
         "aabb": 4, "abba": 4, "aaab": 3, "baaa": 3, "aabaa": 2,
         "b": 9, "ab": 8,
     }
-    expect = _bpe_python_reference(wf, 10)
+    expect, _state = _bpe_python_reference(wf, 10)
     wt = bpe_init(
         spark.createDataFrame(list(wf.items()), "word string, freq long")
     ).localCheckpoint(eager=True)
@@ -214,3 +214,58 @@ def test_bpe_step_adversarial_chains(spark):
     # sanity: the chain words actually exercised overlap resolution
     # (an 'a a'-style same-symbol merge happened in the window)
     assert any(p.split(" ")[0] == p.split(" ")[1] for p, _ in got)
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """The consumer half of the tokenizer build: run the classic
+    scan-left trainer to the final symbol state, encode every doc
+    with it, cap the subword vocabulary, and check every per-doc
+    stat bit-for-bit."""
+    from angelone_clickhouse_spark.operators.vocab import (
+        BPE_MERGES,
+        ENCODE_VOCAB_K,
+        bpe_encode,
+    )
+
+    texts = _texts(spark)
+    wf = _word_freq(texts)
+    _merges, state = _bpe_python_reference(wf, BPE_MERGES)
+    # corpus-wide subword frequencies under the learned encoding
+    sym_freq = Counter()
+    doc_syms = {}
+    for doc_id, t in texts.items():
+        syms = []
+        for w in t.split(" "):
+            if w:
+                syms.extend(state[w])
+        doc_syms[doc_id] = syms
+        sym_freq.update(syms)
+    assert len(sym_freq) > ENCODE_VOCAB_K, (
+        "fixture subword vocab must overflow ENCODE_VOCAB_K"
+    )
+    vocab = {
+        s
+        for s, _ in sorted(
+            sym_freq.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:ENCODE_VOCAB_K]
+    }
+    rows = bpe_encode(spark, SF_CORRECT).collect()
+    assert len(rows) == len(texts)
+    any_oov = any_merged = False
+    for r in rows:
+        syms = doc_syms[r.doc_id]
+        n_oov = sum(1 for s in syms if s not in vocab)
+        n_chars = sum(len(s) for s in syms)
+        assert (r.n_tokens, r.n_oov, r.n_chars) == (
+            len(syms),
+            n_oov,
+            n_chars,
+        )
+        assert r.oov_milli == 1000 * n_oov // len(syms)
+        assert r.compression_milli == 1000 * len(syms) // n_chars
+        # symbols partition the words: encoded chars == raw chars
+        assert n_chars == sum(len(w) for w in texts[r.doc_id].split(" "))
+        any_oov |= n_oov > 0
+        any_merged |= len(syms) < n_chars
+    assert any_oov, "no OOV subword in the fixture — raise vocab pressure"
+    assert any_merged, "no merge ever applied — encode is degenerate"
