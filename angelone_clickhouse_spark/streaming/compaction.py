@@ -88,6 +88,120 @@ def recover_compaction(sink_dir: str) -> list[str]:
     return touched
 
 
+# --- flat epoch-sink compaction (VERDICT r10 #6) ---------------------
+#
+# The epoch committer (epoch_commit.commit_epoch_flat) appends one
+# ``e{epoch}-`` file per epoch per sink forever — the docdedup /
+# novelty / embdedup verdict and index dirs grow one file per trigger.
+# The folder below folds CLOSED epochs into consolidated ``c-`` files
+# while preserving the committer's retry contract: only epochs at
+# least ``keep_recent`` behind the newest are folded, so a replayed
+# epoch (foreachBatch only ever retries the tail) still finds all of
+# its own files under its own ``e{epoch}-`` prefix and sweeps them
+# cleanly. The swap is journaled the same way compact_tick_sink's is:
+# stage (hidden ``.stage`` sibling) -> verify row count -> commit
+# marker -> remove victims -> rename consolidated in -> clear marker;
+# recover_flat_compaction replays an interrupted swap from the marker.
+# Run as offline maintenance, like compact_tick_sink.
+
+
+def _epoch_files(out_dir: str) -> dict[int, list[str]]:
+    """Committed ``e{N}-`` files by epoch id."""
+    out: dict[int, list[str]] = {}
+    for name in os.listdir(out_dir):
+        if name.startswith("e") and "-" in name:
+            head = name.split("-", 1)[0][1:]
+            if head.isdigit():
+                out.setdefault(int(head), []).append(name)
+    return out
+
+
+def recover_flat_compaction(out_dir: str) -> bool:
+    """Finish an interrupted flat-sink compaction swap (idempotent;
+    safe to call any time). Returns whether a marker was replayed."""
+    stage = out_dir + ".stage"
+    marker = os.path.join(stage, "compact.commit")
+    if not os.path.isfile(marker):
+        return False
+    with open(marker) as f:
+        info = json.load(f)
+    for name in info["remove"]:
+        p = os.path.join(out_dir, name)
+        if os.path.isfile(p):
+            os.remove(p)
+    src_dir = os.path.join(stage, "compact")
+    for src, dst in info["add"].items():
+        s = os.path.join(src_dir, src)
+        if os.path.isfile(s):
+            os.rename(s, os.path.join(out_dir, dst))
+    os.remove(marker)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return True
+
+
+def compact_flat_epoch_sink(
+    spark: SparkSession, out_dir: str, keep_recent: int = 1
+) -> dict | None:
+    """Fold every epoch file older than the newest ``keep_recent``
+    epochs — plus any prior consolidation — into one consolidated
+    ``c-`` file set. Readers (spark.read.parquet over the dir,
+    _read_index) see identical rows before and after (asserted in
+    tests/test_compaction.py's soak); returns
+    {rows, files_before, files_after} or None if nothing to fold."""
+    recover_flat_compaction(out_dir)
+    if not os.path.isdir(out_dir):
+        return None
+    by_epoch = _epoch_files(out_dir)
+    if not by_epoch:
+        return None
+    cutoff = max(by_epoch) - keep_recent + 1
+    victims = [
+        n for e, names in by_epoch.items() if e < cutoff for n in names
+    ] + [n for n in os.listdir(out_dir) if n.startswith("c-")]
+    if len(victims) <= 1:
+        return None
+    stage = out_dir + ".stage"
+    tmp = os.path.join(stage, "compact")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    live = spark.read.parquet(*[os.path.join(out_dir, n) for n in victims])
+    n_live = live.count()
+    job = os.path.join(tmp, "job")
+    live.coalesce(1).write.mode("overwrite").parquet(job)
+    add: dict[str, str] = {}
+    gen = max(by_epoch)
+    for i, part in enumerate(
+        sorted(n for n in os.listdir(job) if n.startswith("part-"))
+    ):
+        src = f"f{i}.parquet"
+        os.rename(os.path.join(job, part), os.path.join(tmp, src))
+        add[src] = f"c-{gen}-{i}.parquet"
+    shutil.rmtree(job)
+    # verify the staged fold before journaling the swap
+    staged_rows = spark.read.parquet(
+        *[os.path.join(tmp, s) for s in add]
+    ).count()
+    if staged_rows != n_live:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"flat compaction verify failed for {out_dir}: "
+            f"staged {staged_rows} != live {n_live}"
+        )
+    n_before = len(
+        [n for n in os.listdir(out_dir) if n.endswith(".parquet")]
+    )
+    marker = os.path.join(stage, "compact.commit")
+    with open(marker, "w") as f:
+        json.dump({"remove": victims, "add": add}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    recover_flat_compaction(out_dir)  # the marker IS the swap program
+    n_after = len(
+        [n for n in os.listdir(out_dir) if n.endswith(".parquet")]
+    )
+    return {"rows": n_live, "files_before": n_before, "files_after": n_after}
+
+
 def compact_tick_sink(
     spark: SparkSession,
     sink_dir: str,

@@ -74,13 +74,28 @@ def sweep_prefix_partitioned(
                     os.remove(os.path.join(d, name))
 
 
-def commit_epoch_flat(df: DataFrame, out_dir: str, epoch_id: int) -> None:
-    """Stage ``df`` (single part file — these outputs are per-epoch
-    small by construction), sweep, and commit into a FLAT dataset
-    under the epoch prefix."""
+def commit_epoch_flat(
+    df: DataFrame,
+    out_dir: str,
+    epoch_id: int,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Stage ``df``, sweep, and commit into a FLAT dataset under the
+    epoch prefix. Default is a single part file (the existing sinks'
+    outputs are per-epoch small by construction: verdict rows, index
+    deltas); pass ``max_records_per_file`` for any sink whose epochs
+    can carry bulk data — the stage becomes a normal parallel write
+    size-capped by the option, and the commit renames every part
+    file, so no future sink silently inherits a single-task write
+    (VERDICT r10 minor #3)."""
     staging = os.path.join(out_dir + ".stage", f"epoch-{epoch_id}")
     shutil.rmtree(staging, ignore_errors=True)
-    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    if max_records_per_file is None:
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+    else:
+        df.write.mode("overwrite").option(
+            "maxRecordsPerFile", max_records_per_file
+        ).parquet(staging)
     sweep_prefix(out_dir, epoch_prefix(epoch_id))
     os.makedirs(out_dir, exist_ok=True)
     for name in os.listdir(staging):
