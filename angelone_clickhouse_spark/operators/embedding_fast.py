@@ -690,16 +690,56 @@ def knn_graph_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rescore_rank_edges(spark, sf_dir, cand, KNN_K)
 
 
+def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side top-k over the SAME persisted bucketed cell table
+    the graph twin probes (one index, whole ANN family amortized):
+    the query vectors' stored cells + flips probe the index, the
+    collided candidates get the family's exact re-score, and each
+    query keeps its ``TOP_K`` under the shared (cos DESC, id ASC)
+    ranking contract. Candidate semantics are knn_graph_ann's default
+    setting restricted to query sources — the oracle derives the same
+    cells in SQL.
+
+    Plan shape: identical to knn_graph_ann_bucketed's probe (zero
+    Exchange on the index side), with the probe explode filtered to
+    the ``N_QUERIES`` query rows before it ever fans out."""
+    name, planes = ann_corpus_index(spark, sf_dir, KNN_ANN_TABLES)
+    cand = (
+        _ann_bucketed_candidate_join(
+            spark,
+            name,
+            planes,
+            KNN_ANN_FLIPS,
+            src_filter=F.col("vec_id") < N_QUERIES,
+        )
+        .select("src_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["src_id", "neighbor_id"])
+    )
+    return _rescore_rank_edges(spark, sf_dir, cand, TOP_K).select(
+        F.col("src_id").alias("query_id"), "neighbor_id", "cos_sim", "rank"
+    )
+
+
 def _ann_bucketed_candidate_join(
-    spark: SparkSession, name: str, planes: int, n_flips: int
+    spark: SparkSession,
+    name: str,
+    planes: int,
+    n_flips: int,
+    src_filter=None,
 ) -> DataFrame:
     """The probe ⋈ index candidate join, pre-dedup — factored out so
     tests can assert its physical plan directly: with auto-broadcast
     off it must be a SortMergeJoin whose ONLY Exchange is the id-only
     probe side (the bucketed corpus scan satisfies the join's hash
-    distribution from the catalog metadata)."""
+    distribution from the catalog metadata). ``src_filter`` restricts
+    which rows probe (the query-side twin passes the query-id
+    predicate); the corpus side always stays whole."""
     idx = spark.table(name)
-    probes = idx.select(
+    if src_filter is not None:
+        probe_src = idx.filter(src_filter)
+    else:
+        probe_src = idx
+    probes = probe_src.select(
         F.col("vec_id").alias("src_id"),
         F.explode(
             F.array(
@@ -909,6 +949,7 @@ QUERIES = {
     "knn_label_purity": knn_label_purity,
     "knn_graph_ann": knn_graph_ann,
     "knn_graph_ann_bucketed": knn_graph_ann_bucketed,
+    "ann_topk_bucketed": ann_topk_bucketed,
     "knn_graph_ann_amplified": knn_graph_ann_amplified,
     "knn_graph_ivf": knn_graph_ivf,
     "knn_ann_recall": knn_ann_recall,
@@ -975,7 +1016,12 @@ WHERE rank <= {KNN_K}
 
 
 def _knn_ann_oracle_sql(
-    n_flips: int, n_tables: int, n_planes: int | None = None
+    n_flips: int,
+    n_tables: int,
+    n_planes: int | None = None,
+    src_limit: int | None = None,
+    k: int = KNN_K,
+    src_col: str = "src_id",
 ) -> str:
     """DuckDB spelling of knn_graph_ann_impl at a (flips, tables,
     planes) setting, with the SAME adaptive plane count computed from
@@ -1030,6 +1076,7 @@ probes AS (
            list_transform(generate_series(0, LEAST({n_flips}, params.np) - 1),
              pp -> xor(bucket, 1::BIGINT << CAST(pp AS INTEGER))))) AS probe
   FROM tb CROSS JOIN params
+  {f"WHERE vec_id < {src_limit}" if src_limit is not None else ""}
 ),
 cand AS (
   SELECT DISTINCT p.src_id, c.vec_id AS neighbor_id
@@ -1043,7 +1090,7 @@ scored AS (
   JOIN e a ON a.vec_id = cand.src_id
   JOIN e b ON b.vec_id = cand.neighbor_id
 )
-SELECT src_id, neighbor_id, cos_sim, rank
+SELECT src_id AS {src_col}, neighbor_id, cos_sim, rank
 FROM (
   SELECT *, CAST(row_number() OVER (
            PARTITION BY src_id
@@ -1051,7 +1098,7 @@ FROM (
          ) AS INTEGER) AS rank
   FROM scored
 ) r
-WHERE rank <= {KNN_K}
+WHERE rank <= {k}
 """
 
 
@@ -1141,6 +1188,13 @@ def _shared_oracles() -> dict[str, str]:
         # checks the write-once twin verbatim
         "knn_graph_ann_bucketed": _knn_ann_oracle_sql(
             KNN_ANN_FLIPS, KNN_ANN_TABLES
+        ),
+        "ann_topk_bucketed": _knn_ann_oracle_sql(
+            KNN_ANN_FLIPS,
+            KNN_ANN_TABLES,
+            src_limit=N_QUERIES,
+            k=TOP_K,
+            src_col="query_id",
         ),
         "knn_graph_ann_amplified": _knn_ann_oracle_sql(
             KNN_ANN_AMP_FLIPS, KNN_ANN_AMP_TABLES

@@ -345,3 +345,39 @@ def test_knn_ann_default_recall_floor_at_gate_sf(spark):
     assert dflt
     mean = sum(dflt) / len(dflt)
     assert mean >= embedding_fast.KNN_ANN_DEFAULT_RECALL_FLOOR, mean
+
+
+def test_ann_topk_bucketed_contract(spark, sf_dir):
+    """Query-side probe of the shared bucketed index: <= TOP_K dense
+    ranks per query, no self-matches, and every edge shared with the
+    exact top-k carries the identical rounded cosine. Also certifies
+    index reuse: the call must not create a second catalog table for
+    the same (sf_dir, settings)."""
+    before = {t.name for t in spark.catalog.listTables()}
+    embedding_fast.ann_corpus_index(spark, sf_dir)
+    rows = embedding_fast.ann_topk_bucketed(spark, sf_dir).collect()
+    after = {t.name for t in spark.catalog.listTables()}
+    assert after == before | {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("ann_cells_")
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ann_topk_cosine(spark, sf_dir).collect()
+    }
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert r.query_id < N_QUERIES
+        per_q.setdefault(r.query_id, []).append(r)
+    assert per_q
+    shared = 0
+    for q, rs in per_q.items():
+        assert len(rs) <= 5
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        for r in rs:
+            if (q, r.neighbor_id) in exact:
+                assert abs(exact[(q, r.neighbor_id)] - r.cos_sim) <= 1e-9
+                shared += 1
+    assert shared > 0
