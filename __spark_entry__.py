@@ -32,75 +32,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # their value-parity guarantee via tests/test_full_parity.py at
 # sf0.001 and tools/check_parity.py runs at larger SFs.
 _PRIORITY = [
-    # r10 window = (a) new this round, (b) ops whose CODE changed this
-    # round (must re-earn a row), (c) the ENTIRE remaining r4-stale
-    # refresh (VERDICT r9 #1), (d) the 23 oldest r5-stale names that
-    # fit. After this round no driver row predates r5, and 15 r5
-    # names remain for r11 (listed at the bottom).
-    # (a) new in r10
-    "knn_graph_ann",            # NEW: LSH-bucketed ANN self-kNN graph
-    "knn_graph_ann_amplified",  # NEW: >=0.9-recall amplified setting
-    "knn_ann_recall",           # NEW: ANN-graph recall audit
-    "ann_lsh_topk_amplified",   # NEW: audited amplified query top-k
-    "bpe_train",                # NEW: iterated BPE trainer
-    "stream_semdedup",          # NEW: streaming embedding gate
-    "knn_graph_ivf",            # NEW: IVF-bucketed ANN self-kNN graph
-    # (b) code changed in r10
-    "vocab_coverage_curve",     # distributed two-phase cumsum
-    "knn_graph",                # shared _rescore_rank_edges tail
-    "dedup_clusters",           # empty-graph convergence probe
-    "dedup_clusters_minhash",   # empty-graph convergence probe
-    "dedup_survivors",          # empty-graph convergence probe
-    "stream_dedup_docs",        # shared epoch committer
-    "stream_novelty_docs",      # shared epoch committer
-    # (c) the complete r4-stale refresh
-    "ann_ivf_topk",
-    "disjunctive_revenue",
-    "distinct_tokens_approx",
-    "event_type_pivot",
-    "event_type_unpivot",
-    "kmeans_refine",
-    "large_orders",
-    "supplier_late_blame",
-    "text_lang_stats",
-    "text_quality",
-    "text_token_stats",
-    "text_tokenize_regex",
-    "trailing_activity_range",
-    "union_nationkeys",
-    # (d) 23 oldest r5-stale names (alphabetical, with the three
-    # declared-surface queries q1/q5/q8 pulled forward)
-    "ann_topk_quantized",
-    "chunk_documents",
-    "customer_order_distribution",
-    "decode_ticks",
-    "decode_ticks_enriched",
-    "decontaminate_fingerprint",
-    "decontaminate_hashed",
-    "decontaminate_ngrams",
-    "dedup_embedding_fast",
-    "distinct_users_hll",
-    "distinct_users_theta",
-    "doc_bigram_logprob",
-    "doc_unigram_logprob",
-    "dominant_part_suppliers",
-    "event_transitions",
-    "forecast_revenue",
-    "idle_rich_customers",
-    "important_brands",
-    "kmeans_assign",
-    "q1_latest_tick",
-    "q5_daily_ohlcv",
-    "q8_token_stats",
-    # exactly 50 entries above — the driver gate stops there (the
-    # late-added knn_graph_ivf displaced local_supplier_volume from
-    # slot (d) to r11). r11 owes the final 16 r5-stale names:
-    # local_supplier_volume, market_share, max_drawdown,
-    # min_cost_suppliers, orders_monthly_growth, pipeline_e2e,
-    # price_quantiles_kll, rolling_volatility, ship_latency_classes,
-    # small_qty_revenue, source_overlap_matrix, span_dedup_corpus,
-    # span_dedup_rewrite, text_fingerprint, top_supplier_revenue,
-    # top_tokens_sketch.
+    # r11 window = (a) new this round, (b) ops whose code or oracle
+    # text changed this round (must re-earn a row), (c) the ENTIRE
+    # owed r5-stale refresh (after this round no driver row predates
+    # r7), (d) the 22 oldest r7-stale names alphabetically. 25 r7
+    # names remain for r12 (listed at the bottom).
+    # (a) new in r11
+    "knn_graph_ann_bucketed",   # NEW: write-once bucketed cell index
+    "ann_topk_bucketed",        # NEW: query top-k over the same index
+    "stream_semdedup_lsh",      # NEW: LSH-fronted streaming gate
+    "bpe_encode",               # NEW: apply learned merges + OOV
+    # (b) code/oracle changed in r11
+    "vocab_coverage_curve",     # frozen bucket assignment (ADVICE)
+    "bpe_train",                # empty-word guard in _word_freq
+    "bpe_merge_pairs",          # empty-word guard in _word_freq
+    "vocab_oov_rate",           # empty-word guard in _word_freq
+    "knn_graph_ann",            # parametrized oracle builder
+    "knn_graph_ann_amplified",  # parametrized oracle builder
+    "knn_ann_recall",           # parametrized oracle builder
+    "stream_semdedup",          # committer signature change
+    # (c) the complete owed r5-stale refresh
+    "local_supplier_volume",
+    "market_share",
+    "max_drawdown",
+    "min_cost_suppliers",
+    "orders_monthly_growth",
+    "pipeline_e2e",
+    "price_quantiles_kll",
+    "rolling_volatility",
+    "ship_latency_classes",
+    "small_qty_revenue",
+    "source_overlap_matrix",
+    "span_dedup_corpus",
+    "span_dedup_rewrite",
+    "text_fingerprint",
+    "top_supplier_revenue",
+    "top_tokens_sketch",
+    # (d) the 22 oldest r7-stale names (alphabetical)
+    "ann_lsh_topk",
+    "ann_recall_audit",
+    "ann_topk_cosine",
+    "ann_topk_fast",
+    "asof_price_lookup",
+    "cap_per_source",
+    "corpus_top_tokens",
+    "daily_bars_rollup",
+    "dataset_split",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_simhash",
+    "distinct_tokens",
+    "doc_containment",
+    "doc_repetition",
+    "epoch_cap_events",
+    "event_sliding_windows",
+    "event_type_funnel",
+    "frame_sample",
+    "fuzzy_prefix_pairs",
+    "gap_sessions",
+    "hourly_bars_rollup",
+    # exactly 50 entries above — the driver gate stops there. r12
+    # owes the remaining 25 r7-stale names: ingest_load_shed,
+    # json_extract_events, map_functions, minute_bars,
+    # multimodal_features, multimodal_meta, pii_redact,
+    # price_histogram, price_outliers, price_percentiles,
+    # quality_quantile_gate, resample_ffill, salted_user_stats,
+    # sample_stratified, scalar_functions, semdedup, sequence_pack,
+    # skewed_hot_user_stats, sql_grouping_sets, text_langid,
+    # tick_interval_join, twap_hourly, value_dispersion, vwap_daily,
+    # weekly_retention.
 ]
 
 
