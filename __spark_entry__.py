@@ -35,10 +35,11 @@ _PRIORITY = [
     # r11 window = (a) new this round, (b) ops whose code or oracle
     # text changed this round (must re-earn a row), (c) the ENTIRE
     # owed r5-stale refresh (after this round no driver row predates
-    # r7), (d) the 22 oldest r7-stale names alphabetically. 25 r7
+    # r7), (d) the 21 oldest r7-stale names alphabetically. 26 r7
     # names remain for r12 (listed at the bottom).
     # (a) new in r11
     "knn_graph_ann_bucketed",   # NEW: write-once bucketed cell index
+    "knn_graph_ann_incremental",  # NEW: base-build + delta-append index
     "ann_topk_bucketed",        # NEW: query top-k over the same index
     "stream_semdedup_lsh",      # NEW: LSH-fronted streaming gate
     "bpe_encode",               # NEW: apply learned merges + OOV
@@ -90,9 +91,10 @@ _PRIORITY = [
     "frame_sample",
     "fuzzy_prefix_pairs",
     "gap_sessions",
-    "hourly_bars_rollup",
     # exactly 50 entries above — the driver gate stops there. r12
-    # owes the remaining 25 r7-stale names: ingest_load_shed,
+    # owes the remaining 26 r7-stale names (hourly_bars_rollup was
+    # displaced by knn_graph_ann_incremental late in r11):
+    # hourly_bars_rollup, ingest_load_shed,
     # json_extract_events, map_functions, minute_bars,
     # multimodal_features, multimodal_meta, pii_redact,
     # price_histogram, price_outliers, price_percentiles,

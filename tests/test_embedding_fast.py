@@ -381,3 +381,75 @@ def test_ann_topk_bucketed_contract(spark, sf_dir):
                 assert abs(exact[(q, r.neighbor_id)] - r.cos_sim) <= 1e-9
                 shared += 1
     assert shared > 0
+
+
+def test_knn_ann_incremental_equals_one_shot(spark, sf_dir):
+    """The append-maintained index must be indistinguishable from the
+    one-shot build: same (cell_key, vec_id) multiset in the catalog
+    table, and bit-identical graph output — which is what lets the
+    per-run twin's DuckDB oracle check the incremental path
+    verbatim."""
+    inc_name, inc_planes = embedding_fast.ann_corpus_index_incremental(
+        spark, sf_dir
+    )
+    one_name, one_planes = embedding_fast.ann_corpus_index(spark, sf_dir)
+    assert inc_planes == one_planes  # pinned from the FULL corpus
+    inc_cells = sorted(
+        (r.cell_key, r.vec_id) for r in spark.table(inc_name).collect()
+    )
+    one_cells = sorted(
+        (r.cell_key, r.vec_id) for r in spark.table(one_name).collect()
+    )
+    assert inc_cells == one_cells and len(inc_cells) > 0
+    got = {
+        (r.src_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in embedding_fast.knn_graph_ann_incremental(
+            spark, sf_dir
+        ).collect()
+    }
+    want = {
+        (r.src_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in embedding_fast.knn_graph_ann_bucketed(
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_knn_ann_incremental_append_preserves_probe_plan(spark, sf_dir):
+    """After the delta append the table holds >1 file per bucket, and
+    the probe join's plan is UNCHANGED vs the one-shot index: with
+    auto-broadcast off, exactly one Exchange, hanging off the probe
+    explode — the appended bucketed scan still satisfies the join's
+    hash distribution from catalog metadata (the 100 TB claim:
+    corpus growth costs O(|delta|) index work and zero probe-plan
+    regression)."""
+    name, planes = embedding_fast.ann_corpus_index_incremental(
+        spark, sf_dir
+    )
+    import os
+
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+        .filter("col_name = 'Location'")
+        .collect()[0][1]
+    )
+    files = [
+        f
+        for f in os.listdir(loc.replace("file:", ""))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > embedding_fast.ANN_INDEX_BUCKETS  # base + delta
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = embedding_fast._ann_bucketed_candidate_join(
+            spark, name, planes, embedding_fast.KNN_ANN_FLIPS
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan[:3000]
+    exchange_subtree = plan[plan.index("Exchange"):]
+    assert "Generate" in exchange_subtree
