@@ -62,9 +62,12 @@ def run_parity(
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # driver fixtures are single files; tools/make_sf1.py writes
+        # Spark part-file directories — glob those for DuckDB
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
