@@ -773,6 +773,51 @@ def ann_corpus_index_incremental(
     return name, planes
 
 
+def ann_index_compact(
+    spark: SparkSession, table: str, n_buckets: int = ANN_INDEX_BUCKETS
+) -> str:
+    """Rewrite an append-accumulated cell index into one sorted file
+    per bucket. Every delta append adds ``n_buckets`` files, and each
+    file is its own sorted run — so probe-side scans pay per-file task
+    overhead and the SMJ's sort works over more runs as deltas pile
+    up. Compaction is the third step of the index lifecycle (build ->
+    append -> compact): read the table once, rewrite bucketed+sorted
+    into a fresh catalog table, and return its name for an atomic
+    swap (a deployment flips a view/alias; overwriting a catalog
+    table while scanning it is not transactional in OSS Spark, which
+    is why this returns a NEW name instead). Cell content — and
+    therefore every probe result — is unchanged; plan shape is
+    unchanged (same bucket spec). Asserted in tests."""
+    import tempfile
+
+    from angelone_clickhouse_spark.sources.bucketing import write_bucketed
+
+    name = f"{table}_c"
+    path = tempfile.mkdtemp(prefix=f"{name}_")
+    # bucketed writes emit one file per (write task, bucket); to land
+    # exactly one file per bucket, pre-shuffle on the bucket column —
+    # repartition's Murmur3 hash is the same function the bucket spec
+    # uses, so each task receives exactly one whole bucket. Read the
+    # table's FILES, not the catalog table: over a bucketed scan the
+    # planner elides the repartition as redundant (the scan already
+    # claims the hash distribution) and write tasks then follow file
+    # layout, not buckets — compaction is a physical-file rewrite, so
+    # the file-level read is also the honest input.
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .filter("col_name = 'Location'")
+        .collect()[0][1]
+    )
+    write_bucketed(
+        spark.read.parquet(loc).repartition(n_buckets, F.col("cell_key")),
+        name,
+        "cell_key",
+        n_buckets,
+        path=f"{path}/t",
+    )
+    return name
+
+
 def knn_graph_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`knn_graph_ann_bucketed` probing an index built base +
     append (:func:`ann_corpus_index_incremental`) instead of in one

@@ -453,3 +453,44 @@ def test_knn_ann_incremental_append_preserves_probe_plan(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan[:3000]
     exchange_subtree = plan[plan.index("Exchange"):]
     assert "Generate" in exchange_subtree
+
+
+def test_ann_index_compact_one_file_per_bucket_same_cells(spark, sf_dir):
+    """build -> append -> compact: compaction collapses the
+    append-accumulated files to one sorted file per bucket, keeps the
+    (cell_key, vec_id) multiset identical, and the probe plan over
+    the compacted table is the same single-probe-side-Exchange SMJ."""
+    import os
+
+    name, planes = embedding_fast.ann_corpus_index_incremental(
+        spark, sf_dir
+    )
+    cname = embedding_fast.ann_index_compact(spark, name)
+
+    def _files(t):
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {t}")
+            .filter("col_name = 'Location'")
+            .collect()[0][1]
+        )
+        return [
+            f
+            for f in os.listdir(loc.replace("file:", ""))
+            if f.endswith(".parquet")
+        ]
+
+    assert len(_files(name)) > embedding_fast.ANN_INDEX_BUCKETS
+    assert len(_files(cname)) == embedding_fast.ANN_INDEX_BUCKETS
+    assert sorted(
+        (r.cell_key, r.vec_id) for r in spark.table(cname).collect()
+    ) == sorted((r.cell_key, r.vec_id) for r in spark.table(name).collect())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = embedding_fast._ann_bucketed_candidate_join(
+            spark, cname, planes, embedding_fast.KNN_ANN_FLIPS
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan and plan.count("Exchange") == 1
