@@ -61,6 +61,16 @@ def run_parity(
             print(msg)
 
     con = duckdb.connect()
+    # the compare is order-insensitive (sorted multiset), so let
+    # DuckDB drop insertion-order bookkeeping — materially lowers
+    # memory/spill on the brute-force pairwise oracles at sf1.0
+    con.sql("SET preserve_insertion_order=false")
+    mem = os.environ.get("PARITY_DUCKDB_MEMORY")
+    if mem:
+        con.sql(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("PARITY_DUCKDB_TEMP")
+    if tmp:
+        con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         # driver fixtures are single files; tools/make_sf1.py writes
         # Spark part-file directories — glob those for DuckDB
