@@ -60,8 +60,9 @@ def main() -> int:
         "check (VERDICT r5 #2). Same code, same session config. sf1.0 =",
         "`tools/make_sf1.py` (10x fact replication of sf0.1, FK-consistent,",
         "32 files per fact so row-group parallelism matches a real table).",
-        "sf0.1 numbers are 3-run medians (bench_full.json); sf1.0 is a",
-        "single full-registry pass (bench_sf1_full.json).",
+        f"sf0.1 numbers are {a.get('bench_runs', 3)}-run medians"
+        f" (bench_full.json); sf1.0 numbers are"
+        f" {b.get('bench_runs', 1)}-run medians (bench_sf1_full.json).",
         "",
         f"- registry: {len(common)} queries timed at both SFs, "
         f"{b.get('n_failures', 0)} failures at sf1.0",
