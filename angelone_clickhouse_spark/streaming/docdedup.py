@@ -35,8 +35,13 @@ table format (Delta/Iceberg).
 
 Scale notes: the index is only ever probed through its band keys
 (shuffle bounded by band-bucket collisions, probe side is the small
-epoch), and grows by at most one row per kept doc. At 100 TB the
-index is a bucketed table on band_key; everything else is unchanged.
+epoch), and grows by at most N_BANDS rows per kept doc. Since r12 the
+index is PHYSICALLY keyed on the band key (streaming/keyed_index.py:
+hive partitions on pmod(xxhash64(band, band_key), P_KEYED), signature
+inline per band replica), so each epoch READS only the partitions its
+own band keys hash into — per-epoch index I/O is bounded by probed-
+partition occupancy, not index size, which is what survives short
+triggers against a 100 TB survivor index.
 """
 
 from __future__ import annotations
@@ -102,6 +107,16 @@ def dedup_epoch(
     — consistent, since an empty set can never clear the threshold
     against anything."""
     sig = minhash_signatures(batch_docs).localCheckpoint(eager=True)
+    return _dedup_epoch_from_sig(batch_docs, sig, index_sig)
+
+
+def _dedup_epoch_from_sig(
+    batch_docs: DataFrame, sig: DataFrame, index_sig: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The epoch body given an already-materialized signature frame —
+    split out so the keyed writer (which needs the signatures first,
+    to derive its candidate partitions) computes MinHash exactly
+    once per epoch."""
     m = _incremental_verdicts(sig, index_sig)
     verdicts = (
         batch_docs.select("doc_id")
@@ -122,20 +137,199 @@ def dedup_epoch(
     return verdicts, kept_sig
 
 
+# --- keyed survivor-index storage (VERDICT r11 weak #1) --------------
+#
+# The signature index is persisted PHYSICALLY KEYED on the LSH band
+# key (keyed_index.py): one replica of the survivor's signature row
+# per band — N_BANDS replicas — hive-partitioned on pmod(xxhash64(
+# band, band_key), P_KEYED). An epoch derives its own band keys,
+# prunes the index scan to those partitions, and feeds the pruned
+# survivors into the unchanged verdict logic: a survivor sharing no
+# probed band key can never be a candidate, so pruning is
+# semantics-preserving and the same driver oracle checks this path.
+# Per-epoch index I/O drops from O(|index|) (the old flat dir, read
+# whole AND re-banded every epoch) to O(occupancy of probed
+# partitions) — and the stored band keys mean the per-epoch banding
+# md5 now runs over the BATCH only, never over the index again.
+
+KEYED_SIG_SCHEMA = "band int, band_key string, " + SIG_SCHEMA
+
+
+def _keyed_sig_rows(kept_sig: DataFrame) -> DataFrame:
+    """Kept signatures -> one replica per band with the partition
+    bucket attached (the bounded per-epoch append)."""
+    from angelone_clickhouse_spark.operators.dedup import _band_keys
+    from angelone_clickhouse_spark.streaming.keyed_index import (
+        PART_COL,
+        pk_of_band,
+    )
+
+    return (
+        _band_keys(kept_sig)
+        .join(kept_sig, "doc_id")
+        .select("band", "band_key", *kept_sig.columns)
+        .withColumn(PART_COL, pk_of_band())
+    )
+
+
+def read_sig_index(
+    spark: SparkSession, index_dir: str, pks: list[int] | None = None
+) -> DataFrame:
+    """Survivor signatures (SIG_SCHEMA) from the keyed store, pruned
+    to partitions ``pks`` — band replicas collapse via dropDuplicates
+    on doc_id (they carry identical signature columns)."""
+    from angelone_clickhouse_spark.streaming.keyed_index import read_keyed
+
+    sig_cols = [c.split(" ")[0] for c in SIG_SCHEMA.split(", ")]
+    return (
+        read_keyed(spark, index_dir, KEYED_SIG_SCHEMA, pks=pks)
+        .dropDuplicates(["doc_id"])
+        .select(*sig_cols)
+    )
+
+
+def dedup_epoch_keyed(
+    batch_docs: DataFrame, sig: DataFrame, stored_rows: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One epoch of the gate against the KEYED store's raw band
+    replica rows (``band, band_key, doc_id, h0..`` — pre-pruned to
+    the epoch's band-key partitions). Semantics IDENTICAL to
+    :func:`dedup_epoch` / ``_incremental_verdicts`` (the tests'
+    sequential replica and the driver oracle both check it); the plan
+    exploits the layout:
+
+    * the store rows ARE the banded index, so the collision join
+      consumes the pruned scan directly — the per-epoch banding md5
+      runs over the BATCH only, never over the index again (the old
+      flat store re-banded the whole index every epoch);
+    * each replica row carries the survivor's full MinHash signature
+      inline, so the estimated-similarity verify reads nothing
+      further — one pruned scan feeds candidates AND verification;
+    * multi-band collisions yield duplicate (doc_id, other_id) rows;
+      each costs one extra cheap slot-compare and collapses in the
+      min-aggregate (``_incremental_verdicts`` dedups them instead —
+      same verdicts either way, that is the point of min)."""
+    from angelone_clickhouse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _band_keys,
+    )
+
+    h_cols = [f"h{i}" for i in range(N_MINHASH)]
+    bn = _band_keys(sig)
+    probe = F.broadcast(bn)
+    idx_cand = (
+        stored_rows.select(
+            "band",
+            "band_key",
+            F.col("doc_id").alias("other_id"),
+            *[F.col(h).alias(f"b{h}") for h in h_cols],
+        )
+        .join(probe, ["band", "band_key"])
+        .filter(F.col("other_id") != F.col("doc_id"))
+        .select(
+            "doc_id",
+            "other_id",
+            F.lit(False).alias("other_new"),
+            *[f"b{h}" for h in h_cols],
+        )
+    )
+    batch_bands = bn.select(
+        "band", "band_key", F.col("doc_id").alias("other_id")
+    )
+    batch_cand = (
+        batch_bands.join(probe, ["band", "band_key"])
+        .filter(F.col("other_id") < F.col("doc_id"))
+        .join(
+            F.broadcast(
+                sig.select(
+                    F.col("doc_id").alias("other_id"),
+                    *[F.col(h).alias(f"b{h}") for h in h_cols],
+                )
+            ),
+            "other_id",
+        )
+        .select(
+            "doc_id",
+            "other_id",
+            F.lit(True).alias("other_new"),
+            *[f"b{h}" for h in h_cols],
+        )
+    )
+    est = F.round(
+        F.aggregate(
+            F.array(
+                *[
+                    (F.col(h) == F.col(f"b{h}")).cast("int")
+                    for h in h_cols
+                ]
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(N_MINHASH)),
+        4,
+    )
+    m = (
+        idx_cand.unionByName(batch_cand)
+        .join(F.broadcast(sig), "doc_id")
+        .filter(est >= JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.when(~F.col("other_new"), F.col("other_id"))).alias(
+                "dup_of_index"
+            ),
+            F.min(F.when(F.col("other_new"), F.col("other_id"))).alias(
+                "dup_of_batch"
+            ),
+        )
+    )
+    verdicts = (
+        batch_docs.select("doc_id")
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of_index",
+            "dup_of_batch",
+            (
+                F.col("dup_of_index").isNull()
+                & F.col("dup_of_batch").isNull()
+            ).alias("keep"),
+        )
+    )
+    kept_sig = sig.join(
+        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    return verdicts, kept_sig
+
+
 def make_docdedup_epoch_writer(out_dir: str, index_dir: str):
     """The foreachBatch function: sweep this epoch's files from both
-    sinks (retry idempotence), read the index WITHOUT them, compute,
-    commit verdicts then kept signatures."""
+    sinks (retry idempotence), derive the epoch's candidate
+    partitions from its own band keys (driver-side, bounded by
+    P_KEYED), read ONLY those partitions of the keyed signature
+    index, compute, commit — verdicts flat, kept signatures into the
+    keyed store."""
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
+        from angelone_clickhouse_spark.operators.dedup import _band_keys
+        from angelone_clickhouse_spark.streaming.keyed_index import (
+            collect_pks,
+            commit_epoch_keyed,
+            pk_of_band,
+            read_keyed,
+            sweep_epoch_keyed,
+        )
+
         spark = batch.sparkSession
         _sweep_prefix(out_dir, f"e{epoch_id}-")
-        _sweep_prefix(index_dir, f"e{epoch_id}-")
-        index_sig = _read_index(spark, index_dir)
-        verdicts, kept_sig = dedup_epoch(batch, index_sig)
+        sweep_epoch_keyed(index_dir, epoch_id)
+        sig = minhash_signatures(batch).localCheckpoint(eager=True)
+        pks = collect_pks(_band_keys(sig), pk_of_band())
+        stored = read_keyed(spark, index_dir, KEYED_SIG_SCHEMA, pks=pks)
+        verdicts, kept_sig = dedup_epoch_keyed(batch, sig, stored)
         verdicts = verdicts.localCheckpoint(eager=True)
         _commit_epoch_flat(verdicts, out_dir, epoch_id)
-        _commit_epoch_flat(kept_sig, index_dir, epoch_id)
+        commit_epoch_keyed(_keyed_sig_rows(kept_sig), index_dir, epoch_id)
 
     return write_epoch
 

@@ -12,10 +12,10 @@ from pyspark.sql import functions as F
 from angelone_clickhouse_spark.streaming.docdedup import (
     N_STREAM_EPOCHS,
     SIG_SCHEMA,
-    _read_index,
     dedup_docs_stream,
     dedup_epoch,
     make_docdedup_epoch_writer,
+    read_sig_index,
     write_epoch_replay,
 )
 
@@ -64,7 +64,7 @@ def test_stream_equals_sequential_batch(spark, sf_dir, tmp_path):
     assert got == want
     # the persisted index is exactly the kept docs' signatures
     stream_index = {
-        tuple(r) for r in _read_index(spark, index_dir).collect()
+        tuple(r) for r in read_sig_index(spark, index_dir).collect()
     }
     assert stream_index == {tuple(r) for r in want_index.collect()}
     # every doc got exactly one verdict
@@ -89,11 +89,11 @@ def test_epoch_retry_is_idempotent(spark, sf_dir, tmp_path):
 
     writer(batch_of(files[0]), 0)
     once_v = _rows(_verdicts(spark, out_dir))
-    once_i = {tuple(r) for r in _read_index(spark, index_dir).collect()}
+    once_i = {tuple(r) for r in read_sig_index(spark, index_dir).collect()}
     writer(batch_of(files[0]), 0)  # the retry
     assert _rows(_verdicts(spark, out_dir)) == once_v
     assert {
-        tuple(r) for r in _read_index(spark, index_dir).collect()
+        tuple(r) for r in read_sig_index(spark, index_dir).collect()
     } == once_i
     writer(batch_of(files[1]), 1)  # next epoch still sees a clean index
     assert len(_verdicts(spark, out_dir).collect()) == batch_of(

