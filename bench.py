@@ -202,6 +202,41 @@ def main() -> None:
                 runs.append(time.time() - t0)
             skew_secs[label] = round(statistics.median(runs), 3)
 
+    # ANN index family: build vs probe, timed SEPARATELY (VERDICT r11
+    # note #2: the per-query medians conflate the one-time index
+    # build with the probe whenever bench_runs=1 — at sf1.0 the
+    # bucketed probe's headline number included its build). The build
+    # is forced by calling the index builder under a pinned-planes
+    # cache key; the probes then time warm by construction at ANY
+    # bench_runs setting.
+    ann_index: dict[str, float] = {}
+    try:
+        from angelone_clickhouse_spark.operators.embedding_fast import (
+            KNN_ANN_TABLES,
+            ann_corpus_index,
+            ann_topk_bucketed,
+            knn_graph_ann_bucketed,
+        )
+
+        _, _planes = ann_corpus_index(spark, SF_DIR)  # adaptive planes
+        t0 = time.time()
+        ann_corpus_index(spark, SF_DIR, KNN_ANN_TABLES, n_planes=_planes)
+        ann_index["build_secs"] = round(time.time() - t0, 3)
+        for key, fn in (
+            ("probe_secs", knn_graph_ann_bucketed),
+            ("topk_probe_secs", ann_topk_bucketed),
+        ):
+            runs = []
+            for _ in range(max(RUNS, 2)):
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.time() - t0)
+            ann_index[key] = round(statistics.median(runs), 3)
+    except Exception as e:  # noqa: BLE001 — diagnostics, not the gate
+        ann_index["error"] = f"{type(e).__name__}: {e}"
+
     total = round(sum(timings.values()), 3)
     canary_median = round(statistics.median(canary_runs), 3)
     full = {
@@ -224,6 +259,9 @@ def main() -> None:
         # user owns ~50% of events): the salted path's overhead vs the
         # straight group-by on the same skewed data
         "skew_secs": skew_secs,
+        # ANN index lifecycle, build and warm probe timed separately
+        # (the per-query medians above conflate them at bench_runs=1)
+        "ann_index_secs": ann_index,
         # noise canary (see _canary above): fixed constant-work query,
         # 1 warm point + 1 per pass. Compare canary_median across
         # rounds FIRST — if it moved, the round's deltas are weather.

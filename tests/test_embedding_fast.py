@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import pyspark.sql
 import pytest
+from pyspark.sql import functions as F
 
 from angelone_clickhouse_spark.operators import embedding_fast
 from angelone_clickhouse_spark.operators.dedup import dedup_embedding
@@ -526,3 +527,78 @@ def test_ann_index_compact_one_file_per_bucket_same_cells(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan and plan.count("Exchange") == 1
+
+
+def test_ann_index_delete_tombstones_then_compaction_folds(spark, sf_dir):
+    """The delete lifecycle (VERDICT r11 #6): (a) ann_topk_deleted
+    returns no tombstoned id on either side; (b) compaction with the
+    tombstone table physically drops the deleted ids' cell rows;
+    (c) probing the compacted table WITHOUT any tombstone filter
+    yields the same candidate set as the logical (tombstone
+    anti-join) path — delete semantics survive the physical fold;
+    (d) the probe plan over the compacted table keeps the
+    probe-side-only-Exchange shape."""
+    from angelone_clickhouse_spark.operators.similarity import _vectors
+
+    m, r = embedding_fast.ANN_DELETE_MOD, embedding_fast.ANN_DELETE_REM
+    got = embedding_fast.ann_topk_deleted(spark, sf_dir)
+    rows = got.collect()
+    assert rows, "fixture should produce neighbors"
+    assert all(
+        row.query_id % m != r and row.neighbor_id % m != r for row in rows
+    )
+    name, planes = embedding_fast.ann_corpus_index(
+        spark, sf_dir, embedding_fast.KNN_ANN_TABLES
+    )
+    deleted = _vectors(spark, sf_dir).select("vec_id").filter(
+        F.pmod(F.col("vec_id"), F.lit(m)) == r
+    )
+    tomb = embedding_fast.ann_index_delete(
+        spark, name, deleted, overwrite=True
+    )
+    cname = embedding_fast.ann_index_compact(spark, name, tombstone_table=tomb)
+    # (b) physically gone
+    assert (
+        spark.table(cname)
+        .filter(F.pmod(F.col("vec_id"), F.lit(m)) == r)
+        .count()
+        == 0
+    )
+    assert spark.table(name).filter(
+        F.pmod(F.col("vec_id"), F.lit(m)) == r
+    ).count() > 0  # the un-compacted table still holds them (logical)
+    # (c) compacted probe without tombstone filter == logical path
+    cand_compacted = (
+        embedding_fast._ann_bucketed_candidate_join(
+            spark,
+            cname,
+            planes,
+            embedding_fast.KNN_ANN_FLIPS,
+            src_filter=F.col("vec_id") < embedding_fast.N_QUERIES,
+        )
+        .select("src_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["src_id", "neighbor_id"])
+    )
+    got_edges = {
+        (row.query_id, row.neighbor_id)
+        for row in embedding_fast._rescore_rank_edges(
+            spark, sf_dir, cand_compacted, embedding_fast.TOP_K
+        )
+        .select(
+            F.col("src_id").alias("query_id"), "neighbor_id"
+        )
+        .collect()
+    }
+    assert got_edges == {(row.query_id, row.neighbor_id) for row in rows}
+    # (d) plan shape unchanged over the compacted table
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = embedding_fast._ann_bucketed_candidate_join(
+            spark, cname, planes, embedding_fast.KNN_ANN_FLIPS
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    _assert_probe_side_only_exchange(plan)

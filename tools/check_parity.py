@@ -11,6 +11,7 @@ Usage: python tools/check_parity.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import os
+import re
 import sys
 import time
 
@@ -65,11 +66,23 @@ def run_parity(
     # DuckDB drop insertion-order bookkeeping — materially lowers
     # memory/spill on the brute-force pairwise oracles at sf1.0
     con.sql("SET preserve_insertion_order=false")
+    # env-provided values are validated before interpolation (ADVICE
+    # r11: a malformed value failed confusingly and an attacker-
+    # controlled env could inject SQL; DuckDB SET does not accept
+    # prepared-statement parameters, so a strict allowlist it is)
     mem = os.environ.get("PARITY_DUCKDB_MEMORY")
     if mem:
+        if not re.fullmatch(r"\d+(\.\d+)?\s*(GiB|GB|MiB|MB|KiB|KB|B)?", mem):
+            raise SystemExit(
+                f"PARITY_DUCKDB_MEMORY={mem!r}: expected e.g. '80GB'"
+            )
         con.sql(f"SET memory_limit='{mem}'")
     tmp = os.environ.get("PARITY_DUCKDB_TEMP")
     if tmp:
+        if not re.fullmatch(r"[A-Za-z0-9_\-./]+", tmp):
+            raise SystemExit(
+                f"PARITY_DUCKDB_TEMP={tmp!r}: expected a plain path"
+            )
         con.sql(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         # driver fixtures are single files; tools/make_sf1.py writes

@@ -134,10 +134,23 @@ def main() -> int:
                 f"{ratios[k]:.1f}x |"
             )
     if "knn_graph_ann" in qa and "knn_graph_ann_bucketed" in qa:
-        for sf_name, q in (("sf0.1", qa), ("sf1.0", qb)):
+        # label single-run numbers honestly (ADVICE r11): with
+        # bench_runs=1 the probe time INCLUDES the one-time index
+        # build, so only a multi-run median is a "warm probe"
+        for sf_name, q, runs in (
+            ("sf0.1", qa, a.get("bench_runs", 3)),
+            ("sf1.0", qb, b.get("bench_runs", 1)),
+        ):
             r = q["knn_graph_ann_bucketed"] / max(q["knn_graph_ann"], 0.05)
+            label = (
+                "the warm probe costs"
+                if runs and runs > 1
+                else "the single-run probe (build-INCLUSIVE: one run"
+                " pays the one-time index build inside the timed"
+                " query) costs"
+            )
             lines.append(
-                f"\nAt {sf_name} the warm probe costs "
+                f"\nAt {sf_name} {label} "
                 f"**{r:.2f}x the per-run rebuild** "
                 f"({q['knn_graph_ann_bucketed']:.2f} s vs "
                 f"{q['knn_graph_ann']:.2f} s)."
@@ -150,6 +163,24 @@ def main() -> int:
             " is paid once per corpus change — and only on the delta"
             " for appends (knn_graph_ann_incremental)."
         )
+    # measured build/probe split (bench.py ann_index_secs, r12): the
+    # builder is forced under a pinned-planes cache key, then the
+    # probes time warm by construction — so these numbers are honest
+    # at ANY bench_runs setting, unlike the conflated medians above
+    ia = a.get("ann_index_secs") or {}
+    ib = b.get("ann_index_secs") or {}
+    if "probe_secs" in ia or "probe_secs" in ib:
+        lines += [
+            "",
+            "### build vs warm probe, measured separately",
+            "",
+            "| measure | sf0.1 s | sf1.0 s |",
+            "|---|---|---|",
+        ]
+        for key in ("build_secs", "probe_secs", "topk_probe_secs"):
+            va = f"{ia[key]:.2f}" if key in ia else "—"
+            vb = f"{ib[key]:.2f}" if key in ib else "—"
+            lines.append(f"| `{key}` | {va} | {vb} |")
     lines.append("")
     out = os.path.join(ROOT, "SCALE.md")
     with open(out, "w") as f:
