@@ -32,77 +32,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # their value-parity guarantee via tests/test_full_parity.py at
 # sf0.001 and tools/check_parity.py runs at larger SFs.
 _PRIORITY = [
-    # r11 window = (a) new this round, (b) ops whose code or oracle
+    # r12 window = (a) new this round, (b) ops whose code or oracle
     # text changed this round (must re-earn a row), (c) the ENTIRE
-    # owed r5-stale refresh (after this round no driver row predates
-    # r7), (d) the 21 oldest r7-stale names alphabetically. 26 r7
-    # names remain for r12 (listed at the bottom).
-    # (a) new in r11
-    "knn_graph_ann_bucketed",   # NEW: write-once bucketed cell index
-    "knn_graph_ann_incremental",  # NEW: base-build + delta-append index
-    "ann_topk_bucketed",        # NEW: query top-k over the same index
-    "stream_semdedup_lsh",      # NEW: LSH-fronted streaming gate
-    "bpe_encode",               # NEW: apply learned merges + OOV
-    # (b) code/oracle changed in r11
-    "vocab_coverage_curve",     # frozen bucket assignment (ADVICE)
-    "bpe_train",                # empty-word guard in _word_freq
-    "bpe_merge_pairs",          # empty-word guard in _word_freq
-    "vocab_oov_rate",           # empty-word guard in _word_freq
-    "knn_graph_ann",            # parametrized oracle builder
+    # owed r7-stale refresh (after this round no driver row predates
+    # r9), (d) the 14 oldest r9-stale names alphabetically. 27 r9
+    # names remain for r13 (listed at the bottom).
+    # (a) new in r12
+    "ann_topk_deleted",         # NEW: tombstone-delete lifecycle probe
+    # (b) code/oracle changed in r12
+    "stream_semdedup_lsh",      # keyed survivor index (physical probe)
+    "stream_dedup_docs",        # keyed signature index
+    "stream_semdedup",          # broadcast pin; hoisted-pairs oracle
+    "knn_graph_ann_bucketed",   # stable index paths (_index_path)
+    "knn_graph_ann_incremental",  # stable index paths
+    "ann_topk_bucketed",        # stable index paths
+    "knn_graph_ann",            # parametrized oracle builder (delete_mod)
     "knn_graph_ann_amplified",  # parametrized oracle builder
     "knn_ann_recall",           # parametrized oracle builder
-    "stream_semdedup",          # committer signature change
-    # (c) the complete owed r5-stale refresh
-    "local_supplier_volume",
-    "market_share",
-    "max_drawdown",
-    "min_cost_suppliers",
-    "orders_monthly_growth",
-    "pipeline_e2e",
-    "price_quantiles_kll",
-    "rolling_volatility",
-    "ship_latency_classes",
-    "small_qty_revenue",
-    "source_overlap_matrix",
-    "span_dedup_corpus",
-    "span_dedup_rewrite",
-    "text_fingerprint",
-    "top_supplier_revenue",
-    "top_tokens_sketch",
-    # (d) the 22 oldest r7-stale names (alphabetical)
-    "ann_lsh_topk",
-    "ann_recall_audit",
-    "ann_topk_cosine",
-    "ann_topk_fast",
-    "asof_price_lookup",
-    "cap_per_source",
-    "corpus_top_tokens",
-    "daily_bars_rollup",
-    "dataset_split",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_simhash",
-    "distinct_tokens",
-    "doc_containment",
-    "doc_repetition",
-    "epoch_cap_events",
-    "event_sliding_windows",
-    "event_type_funnel",
-    "frame_sample",
-    "fuzzy_prefix_pairs",
-    "gap_sessions",
-    # exactly 50 entries above — the driver gate stops there. r12
-    # owes the remaining 26 r7-stale names (hourly_bars_rollup was
-    # displaced by knn_graph_ann_incremental late in r11):
-    # hourly_bars_rollup, ingest_load_shed,
-    # json_extract_events, map_functions, minute_bars,
-    # multimodal_features, multimodal_meta, pii_redact,
-    # price_histogram, price_outliers, price_percentiles,
-    # quality_quantile_gate, resample_ffill, salted_user_stats,
-    # sample_stratified, scalar_functions, semdedup, sequence_pack,
-    # skewed_hot_user_stats, sql_grouping_sets, text_langid,
-    # tick_interval_join, twap_hourly, value_dispersion, vwap_daily,
-    # weekly_retention.
+    # (c) the complete owed r7-stale refresh
+    "hourly_bars_rollup",
+    "ingest_load_shed",
+    "json_extract_events",
+    "map_functions",
+    "minute_bars",
+    "multimodal_features",
+    "multimodal_meta",
+    "pii_redact",
+    "price_histogram",
+    "price_outliers",
+    "price_percentiles",
+    "quality_quantile_gate",
+    "resample_ffill",
+    "salted_user_stats",
+    "sample_stratified",
+    "scalar_functions",
+    "semdedup",
+    "sequence_pack",
+    "skewed_hot_user_stats",
+    "sql_grouping_sets",
+    "text_langid",
+    "tick_interval_join",
+    "twap_hourly",
+    "value_dispersion",
+    "vwap_daily",
+    "weekly_retention",
+    # (d) the 14 oldest r9-stale names (alphabetical)
+    "audio_features",
+    "customer_balance_quartiles",
+    "customer_order_ranks",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_length_histogram",
+    "enrich_tokens_join",
+    "image_resize",
+    "knn_label_purity",
+    "late_shipment_priorities",
+    "mixture_sample",
+    # exactly 50 entries above — the driver gate stops there. r13
+    # owes the remaining 27 r9-stale names: multimodal_gate,
+    # nation_profit, novelty_ngram_rate, order_priority_cube,
+    # orders_above_nation_avg, pack_efficiency,
+    # parts_supplier_counts, pricing_summary, promo_revenue_share,
+    # q2_daily_stats, q3_recency_check, q4_latest_prices,
+    # q6_volume_profile, q7_sample, returned_item_revenue,
+    # revenue_by_nation, revenue_rollup, sessionize_events,
+    # shard_plan, shipping_priority, source_mixture_weights,
+    # tfidf_top_terms, tokens_by_exchange, top_customers,
+    # unknown_exchange_tokens, video_frames, volume_shipping.
 ]
 
 

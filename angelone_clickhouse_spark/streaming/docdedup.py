@@ -429,7 +429,13 @@ def _stream_oracle_sql() -> str:
     w/sh/sig/bands CTEs of the LSH oracle, then one (m_k, v_k,
     kept_k) CTE triple per epoch — epoch k's candidates come from
     kept docs of earlier epochs plus smaller-id docs of epoch k,
-    exactly the stream's survivor-index semantics."""
+    exactly the stream's survivor-index semantics.
+
+    The band self-join AND the signature verify run ONCE into a
+    MATERIALIZED qualifying-pair table that every epoch filters — not
+    once per epoch as before (VERDICT r11 #7: the 4x re-join's spill
+    exhausted checker disk at sf1.0). Verified pairs are few, so the
+    materialization is small; exactness unchanged."""
     from angelone_clickhouse_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         _minhash_oracle_sql,
@@ -442,33 +448,39 @@ def _stream_oracle_sql() -> str:
         for i in range(N_MINHASH)
     )
     ne = N_STREAM_EPOCHS
-    blocks = []
+    blocks = [
+        f"""verified AS MATERIALIZED (
+  SELECT c.a_id, c.b_id
+  FROM (
+    SELECT DISTINCT ba.doc_id AS a_id, bb.doc_id AS b_id
+    FROM bands ba
+    JOIN bands bb ON ba.band = bb.band AND ba.band_key = bb.band_key
+               AND ba.doc_id <> bb.doc_id
+  ) c
+  JOIN sig sa ON sa.doc_id = c.a_id
+  JOIN sig sb ON sb.doc_id = c.b_id
+  WHERE round(({matches}) / {float(N_MINHASH)}, 4) >= {JACCARD_THRESHOLD}
+)"""
+    ]
     for k in range(ne):
         index_arm = (
-            f"OR (bb.doc_id % {ne} < {k} "
-            f"AND bb.doc_id IN (SELECT doc_id FROM kept{k - 1}))"
+            f"OR (b_id % {ne} < {k} "
+            f"AND b_id IN (SELECT doc_id FROM kept{k - 1}))"
             if k > 0
             else ""
         )
         blocks.append(
             f"""m{k} AS (
-  SELECT c.doc_id,
-         min(CASE WHEN NOT c.src_new THEN c.b_id END) AS dup_of_index,
-         min(CASE WHEN c.src_new THEN c.b_id END) AS dup_of_batch
-  FROM (
-    SELECT DISTINCT ba.doc_id, bb.doc_id AS b_id,
-           (bb.doc_id % {ne} = {k}) AS src_new
-    FROM bands ba
-    JOIN bands bb ON ba.band = bb.band AND ba.band_key = bb.band_key
-               AND ba.doc_id <> bb.doc_id
-    WHERE ba.doc_id % {ne} = {k}
-      AND ((bb.doc_id % {ne} = {k} AND bb.doc_id < ba.doc_id)
-           {index_arm})
-  ) c
-  JOIN sig sa ON sa.doc_id = c.doc_id
-  JOIN sig sb ON sb.doc_id = c.b_id
-  WHERE round(({matches}) / {float(N_MINHASH)}, 4) >= {JACCARD_THRESHOLD}
-  GROUP BY c.doc_id
+  SELECT a_id AS doc_id,
+         min(CASE WHEN NOT (b_id % {ne} = {k}) THEN b_id END)
+           AS dup_of_index,
+         min(CASE WHEN (b_id % {ne} = {k}) THEN b_id END)
+           AS dup_of_batch
+  FROM verified
+  WHERE a_id % {ne} = {k}
+    AND ((b_id % {ne} = {k} AND b_id < a_id)
+         {index_arm})
+  GROUP BY a_id
 ),
 v{k} AS (
   SELECT d.doc_id, m.dup_of_index, m.dup_of_batch,

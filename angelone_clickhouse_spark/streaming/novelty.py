@@ -37,8 +37,11 @@ before the explode (the Generate re-evaluation pitfall); the
 first-in-epoch table and the index probe both shuffle on gram content
 — boilerplate-gram skew is AQE's skew-join case; the index append is
 a left-anti join on the same key; the per-doc rollup shuffles on
-doc_id. The index is only ever probed by the small arriving epoch.
-At cluster scale the index is a bucketed table on gram.
+doc_id. The index is only ever probed by the small arriving epoch —
+and since r12 it is PHYSICALLY keyed (streaming/keyed_index.py hive
+partitions on pmod(xxhash64(gram), P_KEYED)), so each epoch reads
+only the partitions its own grams hash into: per-epoch index I/O is
+bounded by probed-partition occupancy, not |distinct grams seen|.
 """
 
 from __future__ import annotations
@@ -51,7 +54,6 @@ from pyspark.sql import functions as F
 
 from angelone_clickhouse_spark.operators.mixing import NOVELTY_N
 from angelone_clickhouse_spark.streaming.docdedup import (
-    _read_index,
     DOCS_SCHEMA,
     N_STREAM_EPOCHS,
     write_epoch_replay,
@@ -110,21 +112,65 @@ def novelty_epoch(
     return verdicts, new_grams
 
 
+# --- keyed seen-gram index (r12: the docdedup/embdedup keyed-index
+# treatment, VERDICT r11 weak #1's sibling) ---------------------------
+#
+# The seen-gram set is persisted hive-partitioned on pk =
+# pmod(xxhash64(gram), P_KEYED) (streaming/keyed_index.py). An epoch
+# collects its own grams' partition ids (bounded by P_KEYED) and
+# reads ONLY those partitions: a stored gram outside them cannot
+# equal any batch gram, so both the seen-probe join and the
+# new-gram anti-join are exact over the pruned subset — the pure
+# epoch function is unchanged. Per-epoch index I/O is bounded by
+# probed-partition occupancy, not |distinct grams seen|.
+
+def _gram_pk() -> F.Column:
+    from angelone_clickhouse_spark.streaming.keyed_index import P_KEYED
+
+    return F.pmod(F.xxhash64(F.col("gram")), F.lit(P_KEYED)).cast("int")
+
+
+def read_gram_index(
+    spark: SparkSession, index_dir: str, pks: list[int] | None = None
+) -> DataFrame:
+    from angelone_clickhouse_spark.streaming.keyed_index import read_keyed
+
+    return read_keyed(spark, index_dir, GRAM_SCHEMA, pks=pks)
+
+
 def make_novelty_epoch_writer(out_dir: str, index_dir: str):
     """foreachBatch body: sweep this epoch's files from both sinks
-    (retry idempotence), read the index WITHOUT them, compute, commit
-    verdicts then the index extension — docdedup.py's contract."""
+    (retry idempotence), derive the epoch's candidate partitions from
+    its own grams, read ONLY those partitions of the keyed seen-gram
+    index, compute, commit — verdicts flat, new grams keyed."""
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
+        from angelone_clickhouse_spark.operators.pipeline import (
+            _word_ngrams,
+        )
+        from angelone_clickhouse_spark.streaming.keyed_index import (
+            PART_COL,
+            collect_pks,
+            commit_epoch_keyed,
+            sweep_epoch_keyed,
+        )
+
         spark = batch.sparkSession
         sweep_prefix(out_dir, f"e{epoch_id}-")
-        sweep_prefix(index_dir, f"e{epoch_id}-")
-        index = _read_index(spark, index_dir, GRAM_SCHEMA)
+        sweep_epoch_keyed(index_dir, epoch_id)
+        pks = collect_pks(
+            _word_ngrams(batch, NOVELTY_N).select("gram"), _gram_pk()
+        )
+        index = read_gram_index(spark, index_dir, pks=pks)
         verdicts, new_grams = novelty_epoch(batch, index)
         verdicts = verdicts.localCheckpoint(eager=True)
         new_grams = new_grams.localCheckpoint(eager=True)
         commit_epoch_flat(verdicts, out_dir, epoch_id)
-        commit_epoch_flat(new_grams, index_dir, epoch_id)
+        commit_epoch_keyed(
+            new_grams.withColumn(PART_COL, _gram_pk()),
+            index_dir,
+            epoch_id,
+        )
 
     return write_epoch
 

@@ -13,10 +13,10 @@ from angelone_clickhouse_spark.streaming.novelty import (
     make_novelty_epoch_writer,
     novelty_docs_stream,
     novelty_epoch,
+    read_gram_index,
 )
 from angelone_clickhouse_spark.streaming.docdedup import (
     N_STREAM_EPOCHS,
-    _read_index,
     write_epoch_replay,
 )
 
@@ -62,7 +62,7 @@ def test_stream_equals_sequential_batch(spark, sf_dir, tmp_path):
     assert got == want
     # the persisted index is exactly the distinct seen-gram SET
     stream_index = [
-        r.gram for r in _read_index(spark, index_dir, GRAM_SCHEMA).collect()
+        r.gram for r in read_gram_index(spark, index_dir).collect()
     ]
     assert len(stream_index) == len(set(stream_index))
     assert set(stream_index) == {r.gram for r in want_index.collect()}
@@ -91,12 +91,12 @@ def test_epoch_retry_is_idempotent(spark, sf_dir, tmp_path):
     writer(batch_of(files[0]), 0)
     once_v = _rows(_verdicts(spark, out_dir))
     once_i = {
-        r.gram for r in _read_index(spark, index_dir, GRAM_SCHEMA).collect()
+        r.gram for r in read_gram_index(spark, index_dir).collect()
     }
     writer(batch_of(files[0]), 0)  # the retry
     assert _rows(_verdicts(spark, out_dir)) == once_v
     assert {
-        r.gram for r in _read_index(spark, index_dir, GRAM_SCHEMA).collect()
+        r.gram for r in read_gram_index(spark, index_dir).collect()
     } == once_i
     writer(batch_of(files[1]), 1)
     assert _verdicts(spark, out_dir).count() == batch_of(
