@@ -302,7 +302,9 @@ def dedup_epoch_keyed(
     return verdicts, kept_sig
 
 
-def make_docdedup_epoch_writer(out_dir: str, index_dir: str):
+def make_docdedup_epoch_writer(
+    out_dir: str, index_dir: str, retention_epochs: int | None = None
+):
     """The foreachBatch function: sweep this epoch's files from both
     sinks (retry idempotence), derive the epoch's candidate
     partitions from its own band keys (driver-side, bounded by
@@ -330,6 +332,14 @@ def make_docdedup_epoch_writer(out_dir: str, index_dir: str):
         verdicts = verdicts.localCheckpoint(eager=True)
         _commit_epoch_flat(verdicts, out_dir, epoch_id)
         commit_epoch_keyed(_keyed_sig_rows(kept_sig), index_dir, epoch_id)
+        if retention_epochs is not None:
+            from angelone_clickhouse_spark.streaming.keyed_index import (
+                expire_epochs_keyed,
+            )
+
+            expire_epochs_keyed(
+                index_dir, epoch_id - retention_epochs + 1
+            )
 
     return write_epoch
 

@@ -630,13 +630,24 @@ def semdedup_lsh_epoch_keyed(
 
 
 def make_embdedup_lsh_epoch_writer(
-    out_dir: str, index_dir: str, planes: int, n_tables: int, n_flips: int
+    out_dir: str,
+    index_dir: str,
+    planes: int,
+    n_tables: int,
+    n_flips: int,
+    retention_epochs: int | None = None,
 ):
     """foreachBatch writer of the LSH-fronted gate: sweep both sinks
     (retry idempotence), derive the epoch's candidate partitions from
     its own probe keys (driver-side, bounded by P_KEYED), read ONLY
     those partitions of the keyed survivor index, compute, commit —
-    verdicts flat, kept survivors into the keyed store."""
+    verdicts flat, kept survivors into the keyed store.
+
+    ``retention_epochs`` (opt-in TTL, keyed_index.expire_epochs_keyed)
+    keeps only the last N epochs' survivors gating new arrivals —
+    bounded index growth, with the deliberate semantic that a
+    duplicate of an expired survivor is treated as new. The default
+    None keeps the oracle-checked grow-forever semantics."""
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
         from angelone_clickhouse_spark.streaming.keyed_index import (
@@ -672,6 +683,14 @@ def make_embdedup_lsh_epoch_writer(
         verdicts = verdicts.localCheckpoint(eager=True)
         commit_epoch_flat(verdicts, out_dir, epoch_id)
         commit_epoch_keyed(_keyed_lsh_rows(kept_vec), index_dir, epoch_id)
+        if retention_epochs is not None:
+            from angelone_clickhouse_spark.streaming.keyed_index import (
+                expire_epochs_keyed,
+            )
+
+            expire_epochs_keyed(
+                index_dir, epoch_id - retention_epochs + 1
+            )
 
     return write_epoch
 

@@ -42,6 +42,7 @@ from a committing table format partitioned the same way.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,13 +54,17 @@ from angelone_clickhouse_spark.streaming.epoch_commit import (
 )
 
 # Partition-bucket count for every keyed survivor index. At fixture
-# scale a full replay epoch probes most of the 64 buckets (LSH keys
-# are uniform by design) — the PRUNING win shows up when the batch is
-# small relative to the key space, which is the 100 TB shape (a
-# trigger's probe keys cover a vanishing fraction of n_tables x
-# 2^planes cells); tests measure it with small epochs. A deployment
-# sizes P so one partition's occupancy fits a scan task comfortably.
-P_KEYED = 64
+# scale a full replay epoch probes most buckets (LSH keys are uniform
+# by design) — the PRUNING win shows up when the batch is small
+# relative to the key space, which is the 100 TB shape (a trigger's
+# probe keys cover a vanishing fraction of n_tables x 2^planes
+# cells); tests measure it with small epochs. A deployment sizes P so
+# one partition's occupancy fits a scan task comfortably — P is
+# LAYOUT, not semantics (no oracle depends on it), so it is tuned to
+# the fixture here: 16 keeps per-epoch commit cost (one file per
+# touched partition + renames) proportionate at test SFs, and the
+# env knob lets a larger run raise it without a code change.
+P_KEYED = int(os.environ.get("SPARK_GRAFT_KEYED_PARTITIONS", "16"))
 PART_COL = "pk"
 
 
@@ -118,17 +123,29 @@ def collect_pks(df_with_keys: DataFrame, pk_col: F.Column) -> list[int]:
 
 
 def commit_epoch_keyed(
-    df_with_pk: DataFrame, index_dir: str, epoch_id: int
+    df_with_pk: DataFrame, index_dir: str, epoch_id: int,
+    bulk: bool = False,
 ) -> None:
     """Retry-idempotent epoch append into the keyed store: stage the
     epoch hive-partitioned on PART_COL (one file per touched
-    partition — the pre-repartition makes each write task own whole
-    partitions), then sweep + rename under the epoch prefix."""
+    partition), then sweep + rename under the epoch prefix.
+
+    Default staging is a SINGLE task writing all partitions — the
+    epoch payload is trigger-bounded (the same contract as
+    commit_epoch_flat's coalesce(1) default), so a shuffle per commit
+    is pure overhead at any trigger a single task can sort. Pass
+    ``bulk=True`` for a sink whose epochs carry bulk data: staging
+    becomes a repartition on PART_COL so each write task owns whole
+    partitions in parallel."""
     staging = os.path.join(index_dir + ".stage", f"epoch-{epoch_id}")
     shutil.rmtree(staging, ignore_errors=True)
-    (
+    staged = (
         df_with_pk.repartition(F.col(PART_COL))
-        .write.mode("overwrite")
+        if bulk
+        else df_with_pk.coalesce(1)
+    )
+    (
+        staged.write.mode("overwrite")
         .partitionBy(PART_COL)
         .parquet(staging)
     )
@@ -146,6 +163,35 @@ def sweep_epoch_keyed(index_dir: str, epoch_id: int) -> None:
     sweep_prefix_partitioned(
         index_dir, f"e{epoch_id}-", partition_prefix=f"{PART_COL}="
     )
+
+
+def expire_epochs_keyed(index_dir: str, keep_from_epoch: int) -> int:
+    """Retention/TTL for a keyed survivor index: physically drop every
+    epoch file with epoch id < ``keep_from_epoch`` from every
+    partition (epoch ids are embedded in the committed file names as
+    the ``e{id}-`` prefix, so expiry is a rename-free unlink pass —
+    O(files), no data read). Returns the number of files removed.
+
+    This is the STREAMING complement of the batch index's tombstone
+    path: where deletes remove specific ids, retention bounds index
+    GROWTH — survivors older than the window stop gating new
+    arrivals, which is the deliberate semantics of a TTL'd dedup gate
+    (a re-crawl after the window is treated as new). Opt-in on the
+    writers (``retention_epochs``); the default (None) keeps the
+    oracle-checked grow-forever semantics."""
+    removed = 0
+    if not os.path.isdir(index_dir):
+        return 0
+    for dpart in os.listdir(index_dir):
+        d = os.path.join(index_dir, dpart)
+        if not dpart.startswith(f"{PART_COL}=") or not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            m = re.match(r"e(\d+)-", name)
+            if m and int(m.group(1)) < keep_from_epoch:
+                os.remove(os.path.join(d, name))
+                removed += 1
+    return removed
 
 
 def keyed_bytes(index_dir: str, pks: list[int] | None = None) -> int:

@@ -138,7 +138,9 @@ def read_gram_index(
     return read_keyed(spark, index_dir, GRAM_SCHEMA, pks=pks)
 
 
-def make_novelty_epoch_writer(out_dir: str, index_dir: str):
+def make_novelty_epoch_writer(
+    out_dir: str, index_dir: str, retention_epochs: int | None = None
+):
     """foreachBatch body: sweep this epoch's files from both sinks
     (retry idempotence), derive the epoch's candidate partitions from
     its own grams, read ONLY those partitions of the keyed seen-gram
@@ -171,6 +173,14 @@ def make_novelty_epoch_writer(out_dir: str, index_dir: str):
             index_dir,
             epoch_id,
         )
+        if retention_epochs is not None:
+            from angelone_clickhouse_spark.streaming.keyed_index import (
+                expire_epochs_keyed,
+            )
+
+            expire_epochs_keyed(
+                index_dir, epoch_id - retention_epochs + 1
+            )
 
     return write_epoch
 

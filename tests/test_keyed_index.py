@@ -249,3 +249,44 @@ def test_doc_epoch_scan_is_partition_pruned(spark, sig_store):
     # measured read bound
     pruned, total = keyed_bytes(index_dir, pks), keyed_bytes(index_dir)
     assert 0 < pruned < total, (pruned, total, len(pks))
+
+
+def test_lsh_retention_expires_old_survivors(spark, tmp_path):
+    """Opt-in TTL (retention_epochs): survivors older than the window
+    stop gating new arrivals — a duplicate of an EXPIRED survivor is
+    kept (deliberately: a re-crawl after the window is new), while a
+    duplicate of a retained survivor is still gated."""
+    from angelone_clickhouse_spark.streaming.embdedup import (
+        EMB_SCHEMA,
+        make_embdedup_lsh_epoch_writer,
+        read_lsh_index,
+    )
+
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    out_dir, index_dir = str(tmp_path / "v"), str(tmp_path / "idx")
+    w = make_embdedup_lsh_epoch_writer(
+        out_dir, index_dir, retention_epochs=1, **_LSH
+    )
+    mk = lambda rows: spark.createDataFrame(rows, EMB_SCHEMA)  # noqa: E731
+    w(mk([(0, e1, 0)]), 0)
+    w(mk([(10, e2, 0)]), 1)
+    # only epoch 1's survivor remains in the index
+    assert {r.vec_id for r in read_lsh_index(spark, index_dir).collect()} == {
+        10
+    }
+    w(mk([(20, e1, 0), (21, e2, 0)]), 2)
+    verdicts = {
+        (r.vec_id, r.dup_of_index, r.keep)
+        for r in spark.read.schema(
+            "vec_id long, dup_of_index long, dup_of_batch long,"
+            " keep boolean"
+        )
+        .parquet(out_dir)
+        .collect()
+        if r.vec_id >= 20
+    }
+    # 20 duplicates the EXPIRED epoch-0 survivor -> treated as new;
+    # 21 duplicates the RETAINED epoch-1 survivor -> gated
+    assert verdicts == {(20, None, True), (21, 10, False)}
