@@ -325,6 +325,17 @@ def make_docdedup_epoch_writer(
         spark = batch.sparkSession
         _sweep_prefix(out_dir, f"e{epoch_id}-")
         sweep_epoch_keyed(index_dir, epoch_id)
+        if retention_epochs is not None:
+            # expire BEFORE reading, not after committing: a retried
+            # epoch must see the exact index state the first attempt
+            # saw (expiry is idempotent; post-commit expiry would
+            # shrink the gating set between attempts and break the
+            # bit-deterministic recomputation contract)
+            from angelone_clickhouse_spark.streaming.keyed_index import (
+                expire_epochs_keyed,
+            )
+
+            expire_epochs_keyed(index_dir, epoch_id - retention_epochs)
         sig = minhash_signatures(batch).localCheckpoint(eager=True)
         pks = collect_pks(_band_keys(sig), pk_of_band())
         stored = read_keyed(spark, index_dir, KEYED_SIG_SCHEMA, pks=pks)
@@ -332,14 +343,7 @@ def make_docdedup_epoch_writer(
         verdicts = verdicts.localCheckpoint(eager=True)
         _commit_epoch_flat(verdicts, out_dir, epoch_id)
         commit_epoch_keyed(_keyed_sig_rows(kept_sig), index_dir, epoch_id)
-        if retention_epochs is not None:
-            from angelone_clickhouse_spark.streaming.keyed_index import (
-                expire_epochs_keyed,
-            )
 
-            expire_epochs_keyed(
-                index_dir, epoch_id - retention_epochs + 1
-            )
 
     return write_epoch
 

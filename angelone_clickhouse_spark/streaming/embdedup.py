@@ -661,6 +661,17 @@ def make_embdedup_lsh_epoch_writer(
         spark = batch.sparkSession
         sweep_prefix(out_dir, f"e{epoch_id}-")
         sweep_epoch_keyed(index_dir, epoch_id)
+        if retention_epochs is not None:
+            # expire BEFORE reading, not after committing: a retried
+            # epoch must see the exact index state the first attempt
+            # saw (expiry is idempotent; post-commit expiry would
+            # shrink the gating set between attempts and break the
+            # bit-deterministic recomputation contract)
+            from angelone_clickhouse_spark.streaming.keyed_index import (
+                expire_epochs_keyed,
+            )
+
+            expire_epochs_keyed(index_dir, epoch_id - retention_epochs)
         # bounded: one trigger's probe keys -> <= P_KEYED partition ids
         new_keys = _with_cells(_as_double_vecs(batch), planes, n_tables)
         pks = collect_pks(
@@ -683,14 +694,7 @@ def make_embdedup_lsh_epoch_writer(
         verdicts = verdicts.localCheckpoint(eager=True)
         commit_epoch_flat(verdicts, out_dir, epoch_id)
         commit_epoch_keyed(_keyed_lsh_rows(kept_vec), index_dir, epoch_id)
-        if retention_epochs is not None:
-            from angelone_clickhouse_spark.streaming.keyed_index import (
-                expire_epochs_keyed,
-            )
 
-            expire_epochs_keyed(
-                index_dir, epoch_id - retention_epochs + 1
-            )
 
     return write_epoch
 

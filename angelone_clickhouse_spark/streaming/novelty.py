@@ -160,6 +160,17 @@ def make_novelty_epoch_writer(
         spark = batch.sparkSession
         sweep_prefix(out_dir, f"e{epoch_id}-")
         sweep_epoch_keyed(index_dir, epoch_id)
+        if retention_epochs is not None:
+            # expire BEFORE reading, not after committing: a retried
+            # epoch must see the exact index state the first attempt
+            # saw (expiry is idempotent; post-commit expiry would
+            # shrink the gating set between attempts and break the
+            # bit-deterministic recomputation contract)
+            from angelone_clickhouse_spark.streaming.keyed_index import (
+                expire_epochs_keyed,
+            )
+
+            expire_epochs_keyed(index_dir, epoch_id - retention_epochs)
         pks = collect_pks(
             _word_ngrams(batch, NOVELTY_N).select("gram"), _gram_pk()
         )
@@ -173,14 +184,7 @@ def make_novelty_epoch_writer(
             index_dir,
             epoch_id,
         )
-        if retention_epochs is not None:
-            from angelone_clickhouse_spark.streaming.keyed_index import (
-                expire_epochs_keyed,
-            )
 
-            expire_epochs_keyed(
-                index_dir, epoch_id - retention_epochs + 1
-            )
 
     return write_epoch
 

@@ -272,21 +272,30 @@ def test_lsh_retention_expires_old_survivors(spark, tmp_path):
     mk = lambda rows: spark.createDataFrame(rows, EMB_SCHEMA)  # noqa: E731
     w(mk([(0, e1, 0)]), 0)
     w(mk([(10, e2, 0)]), 1)
-    # only epoch 1's survivor remains in the index
-    assert {r.vec_id for r in read_lsh_index(spark, index_dir).collect()} == {
-        10
-    }
+
+    def _epoch2_verdicts():
+        return {
+            (r.vec_id, r.dup_of_index, r.keep)
+            for r in spark.read.schema(
+                "vec_id long, dup_of_index long, dup_of_batch long,"
+                " keep boolean"
+            )
+            .parquet(out_dir)
+            .collect()
+            if r.vec_id >= 20
+        }
+
     w(mk([(20, e1, 0), (21, e2, 0)]), 2)
-    verdicts = {
-        (r.vec_id, r.dup_of_index, r.keep)
-        for r in spark.read.schema(
-            "vec_id long, dup_of_index long, dup_of_batch long,"
-            " keep boolean"
-        )
-        .parquet(out_dir)
-        .collect()
-        if r.vec_id >= 20
-    }
     # 20 duplicates the EXPIRED epoch-0 survivor -> treated as new;
     # 21 duplicates the RETAINED epoch-1 survivor -> gated
-    assert verdicts == {(20, None, True), (21, 10, False)}
+    want = {(20, None, True), (21, 10, False)}
+    assert _epoch2_verdicts() == want
+    # expiry ran at epoch START, so the index now holds the retained
+    # epoch-1 survivor plus epoch 2's kept vector, and epoch 0 is gone
+    assert {
+        r.vec_id for r in read_lsh_index(spark, index_dir).collect()
+    } == {10, 20}
+    # retry determinism: expire-before-read means a retried epoch sees
+    # the same gating set the first attempt saw
+    w(mk([(20, e1, 0), (21, e2, 0)]), 2)
+    assert _epoch2_verdicts() == want
