@@ -276,7 +276,11 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rescore_rank_edges(
-    spark: SparkSession, sf_dir: str, edges: DataFrame, k: int
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame,
+    k: int,
+    neighbor_filter=None,
 ) -> DataFrame:
     """Shared exact tail of every kNN-graph path: re-score candidate
     (src_id, neighbor_id) edges with the exact JVM cosine (the
@@ -285,7 +289,14 @@ def _rescore_rank_edges(
     (cos_sim DESC, neighbor_id ASC). Living in one place keeps the
     exact/approx ranking contract identical across the exact blocked
     graph and its ANN twins, which is what lets one brute-force/LSH
-    oracle check each path verbatim."""
+    oracle check each path verbatim.
+
+    ``neighbor_filter`` (a Column predicate over the vectors frame,
+    e.g. ``F.col("label") == 3``) restricts which vectors may be
+    RETURNED as neighbors — filtered vector search. It is applied to
+    the b side BEFORE the rescore join, so it rides the existing scan
+    (predicate pushdown, no extra join) and ranking happens over the
+    filtered candidate set, exactly like the SQL twin."""
     from angelone_clickhouse_spark.operators.similarity import _cos, _vectors
 
     vecs = _vectors(spark, sf_dir)
@@ -294,7 +305,8 @@ def _rescore_rank_edges(
         F.col("v").alias("av"),
         F.col("nrm").alias("an"),
     )
-    b = vecs.select(
+    b_src = vecs if neighbor_filter is None else vecs.filter(neighbor_filter)
+    b = b_src.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("bv"),
         F.col("nrm").alias("bn"),
@@ -906,6 +918,54 @@ def ann_index_delete(
     return name
 
 
+# fixture setting for the filtered-search op: neighbors must carry
+# this label (the labels are roughly uniform over 10 classes, so the
+# filter keeps ~10% of the corpus — the selective-predicate shape)
+ANN_FILTER_LABEL = 3
+
+
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search over the shared bucketed cell index:
+    each query's top-k among only the vectors satisfying a metadata
+    predicate (label == ANN_FILTER_LABEL) — the production ANN shape
+    (search restricted by tenant/language/source/licence). Strategy is
+    post-filtering at the RESCORE join: candidates come from the same
+    index probe as ann_topk_bucketed (the cell table stores no
+    metadata and stays one layout for every predicate), and the
+    predicate rides the b side of the existing rescore join as a
+    pushed-down scan filter — no extra join, ranking over the
+    filtered set. The DuckDB oracle applies the identical predicate
+    on its candidate set before ranking.
+
+    At 100 TB: post-filtering preserves the single shared index for
+    arbitrary predicates at the cost of recall-per-probe when the
+    filter is very selective (candidates that fail the predicate are
+    wasted); the standing mitigations — widen flips/tables for
+    selective filters, or partition the index by a hot predicate
+    column — compose with this operator unchanged."""
+    name, planes = ann_corpus_index(spark, sf_dir, KNN_ANN_TABLES)
+    cand = (
+        _ann_bucketed_candidate_join(
+            spark,
+            name,
+            planes,
+            KNN_ANN_FLIPS,
+            src_filter=F.col("vec_id") < N_QUERIES,
+        )
+        .select("src_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["src_id", "neighbor_id"])
+    )
+    return _rescore_rank_edges(
+        spark,
+        sf_dir,
+        cand,
+        TOP_K,
+        neighbor_filter=F.col("label") == ANN_FILTER_LABEL,
+    ).select(
+        F.col("src_id").alias("query_id"), "neighbor_id", "cos_sim", "rank"
+    )
+
+
 def ann_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`ann_topk_bucketed` AFTER deleting vec_id %
     ANN_DELETE_MOD == ANN_DELETE_REM from the shared index — the
@@ -1232,6 +1292,7 @@ QUERIES = {
     "knn_graph_ann_bucketed": knn_graph_ann_bucketed,
     "knn_graph_ann_incremental": knn_graph_ann_incremental,
     "ann_topk_bucketed": ann_topk_bucketed,
+    "ann_topk_filtered": ann_topk_filtered,
     "ann_topk_deleted": ann_topk_deleted,
     "knn_graph_ann_amplified": knn_graph_ann_amplified,
     "knn_graph_ivf": knn_graph_ivf,
@@ -1306,6 +1367,7 @@ def _knn_ann_oracle_sql(
     k: int = KNN_K,
     src_col: str = "src_id",
     delete_mod: tuple[int, int] | None = None,
+    neighbor_label: int | None = None,
 ) -> str:
     """DuckDB spelling of knn_graph_ann_impl at a (flips, tables,
     planes) setting, with the SAME adaptive plane count computed from
@@ -1340,6 +1402,15 @@ def _knn_ann_oracle_sql(
         src_preds.append(f"vec_id % {m} <> {r}")
         nb_pred = f" AND c.vec_id % {m} <> {r}"
     src_where = f"WHERE {' AND '.join(src_preds)}" if src_preds else ""
+    # filtered search: the label column enters the e CTE (and the
+    # predicate the scored join) ONLY when requested, so every other
+    # entry's oracle text is byte-identical to before
+    label_col = ",\n         label" if neighbor_label is not None else ""
+    label_pred = (
+        f" AND b.label = {neighbor_label}"
+        if neighbor_label is not None
+        else ""
+    )
     return f"""
 WITH params AS (
   {params_cte}
@@ -1347,7 +1418,7 @@ WITH params AS (
 e AS (
   SELECT vec_id,
          embedding::DOUBLE[] AS v,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm{label_col}
   FROM embeddings
 ),
 planes AS (
@@ -1388,7 +1459,7 @@ scored AS (
          round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
   FROM cand
   JOIN e a ON a.vec_id = cand.src_id
-  JOIN e b ON b.vec_id = cand.neighbor_id
+  JOIN e b ON b.vec_id = cand.neighbor_id{label_pred}
 )
 SELECT src_id AS {src_col}, neighbor_id, cos_sim, rank
 FROM (
@@ -1501,6 +1572,16 @@ def _shared_oracles() -> dict[str, str]:
             src_limit=N_QUERIES,
             k=TOP_K,
             src_col="query_id",
+        ),
+        # filtered search: the same candidate probe, with the label
+        # predicate applied before ranking on both sides
+        "ann_topk_filtered": _knn_ann_oracle_sql(
+            KNN_ANN_FLIPS,
+            KNN_ANN_TABLES,
+            src_limit=N_QUERIES,
+            k=TOP_K,
+            src_col="query_id",
+            neighbor_label=ANN_FILTER_LABEL,
         ),
         # the tombstone path's exclusions, mirrored on the oracle's
         # probe/candidate sets (cells of deleted ids still occupy the

@@ -602,3 +602,33 @@ def test_ann_index_delete_tombstones_then_compaction_folds(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan
     _assert_probe_side_only_exchange(plan)
+
+
+def test_ann_topk_filtered_neighbors_respect_predicate(spark, sf_dir):
+    """Filtered vector search: every returned neighbor satisfies the
+    metadata predicate; ranking is computed over the FILTERED set
+    (dense ranks 1..n per query); and the predicate is pushed down
+    to the b-side vectors scan (PushedFilters on label), not applied
+    as a post-join filter."""
+    from angelone_clickhouse_spark.operators.similarity import (
+        _vectors,
+    )
+
+    got = embedding_fast.ann_topk_filtered(spark, sf_dir)
+    rows = got.collect()
+    assert rows, "fixture should produce filtered neighbors"
+    allowed = {
+        r.vec_id
+        for r in _vectors(spark, sf_dir)
+        .filter(F.col("label") == embedding_fast.ANN_FILTER_LABEL)
+        .select("vec_id")
+        .collect()
+    }
+    assert all(r.neighbor_id in allowed for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(label," in plan, plan[:3000]
