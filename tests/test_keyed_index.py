@@ -299,3 +299,81 @@ def test_lsh_retention_expires_old_survivors(spark, tmp_path):
     # the same gating set the first attempt saw
     w(mk([(20, e1, 0), (21, e2, 0)]), 2)
     assert _epoch2_verdicts() == want
+
+
+def test_doc_retention_expires_old_survivors(spark, tmp_path):
+    """retention_epochs wiring on the document gate: an epoch-0
+    survivor's exact copy arriving after the window is kept."""
+    from angelone_clickhouse_spark.streaming.docdedup import (
+        DOCS_SCHEMA,
+        make_docdedup_epoch_writer,
+        read_sig_index,
+    )
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight nine"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, t, "en", "t", len(t)) for i, t in rows], DOCS_SCHEMA
+    )
+    out_dir, index_dir = str(tmp_path / "v"), str(tmp_path / "idx")
+    w = make_docdedup_epoch_writer(out_dir, index_dir, retention_epochs=1)
+    w(mk([(0, text_a)]), 0)
+    w(mk([(10, text_b)]), 1)
+    w(mk([(20, text_a), (21, text_b)]), 2)
+    verdicts = {
+        (r.doc_id, r.dup_of_index, r.keep)
+        for r in spark.read.schema(
+            "doc_id long, dup_of_index long, dup_of_batch long,"
+            " keep boolean"
+        )
+        .parquet(out_dir)
+        .collect()
+        if r.doc_id >= 20
+    }
+    assert verdicts == {(20, None, True), (21, 10, False)}
+    assert {
+        r.doc_id for r in read_sig_index(spark, index_dir).collect()
+    } == {10, 20}
+
+
+def test_novelty_retention_forgets_old_grams(spark, tmp_path):
+    """retention_epochs wiring on the novelty scorer: grams seen only
+    before the window count as novel again."""
+    from angelone_clickhouse_spark.streaming.novelty import (
+        make_novelty_epoch_writer,
+        read_gram_index,
+    )
+
+    DOCS = "doc_id long, text string, lang string, source string, n_chars long"
+    text_a = "alpha beta gamma delta epsilon"
+    text_b = "one two three four five"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, t, "en", "t", len(t)) for i, t in rows], DOCS
+    )
+    out_dir, index_dir = str(tmp_path / "v"), str(tmp_path / "idx")
+    w = make_novelty_epoch_writer(out_dir, index_dir, retention_epochs=1)
+    w(mk([(0, text_a)]), 0)
+    w(mk([(10, text_b)]), 1)
+    w(mk([(20, text_a)]), 2)  # grams of epoch 0, now expired
+    rows = {
+        r.doc_id: (r.n_grams, r.n_novel)
+        for r in spark.read.schema(
+            "doc_id long, n_grams long, n_novel long, novelty_milli long"
+        )
+        .parquet(out_dir)
+        .collect()
+    }
+    # doc 20 repeats doc 0's text, but those grams expired -> all novel
+    assert rows[20][0] > 0 and rows[20] == (rows[0][0], rows[0][1])
+    assert read_gram_index(spark, index_dir).count() > 0
+    # epoch 0's files are physically gone from every partition dir
+    import os as _os
+
+    leftover = [
+        n
+        for d in _os.listdir(index_dir)
+        if d.startswith("pk=")
+        for n in _os.listdir(_os.path.join(index_dir, d))
+        if n.startswith("e0-")
+    ]
+    assert leftover == []
