@@ -40,6 +40,7 @@ _PRIORITY = [
     # (a) new in r12
     "ann_topk_deleted",         # NEW: tombstone-delete lifecycle probe
     "ann_topk_filtered",        # NEW: filtered vector search
+    "ann_index_stats",          # NEW: bucket-occupancy observability
     # (b) code/oracle changed in r12
     "stream_semdedup_lsh",      # keyed survivor index (physical probe)
     "stream_dedup_docs",        # keyed signature index
@@ -77,7 +78,7 @@ _PRIORITY = [
     "value_dispersion",
     "vwap_daily",
     "weekly_retention",
-    # (d) the 13 oldest r9-stale names (alphabetical)
+    # (d) the 12 oldest r9-stale names (alphabetical)
     "audio_features",
     "customer_balance_quartiles",
     "customer_order_ranks",
@@ -90,10 +91,9 @@ _PRIORITY = [
     "enrich_tokens_join",
     "image_resize",
     "knn_label_purity",
-    "late_shipment_priorities",
     # exactly 50 entries above — the driver gate stops there. r13
-    # owes the remaining 28 r9-stale names: mixture_sample,
-    # multimodal_gate,
+    # owes the remaining 29 r9-stale names: late_shipment_priorities,
+    # mixture_sample, multimodal_gate,
     # nation_profit, novelty_ngram_rate, order_priority_cube,
     # orders_above_nation_avg, pack_efficiency,
     # parts_supplier_counts, pricing_summary, promo_revenue_share,

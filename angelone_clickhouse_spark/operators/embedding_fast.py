@@ -918,6 +918,39 @@ def ann_index_delete(
     return name
 
 
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index observability: the bucket-occupancy profile of the
+    persisted cell table, as one integer-exact row — n_cells
+    (occupied), n_entries (corpus x n_tables), min/max occupancy,
+    avg occupancy in millis (integer div: no float drift), and the
+    count of cells over 2x ANN_TARGET_BUCKET. Occupancy is the
+    quantity the adaptive-plane formula holds ~constant as the corpus
+    grows (candidate volume = occupancy x probes), so this operator
+    is the in-engine measurement behind that claim — a deployment
+    alerts on avg/max drift and re-layouts (new planes + rebuild)
+    when the histogram degrades. One scan of the two-long cell table,
+    one narrow groupBy, a single-row aggregate; the DuckDB oracle
+    derives the identical cells in SQL and aggregates the same."""
+    name, _planes = ann_corpus_index(spark, sf_dir, KNN_ANN_TABLES)
+    occ = (
+        spark.table(name)
+        .groupBy("cell_key")
+        .agg(F.count(F.lit(1)).alias("occupancy"))
+    )
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("occupancy").alias("n_entries"),
+        F.min("occupancy").alias("min_occ"),
+        F.max("occupancy").alias("max_occ"),
+        F.expr("(1000 * sum(occupancy)) div count(*)").alias(
+            "avg_occ_milli"
+        ),
+        F.sum(
+            (F.col("occupancy") > int(2 * ANN_TARGET_BUCKET)).cast("long")
+        ).alias("n_overfull"),
+    )
+
+
 # fixture setting for the filtered-search op: neighbors must carry
 # this label (the labels are roughly uniform over 10 classes, so the
 # filter keeps ~10% of the corpus — the selective-predicate shape)
@@ -1292,6 +1325,7 @@ QUERIES = {
     "knn_graph_ann_bucketed": knn_graph_ann_bucketed,
     "knn_graph_ann_incremental": knn_graph_ann_incremental,
     "ann_topk_bucketed": ann_topk_bucketed,
+    "ann_index_stats": ann_index_stats,
     "ann_topk_filtered": ann_topk_filtered,
     "ann_topk_deleted": ann_topk_deleted,
     "knn_graph_ann_amplified": knn_graph_ann_amplified,
@@ -1473,6 +1507,34 @@ WHERE rank <= {k}
 """
 
 
+def _ann_index_stats_oracle_sql() -> str:
+    """DuckDB twin of :func:`ann_index_stats`: the default setting's
+    params/e/planes/bits/tb CTEs (sliced from the shared builder so
+    the md5 hyperplane formulas stay written once), then the
+    occupancy rollup — a cell is a (table, bucket) pair, identical to
+    the Spark side's packed cell_key grouping."""
+    base = _knn_ann_oracle_sql(KNN_ANN_FLIPS, KNN_ANN_TABLES)
+    prefix = base[: base.index("probes AS (")]
+    thr = int(2 * ANN_TARGET_BUCKET)
+    return (
+        prefix
+        + f"""occ AS (
+  SELECT t, bucket, count(*) AS occupancy
+  FROM tb GROUP BY t, bucket
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(occupancy) AS BIGINT) AS n_entries,
+       CAST(min(occupancy) AS BIGINT) AS min_occ,
+       CAST(max(occupancy) AS BIGINT) AS max_occ,
+       CAST((1000 * sum(occupancy)) // count(*) AS BIGINT)
+         AS avg_occ_milli,
+       CAST(sum(CASE WHEN occupancy > {thr} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overfull
+FROM occ
+"""
+    )
+
+
 def _knn_ann_recall_oracle_sql() -> str:
     arms = [
         (setting, _knn_ann_oracle_sql(flips, tables, planes))
@@ -1573,6 +1635,7 @@ def _shared_oracles() -> dict[str, str]:
             k=TOP_K,
             src_col="query_id",
         ),
+        "ann_index_stats": _ann_index_stats_oracle_sql(),
         # filtered search: the same candidate probe, with the label
         # predicate applied before ranking on both sides
         "ann_topk_filtered": _knn_ann_oracle_sql(
