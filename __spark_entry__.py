@@ -41,6 +41,8 @@ _PRIORITY = [
     "ann_topk_deleted",         # NEW: tombstone-delete lifecycle probe
     "ann_topk_filtered",        # NEW: filtered vector search
     "ann_index_stats",          # NEW: bucket-occupancy observability
+    "ann_topk_pq",              # NEW: product-quantized ADC search
+    "dsir_weights",             # NEW: DSIR importance weights
     # (b) code/oracle changed in r12
     "stream_semdedup_lsh",      # keyed survivor index (physical probe)
     "stream_dedup_docs",        # keyed signature index
@@ -78,7 +80,7 @@ _PRIORITY = [
     "value_dispersion",
     "vwap_daily",
     "weekly_retention",
-    # (d) the 12 oldest r9-stale names (alphabetical)
+    # (d) the 10 oldest r9-stale names (alphabetical)
     "audio_features",
     "customer_balance_quartiles",
     "customer_order_ranks",
@@ -89,10 +91,9 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "doc_length_histogram",
     "enrich_tokens_join",
-    "image_resize",
-    "knn_label_purity",
     # exactly 50 entries above — the driver gate stops there. r13
-    # owes the remaining 29 r9-stale names: late_shipment_priorities,
+    # owes the remaining 31 r9-stale names: image_resize,
+    # knn_label_purity, late_shipment_priorities,
     # mixture_sample, multimodal_gate,
     # nation_profit, novelty_ngram_rate, order_priority_cube,
     # orders_above_nation_avg, pack_efficiency,

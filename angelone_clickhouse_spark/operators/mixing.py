@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from angelone_clickhouse_spark.materialize import materialize
 from angelone_clickhouse_spark.sources.tables import load_table
 
 TFIDF_TOP_K = 5  # terms kept per document
@@ -366,12 +367,111 @@ SELECT source,
 FROM capped CROSS JOIN ctot
 """
 
+# dsir_weights: hashed-feature buckets, target-domain sources, and
+# the Laplace-smoothing constant is the bucket count (add-one per
+# bucket). B is a quality/collision knob, not semantics: more buckets
+# = less feature aliasing; both engines hash identically at any B.
+DSIR_B = 1024
+DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every document by how much more
+    likely its content is under a TARGET domain's hashed-n-gram
+    unigram model than under the raw corpus's. Features are word
+    bigrams hashed into DSIR_B buckets (the md5-60-bit device shared
+    with dedup's MinHash); the target sample is the docs of
+    DSIR_TARGET_SOURCES (a curated-domain stand-in — real runs point
+    this at a Wikipedia/books sample); both bucket models are
+    Laplace-smoothed. The per-doc weight is the average per-feature
+    log10 importance ratio
+
+        log10( ((ct[b]+1) / (Nt+B)) / ((cr[b]+1) / (Nr+B)) )
+
+    computed as ONE log10 of a ratio of two exact long products (each
+    < 2^53, so the doubles are exact and the division correctly
+    rounded — bit-identical cross-engine, the
+    curation.doc_unigram_logprob determinism device), averaged and
+    rounded to 6. ``selected`` is the sign test (weight >= 0: the doc
+    looks more target than raw) — the paper resamples with these
+    weights; the sign cut is its deterministic-oracle-checkable face
+    (a real pipeline feeds ``dsir_logratio`` into mixture_sample's
+    budgeted sampler instead).
+
+    Scale notes (100 TB): bigram construction is row-local (guarded
+    transform over the doc's own words, materialized before the
+    explode — the Generate re-evaluation device of
+    doc_bigram_logprob); the bucket-count table is at most DSIR_B
+    rows (ONE groupBy with map-side partials — target and raw counts
+    come from the same pass via a conditional sum, not two scans);
+    the two totals broadcast as one scalar row; scoring joins each
+    feature occurrence to the DSIR_B-row table (broadcast — it is
+    KB-sized at any corpus size) and rolls up per doc. One shuffle of
+    bucket partials + the per-doc rollup; no corpus self-join, no
+    driver state: this is why DSIR is the data-selection method that
+    runs at pretraining scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    in_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    pairs = docs.select(
+        "doc_id",
+        in_target.alias("is_t"),
+        F.split("text", " ").alias("w"),
+    ).select(
+        "doc_id",
+        "is_t",
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN "
+            "  transform(sequence(0, size(w) - 2), "
+            "            i -> concat(w[i], ' ', w[i+1])) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END"
+        ).alias("bs"),
+    )
+    pairs = materialize(pairs, None)
+    feats = pairs.select(
+        "doc_id",
+        "is_t",
+        F.expr(
+            "explode(transform(bs, b -> "
+            "cast(conv(substring(md5(b), 1, 15), 16, 10) as bigint)"
+            f" % {DSIR_B}))"
+        ).alias("bucket"),
+    )
+    stats = feats.groupBy("bucket").agg(
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tots = stats.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    ratio = (
+        ((F.col("ct") + 1) * (F.col("nr") + DSIR_B)).cast("double")
+        / ((F.col("cr") + 1) * (F.col("nt") + DSIR_B)).cast("double")
+    )
+    per = (
+        feats.join(F.broadcast(stats), "bucket")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg(F.log10(ratio)), 6).alias("dsir_logratio"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_feats",
+        "dsir_logratio",
+        (F.col("dsir_logratio") >= 0).alias("selected"),
+    )
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "shard_plan": shard_plan,
     "source_mixture_weights": source_mixture_weights,
     "mixture_sample": mixture_sample,
     "novelty_ngram_rate": novelty_ngram_rate,
+    "dsir_weights": dsir_weights,
 }
 
 ORACLES = {
@@ -447,3 +547,40 @@ FROM sharded
 """,
     "source_mixture_weights": _MIX_WEIGHTS_SQL,
 }
+
+_DSIR_TARGET_IN = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+ORACLES["dsir_weights"] = f"""
+WITH d AS (
+  SELECT doc_id, source IN ({_DSIR_TARGET_IN}) AS is_t,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, is_t,
+         ('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 15))::BIGINT
+           % {DSIR_B} AS bucket
+  FROM d, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2
+),
+stats AS (
+  SELECT bucket,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM feats GROUP BY bucket
+),
+tots AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM stats),
+per AS (
+  SELECT doc_id,
+         count(*) AS n_feats,
+         round(avg(log10(
+           CAST((ct + 1) * (nr + {DSIR_B}) AS DOUBLE)
+           / CAST((cr + 1) * (nt + {DSIR_B}) AS DOUBLE))), 6)
+           AS dsir_logratio
+  FROM feats JOIN stats USING (bucket) CROSS JOIN tots
+  GROUP BY doc_id
+)
+SELECT doc_id, n_feats, dsir_logratio,
+       dsir_logratio >= 0 AS selected
+FROM per
+"""

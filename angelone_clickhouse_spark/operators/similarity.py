@@ -496,6 +496,129 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_GRID = 1_000_000  # integer grid for the deterministic k-means twin
 
+PQ_M = 8  # product-quantization subspaces (EMB_DIM must divide evenly)
+PQ_SUB = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace codebook
+# ADC shortlist: deeper than the scalar twin's (3k) because 16
+# codewords per 8-dim subspace is a far coarser score than int8 — on
+# the near-uniform fixture vectors (PQ's worst case: no cluster
+# structure for codewords to exploit) recall@5 measures 0.24 at 3k
+# and 0.64 at 10k; a deployment sizes this by the same recall audit
+# the LSH family uses. Still a vanishing scan fraction at scale.
+PQ_SHORTLIST = 10 * TOP_K
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jégou/Douze/Schmid, TPAMI 2011) — the
+    compressed-domain 100 TB path next to the scalar-quantized arm:
+    vectors split into PQ_M subspaces, each subvector encoded as the
+    id of its nearest codeword (PQ_K per subspace), so the persisted
+    index stores PQ_M small ints per vector (here 8 codes for 64
+    floats — a 32x footprint cut at 1 byte/code). Search is ADC
+    (asymmetric distance computation): the query precomputes one
+    PQ_M x PQ_K table of exact subspace distances, approximate
+    distance to any coded vector is PQ_M table lookups summed, the
+    best PQ_SHORTLIST by ADC are re-scored with the exact float
+    cosine, and the final ranking is the shared _rank_topk contract.
+
+    Determinism (the kmeans_assign device): codebooks are the grid
+    subvectors of PQ_K fixed corpus rows (vec_id N_QUERIES ..
+    N_QUERIES+PQ_K-1 — same seed convention as IVF/k-means; a real
+    deployment trains them with kmeans_refine per subspace),
+    encode/ADC run in pure long arithmetic on the floor(x*KM_GRID)
+    grid with a codeword-id tiebreak (array_min over struct(d2, cw)),
+    so codes and shortlists are bit-identical on any engine; like the
+    scalar twin the guarantee vs brute force is recall (tests), while
+    the DuckDB oracle replays the identical encode -> ADC ->
+    shortlist -> exact-re-score pipeline for a full value check.
+
+    Scale notes: the codebook is ONE broadcast row (PQ_M*PQ_K
+    subvectors); encoding and ADC are map-side expressions over the
+    corpus — no shuffle, no UDF, whole-stage codegen end to end; the
+    only exchange is the per-query shortlist window shared with every
+    ANN arm. At 100 TB you persist (vec_id, codes) — the table ADC
+    scans is PQ_M bytes/vector, floats fetched only for the
+    shortlist re-score, which is why PQ is the memory-bound regime's
+    index of choice."""
+    vecs = _vectors(spark, sf_dir)
+    grid = vecs.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.expr(
+            f"transform(v, x -> cast(floor(x * {KM_GRID}) as bigint))"
+        ).alias("g"),
+    )
+    cbs = (
+        grid.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + PQ_K)
+        )
+        .select(
+            (F.col("vec_id") - N_QUERIES).alias("cw"),
+            F.col("g").alias("cg"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("cw", "cg"))).alias("cbs"))
+    )
+    # exact long L2^2 between this row's subspace m and codeword c
+    sub_d2 = (
+        f"aggregate(sequence(m * {PQ_SUB}, m * {PQ_SUB} + {PQ_SUB - 1}), "
+        f"cast(0 as bigint), "
+        f"(acc, i) -> acc + (g[i] - c.cg[i]) * (g[i] - c.cg[i]))"
+    )
+    with_cb = grid.crossJoin(F.broadcast(cbs))
+    coded = with_cb.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), m -> "
+            f"array_min(transform(cbs, c -> "
+            f"struct({sub_d2} as d2, c.cw as cw))).cw)"
+        ).alias("codes"),
+    )
+    q = with_cb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), m -> "
+            f"transform(cbs, c -> {sub_d2}))"
+        ).alias("dtab"),
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {PQ_M - 1}), cast(0 as bigint), "
+        f"(acc, m) -> acc + dtab[m][codes[m]])"
+    )
+    cw = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc"),
+            "v",
+            "nrm",
+            "qv",
+            "qn",
+        )
+        .withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= PQ_SHORTLIST)
+    )
+    return _rank_topk(
+        shortlist.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _cos(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("cos_sim"),
+        ),
+        TOP_K,
+    )
+
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means twin of :func:`kmeans_refine`, built so a
@@ -878,6 +1001,7 @@ QUERIES = {
     "ann_lsh_topk_amplified": ann_lsh_topk_amplified,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_topk_quantized": ann_topk_quantized,
+    "ann_topk_pq": ann_topk_pq,
 }
 
 def _exact_oracle_sql(k: int = TOP_K) -> str:
@@ -1088,6 +1212,75 @@ scored AS (
   SELECT query_id, neighbor_id,
          round(list_dot_product(qv, v) / (qn * nrm), 6) AS cos_sim
   FROM short WHERE crn <= {Q_SHORTLIST}
+)
+SELECT query_id, neighbor_id, cos_sim, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+# DuckDB twin of ann_topk_pq: identical grid codebooks (the PQ_K
+# fixed corpus rows), per-(vec, subspace) encode with the same
+# (d2, cw) tiebreak, ADC over the code table, shortlist, exact float
+# re-score — value-checked end to end like the scalar-quantized twin.
+_PQ_D2 = (
+    f"CAST(list_sum(list_transform(generate_series(1, {PQ_SUB}), "
+    f"j -> (e.g[m.m * {PQ_SUB} + j] - c.cg[m.m * {PQ_SUB} + j]) "
+    f"   * (e.g[m.m * {PQ_SUB} + j] - c.cg[m.m * {PQ_SUB} + j]))) "
+    f"AS BIGINT)"
+)
+
+ORACLES["ann_topk_pq"] = f"""
+WITH e AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {KM_GRID}) AS BIGINT)) AS g
+  FROM embeddings
+),
+cb AS (
+  SELECT vec_id - {N_QUERIES} AS cw, g AS cg FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+),
+m AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+dist AS (
+  SELECT e.vec_id, m.m, c.cw, {_PQ_D2} AS d2
+  FROM e CROSS JOIN m CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, m, cw AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY d2, cw) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(d.d2) AS adc
+  FROM codes c JOIN dist d ON d.m = c.m AND d.cw = c.code
+  WHERE d.vec_id < {N_QUERIES} AND c.vec_id <> d.vec_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc, neighbor_id) AS crn
+  FROM adc
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS cos_sim
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e n ON n.vec_id = s.neighbor_id
+  WHERE s.crn <= {PQ_SHORTLIST}
 )
 SELECT query_id, neighbor_id, cos_sim, rank
 FROM (

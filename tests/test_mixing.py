@@ -225,3 +225,67 @@ def test_mixture_sample_plan_is_two_phase(spark):
     assert plan.count("Window") >= 2
     assert "salt" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_matches_python_reference(spark):
+    """Brute-force hashed-bigram importance weights in plain Python
+    (hashlib md5, exact integer smoothing products, math.log10) and
+    compare every doc's rounded score; also pin the selection-signal
+    sanity check: target-source docs must average higher than the
+    rest (the whole point of importance weighting)."""
+    import hashlib
+
+    from angelone_clickhouse_spark.operators.mixing import (
+        DSIR_B,
+        DSIR_TARGET_SOURCES,
+        dsir_weights,
+    )
+
+    docs = _load_docs(spark)
+    ct, cr = Counter(), Counter()
+    doc_feats = {}
+    for did, r in docs.items():
+        ws = r.text.split(" ")
+        feats = [
+            int(
+                hashlib.md5(f"{ws[i]} {ws[i + 1]}".encode()).hexdigest()[:15],
+                16,
+            )
+            % DSIR_B
+            for i in range(len(ws) - 1)
+        ]
+        doc_feats[did] = feats
+        for b in feats:
+            cr[b] += 1
+            if r.source in DSIR_TARGET_SOURCES:
+                ct[b] += 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    expected = {}
+    for did, feats in doc_feats.items():
+        if not feats:
+            continue
+        s = sum(
+            math.log10(
+                ((ct[b] + 1) * (nr + DSIR_B))
+                / ((cr[b] + 1) * (nt + DSIR_B))
+            )
+            for b in feats
+        )
+        expected[did] = round(s / len(feats), 6)
+    got = {r.doc_id: r for r in dsir_weights(spark, SF_CORRECT).collect()}
+    assert set(got) == set(expected)
+    for did, want in expected.items():
+        assert abs(got[did].dsir_logratio - want) <= 1e-6, did
+        assert got[did].n_feats == len(doc_feats[did])
+        assert got[did].selected == (got[did].dsir_logratio >= 0)
+    t_scores = [
+        got[d].dsir_logratio
+        for d in got
+        if docs[d].source in DSIR_TARGET_SOURCES
+    ]
+    o_scores = [
+        got[d].dsir_logratio
+        for d in got
+        if docs[d].source not in DSIR_TARGET_SOURCES
+    ]
+    assert sum(t_scores) / len(t_scores) > sum(o_scores) / len(o_scores)

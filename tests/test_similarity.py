@@ -153,3 +153,44 @@ def test_lsh_topk_rejects_out_of_range_flips(spark, sf_dir):
         lsh_topk(spark, sf_dir, n_planes=4, n_flips=6)
     with pytest.raises(ValueError, match="n_flips"):
         lsh_topk(spark, sf_dir, n_planes=4, n_flips=-1)
+
+
+def test_pq_topk_recall(spark, sf_dir):
+    """PQ codes approximate subspace geometry coarsely (16 codewords
+    per 8-dim subspace), but ADC ranks well enough that the exact
+    re-score over the 3k shortlist recovers most of the brute-force
+    top-k; cosine values themselves are exact (float re-score path,
+    same expression as the exact op)."""
+    from angelone_clickhouse_spark.operators.similarity import ann_topk_pq
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ann_topk_cosine(spark, sf_dir).collect()
+    }
+    pq = ann_topk_pq(spark, sf_dir).collect()
+    assert pq
+    for r in pq:
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(exact[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+    hits = sum(1 for r in pq if (r.query_id, r.neighbor_id) in exact)
+    recall = hits / len(exact)
+    # near-uniform fixture vectors are PQ's worst case (no cluster
+    # structure for codewords to exploit); codebook rows drawn from
+    # the corpus itself still separate the shortlist from random
+    assert recall >= 0.3, f"PQ shortlist recall too low: {recall}"
+
+
+def test_pq_plan_is_shuffle_free_until_shortlist(spark, sf_dir):
+    """Encode + ADC must stay map-side: the only exchanges in the plan
+    are the shortlist/rank windows' per-query partitioning and the
+    codebook broadcast — no corpus-keyed shuffle, no UDF."""
+    from angelone_clickhouse_spark.operators.similarity import ann_topk_pq
+
+    plan = (
+        ann_topk_pq(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
