@@ -155,18 +155,24 @@ def _dedup_epoch_from_sig(
 KEYED_SIG_SCHEMA = "band int, band_key string, " + SIG_SCHEMA
 
 
-def _keyed_sig_rows(kept_sig: DataFrame) -> DataFrame:
+def _keyed_sig_rows(
+    kept_sig: DataFrame, bn: DataFrame | None = None
+) -> DataFrame:
     """Kept signatures -> one replica per band with the partition
-    bucket attached (the bounded per-epoch append)."""
+    bucket attached (the bounded per-epoch append). ``bn`` is the
+    batch's banded frame when the caller already computed it — the
+    writer pays the per-epoch banding md5 exactly once (it also
+    feeds collect_pks and the collision probe)."""
     from angelone_clickhouse_spark.operators.dedup import _band_keys
     from angelone_clickhouse_spark.streaming.keyed_index import (
         PART_COL,
         pk_of_band,
     )
 
+    if bn is None:
+        bn = _band_keys(kept_sig)
     return (
-        _band_keys(kept_sig)
-        .join(kept_sig, "doc_id")
+        bn.join(kept_sig, "doc_id")
         .select("band", "band_key", *kept_sig.columns)
         .withColumn(PART_COL, pk_of_band())
     )
@@ -189,7 +195,10 @@ def read_sig_index(
 
 
 def dedup_epoch_keyed(
-    batch_docs: DataFrame, sig: DataFrame, stored_rows: DataFrame
+    batch_docs: DataFrame,
+    sig: DataFrame,
+    stored_rows: DataFrame,
+    bn: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One epoch of the gate against the KEYED store's raw band
     replica rows (``band, band_key, doc_id, h0..`` — pre-pruned to
@@ -208,14 +217,19 @@ def dedup_epoch_keyed(
     * multi-band collisions yield duplicate (doc_id, other_id) rows;
       each costs one extra cheap slot-compare and collapses in the
       min-aggregate (``_incremental_verdicts`` dedups them instead —
-      same verdicts either way, that is the point of min)."""
+      same verdicts either way, that is the point of min).
+
+    ``bn`` is the batch's banded frame when the caller already holds
+    it (the keyed writer computes it once for collect_pks and passes
+    it through); None recomputes from ``sig``."""
     from angelone_clickhouse_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         _band_keys,
     )
 
     h_cols = [f"h{i}" for i in range(N_MINHASH)]
-    bn = _band_keys(sig)
+    if bn is None:
+        bn = _band_keys(sig)
     probe = F.broadcast(bn)
     idx_cand = (
         stored_rows.select(
@@ -337,12 +351,18 @@ def make_docdedup_epoch_writer(
 
             expire_epochs_keyed(index_dir, epoch_id - retention_epochs)
         sig = minhash_signatures(batch).localCheckpoint(eager=True)
-        pks = collect_pks(_band_keys(sig), pk_of_band())
+        # one banding pass per epoch: the checkpointed banded frame
+        # feeds the partition-set collect, the collision probe AND
+        # the keyed commit (it used to be recomputed by all three)
+        bn = _band_keys(sig).localCheckpoint(eager=True)
+        pks = collect_pks(bn, pk_of_band())
         stored = read_keyed(spark, index_dir, KEYED_SIG_SCHEMA, pks=pks)
-        verdicts, kept_sig = dedup_epoch_keyed(batch, sig, stored)
+        verdicts, kept_sig = dedup_epoch_keyed(batch, sig, stored, bn=bn)
         verdicts = verdicts.localCheckpoint(eager=True)
         _commit_epoch_flat(verdicts, out_dir, epoch_id)
-        commit_epoch_keyed(_keyed_sig_rows(kept_sig), index_dir, epoch_id)
+        commit_epoch_keyed(
+            _keyed_sig_rows(kept_sig, bn=bn), index_dir, epoch_id
+        )
 
 
     return write_epoch

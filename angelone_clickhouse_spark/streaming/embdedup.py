@@ -519,6 +519,7 @@ def semdedup_lsh_epoch_keyed(
     planes: int,
     n_tables: int,
     n_flips: int,
+    new_vec: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One epoch of the LSH gate against the KEYED store's raw
     replica rows (``cell_key, vec_id, v`` — pre-pruned to the epoch's
@@ -542,12 +543,18 @@ def semdedup_lsh_epoch_keyed(
     Index-side plan shape, asserted structurally in tests: the pruned
     FileScan's first join ancestor is a BroadcastHashJoin with no
     Exchange in between (the batch side broadcasts; the index side
-    never shuffles)."""
+    never shuffles).
+
+    ``new_vec`` is the batch's already-celled-and-checkpointed frame
+    when the caller holds it (the keyed writer derives its probe
+    partitions from the same frame — the cell projection md5s run
+    once per epoch, not twice); None computes it here."""
     from angelone_clickhouse_spark.operators.similarity import _cos
 
-    new_vec = _with_cells(
-        _as_double_vecs(batch_emb), planes, n_tables
-    ).localCheckpoint(eager=True)
+    if new_vec is None:
+        new_vec = _with_cells(
+            _as_double_vecs(batch_emb), planes, n_tables
+        ).localCheckpoint(eager=True)
     probe = F.broadcast(
         new_vec.select(
             "vec_id",
@@ -672,10 +679,15 @@ def make_embdedup_lsh_epoch_writer(
             )
 
             expire_epochs_keyed(index_dir, epoch_id - retention_epochs)
+        # one cell-projection pass per epoch: the checkpointed celled
+        # frame feeds the probe-partition collect AND the epoch body
+        # (it used to be computed by both)
+        new_vec = _with_cells(
+            _as_double_vecs(batch), planes, n_tables
+        ).localCheckpoint(eager=True)
         # bounded: one trigger's probe keys -> <= P_KEYED partition ids
-        new_keys = _with_cells(_as_double_vecs(batch), planes, n_tables)
         pks = collect_pks(
-            new_keys.select(
+            new_vec.select(
                 F.explode(_probe_keys(planes, n_flips)).alias("cell_key")
             ),
             pk_of("cell_key"),
@@ -689,7 +701,7 @@ def make_embdedup_lsh_epoch_writer(
             pks=pks,
         )
         verdicts, kept_vec = semdedup_lsh_epoch_keyed(
-            batch, stored, planes, n_tables, n_flips
+            batch, stored, planes, n_tables, n_flips, new_vec=new_vec
         )
         verdicts = verdicts.localCheckpoint(eager=True)
         commit_epoch_flat(verdicts, out_dir, epoch_id)

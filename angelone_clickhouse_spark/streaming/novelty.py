@@ -70,13 +70,19 @@ VERDICT_SCHEMA = (
 
 
 def novelty_epoch(
-    batch_docs: DataFrame, index_grams: DataFrame
+    batch_docs: DataFrame,
+    index_grams: DataFrame,
+    dg: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One epoch as a pure frame-in/frame-out function: returns
-    (per-doc verdicts, grams to append to the index)."""
+    (per-doc verdicts, grams to append to the index). ``dg`` is the
+    batch's exploded gram frame when the caller already computed it
+    (the keyed writer derives its probe partitions from the same
+    frame — the per-epoch gram pass runs once, not twice)."""
     from angelone_clickhouse_spark.operators.pipeline import _word_ngrams
 
-    dg = _word_ngrams(batch_docs, NOVELTY_N)
+    if dg is None:
+        dg = _word_ngrams(batch_docs, NOVELTY_N)
     first = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     seen = index_grams.withColumn("seen", F.lit(True))
     per = (
@@ -171,11 +177,12 @@ def make_novelty_epoch_writer(
             )
 
             expire_epochs_keyed(index_dir, epoch_id - retention_epochs)
-        pks = collect_pks(
-            _word_ngrams(batch, NOVELTY_N).select("gram"), _gram_pk()
-        )
+        # one gram pass per epoch: the checkpointed exploded-gram
+        # frame feeds the partition collect AND the epoch body
+        dg = _word_ngrams(batch, NOVELTY_N).localCheckpoint(eager=True)
+        pks = collect_pks(dg.select("gram"), _gram_pk())
         index = read_gram_index(spark, index_dir, pks=pks)
-        verdicts, new_grams = novelty_epoch(batch, index)
+        verdicts, new_grams = novelty_epoch(batch, index, dg=dg)
         verdicts = verdicts.localCheckpoint(eager=True)
         new_grams = new_grams.localCheckpoint(eager=True)
         commit_epoch_flat(verdicts, out_dir, epoch_id)
