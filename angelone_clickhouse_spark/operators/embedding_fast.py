@@ -1316,10 +1316,82 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERS = 2  # PageRank power iterations (oracle unrolls one CTE pair each)
+PR_DAMP_PCT = 85  # damping factor in percent (d = 0.85)
+PR_INIT_MICRO = 1_000_000  # initial rank, micro units
+PR_BASE_MICRO = 150_000  # (1 - d) teleport mass, micro units
+
+
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Brin & Page 1998) over the exact kNN similarity
+    graph — the representativeness score a curation pipeline uses to
+    pick central exemplars (or, inverted, to prune redundant hubs)
+    after dedup: a vector ranks high when many vectors' nearest-
+    neighbor lists point at it, recursively weighted. Composes the
+    registry's own :func:`knn_graph` (so the edge contract — KNN_K
+    exact cosine neighbors, deterministic tiebreak — is the one the
+    oracle already certifies) with PR_ITERS damped power iterations.
+
+    Determinism (the kmeans_refine device): ranks live on an integer
+    micro grid; out-degree is KNN_K by construction, so each node's
+    contribution is ``rank div KNN_K`` (truncating long division),
+    incoming mass is an order-independent long sum, and the update is
+    ``base + (d_pct * mass) div 100`` — every step bit-identical in
+    DuckDB, where the iteration unrolls as one (mass, rank) CTE pair
+    per round. No float appears anywhere.
+
+    Scale notes (100 TB): per iteration ONE shuffle join of edges
+    against the n-row rank table on src_id, one groupBy(dst) with
+    map-side partial sums, one left join back to the node list —
+    exactly a sparse matrix-vector multiply sharded by row, k·n edge
+    rows total. ``localCheckpoint`` cuts the doubling lineage between
+    rounds (at cluster scale: persist to a table — the connected-
+    components convention). The edge list materializes once and is
+    reused by every round; the driver never sees a vector or a
+    rank."""
+    edges = (
+        knn_graph(spark, sf_dir)
+        .select("src_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    ranks = nodes.select(
+        "vec_id",
+        F.lit(PR_INIT_MICRO).cast("long").alias("rank_micro"),
+    )
+    for t in range(PR_ITERS):
+        if t > 0:
+            # cut the doubling lineage BETWEEN rounds (not after the
+            # last: the returned frame keeps the final iteration's
+            # join/agg plan visible to the snapshot gate)
+            ranks = ranks.localCheckpoint(eager=True)
+        mass = (
+            edges.join(
+                ranks.withColumnRenamed("vec_id", "src_id"), "src_id"
+            )
+            .select(
+                F.col("neighbor_id").alias("vec_id"),
+                F.expr(f"rank_micro div {KNN_K}").alias("contrib"),
+            )
+            .groupBy("vec_id")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = nodes.join(mass, "vec_id", "left").select(
+            "vec_id",
+            F.expr(
+                f"cast({PR_BASE_MICRO} + "
+                f"({PR_DAMP_PCT} * coalesce(s, cast(0 as bigint)))"
+                f" div 100 as bigint)"
+            ).alias("rank_micro"),
+        )
+    return ranks
+
+
 QUERIES = {
     "dedup_embedding_fast": dedup_embedding_fast,
     "ann_topk_fast": ann_topk_fast,
     "knn_graph": knn_graph,
+    "knn_pagerank": knn_pagerank,
     "knn_label_purity": knn_label_purity,
     "knn_graph_ann": knn_graph_ann,
     "knn_graph_ann_bucketed": knn_graph_ann_bucketed,
@@ -1584,6 +1656,42 @@ FROM (
 WHERE rank <= {KNN_K}
 """
 
+def _knn_pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
+    """DuckDB spelling of :func:`knn_pagerank`: the registry's kNN
+    oracle as the edge list, then one (mass, rank) CTE pair per power
+    iteration — exact integer arithmetic end-to-end (truncating //
+    on non-negative longs matches Spark's div), so every round agrees
+    with Spark bit-for-bit. Same unrolled-iteration device as
+    similarity._kmeans_refine_oracle_sql."""
+    ctes = [
+        f"edges AS (SELECT src_id, neighbor_id FROM ({_KNN_ORACLE_SQL}) k)",
+        "nodes AS (SELECT vec_id FROM embeddings)",
+        f"r0 AS (SELECT vec_id, CAST({PR_INIT_MICRO} AS BIGINT) AS r"
+        " FROM nodes)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""s{t + 1} AS (
+  SELECT e.neighbor_id AS vec_id, sum(r.r // {KNN_K}) AS s
+  FROM edges e JOIN r{t} r ON r.vec_id = e.src_id
+  GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""r{t + 1} AS (
+  SELECT n.vec_id,
+         CAST({PR_BASE_MICRO}
+              + ({PR_DAMP_PCT} * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s{t + 1} s USING (vec_id)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, r AS rank_micro FROM r{iters}"
+    )
+
+
 _KNN_PURITY_ORACLE_SQL = f"""
 WITH knn AS ({_KNN_ORACLE_SQL}),
 l AS (SELECT vec_id, label FROM embeddings)
@@ -1612,6 +1720,7 @@ def _shared_oracles() -> dict[str, str]:
         "dedup_embedding_fast": _dedup.ORACLES["dedup_embedding"],
         "ann_topk_fast": _sim.ORACLES["ann_topk_cosine"],
         "knn_graph": _KNN_ORACLE_SQL,
+        "knn_pagerank": _knn_pagerank_oracle_sql(),
         "knn_label_purity": _KNN_PURITY_ORACLE_SQL,
         "knn_graph_ann": _knn_ann_oracle_sql(
             KNN_ANN_FLIPS, KNN_ANN_TABLES

@@ -632,3 +632,43 @@ def test_ann_topk_filtered_neighbors_respect_predicate(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "EqualTo(label," in plan, plan[:3000]
+
+
+def test_knn_pagerank_matches_python_reference(spark, sf_dir):
+    """Replay the damped integer power iteration in plain Python over
+    the operator's own edge list (knn_graph is oracle-certified
+    separately) and compare every node's rank exactly — plus the
+    structural invariants: every vector ranked, floor rank = the
+    teleport base for nodes with no in-edges."""
+    from angelone_clickhouse_spark.operators.embedding_fast import (
+        KNN_K,
+        PR_BASE_MICRO,
+        PR_DAMP_PCT,
+        PR_INIT_MICRO,
+        PR_ITERS,
+        knn_graph,
+        knn_pagerank,
+    )
+
+    edges = [
+        (r.src_id, r.neighbor_id)
+        for r in knn_graph(spark, sf_dir).select("src_id", "neighbor_id").collect()
+    ]
+    nodes = {s for s, _ in edges} | {
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    ranks = {v: PR_INIT_MICRO for v in nodes}
+    for _ in range(PR_ITERS):
+        mass = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            mass[d] += ranks[s] // KNN_K
+        ranks = {
+            v: PR_BASE_MICRO + (PR_DAMP_PCT * mass[v]) // 100
+            for v in nodes
+        }
+    got = {r.vec_id: r.rank_micro for r in knn_pagerank(spark, sf_dir).collect()}
+    assert got == ranks
+    assert min(got.values()) >= PR_BASE_MICRO
