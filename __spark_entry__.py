@@ -44,6 +44,7 @@ _PRIORITY = [
     "ann_topk_pq",              # NEW: product-quantized ADC search
     "dsir_weights",             # NEW: DSIR importance weights
     "knn_pagerank",             # NEW: PageRank over the kNN graph
+    "knn_triangles",            # NEW: kNN-graph clustering coefficient
     # (b) code/oracle changed in r12
     "stream_semdedup_lsh",      # keyed survivor index (physical probe)
     "stream_dedup_docs",        # keyed signature index
@@ -81,7 +82,7 @@ _PRIORITY = [
     "value_dispersion",
     "vwap_daily",
     "weekly_retention",
-    # (d) the 9 oldest r9-stale names (alphabetical)
+    # (d) the 8 oldest r9-stale names (alphabetical)
     "audio_features",
     "customer_balance_quartiles",
     "customer_order_ranks",
@@ -90,10 +91,9 @@ _PRIORITY = [
     "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "doc_length_histogram",
     # exactly 50 entries above — the driver gate stops there. r13
-    # owes the remaining 32 r9-stale names: enrich_tokens_join,
-    # image_resize,
+    # owes the remaining 33 r9-stale names: doc_length_histogram,
+    # enrich_tokens_join, image_resize,
     # knn_label_purity, late_shipment_priorities,
     # mixture_sample, multimodal_gate,
     # nation_profit, novelty_ngram_rate, order_priority_cube,

@@ -1387,11 +1387,77 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks
 
 
+def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of the (undirected) kNN graph —
+    the over-duplication diagnostic: a region of near-duplicate or
+    mode-collapsed vectors closes almost every wedge into a triangle
+    (coefficient → 1000 milli), while well-spread data stays sparse.
+    Per vector: undirected degree, closed-triangle count, and the
+    exact integer milli coefficient 2·T(v) / (deg·(deg−1)).
+
+    Node-iterator triangle counting (Schank & Wagner 2005) on
+    DataFrames: undirect the oracle-certified :func:`knn_graph`
+    edges (least/greatest + distinct), self-join the adjacency list
+    on the center vertex to enumerate each node's wedges (a < b kills
+    the double count), close wedges against the undirected edge set,
+    and roll up per node. All-integer output — bit-exact on any
+    engine.
+
+    Scale notes (100 TB): degree is bounded by 2·KNN_K, so wedges
+    are ≤ n·k·(2k−1) rows — LINEAR in n for constant k, never the
+    quadratic all-pairs (that work stays inside knn_graph's blocked
+    matmul). Three content-keyed shuffles: the adjacency self-join on
+    the center vertex, the wedge-closing join on the (a, b) edge key,
+    and the per-node rollup; the edge list materializes once and
+    feeds all three."""
+    g = knn_graph(spark, sf_dir).select("src_id", "neighbor_id")
+    und = (
+        g.select(
+            F.least("src_id", "neighbor_id").alias("a"),
+            F.greatest("src_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    wedges = (
+        adj.select("v", F.col("w").alias("a"))
+        .join(adj.select("v", F.col("w").alias("b")), "v")
+        .filter(F.col("a") < F.col("b"))
+    )
+    tri = (
+        wedges.join(und, ["a", "b"])
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        nodes.join(deg.withColumnRenamed("v", "vec_id"), "vec_id", "left")
+        .join(tri.withColumnRenamed("v", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("degree", F.lit(0).cast("long")).alias("degree"),
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "CASE WHEN degree >= 2 THEN"
+                " (2000 * coalesce(n_triangles, cast(0 as bigint)))"
+                " div (degree * (degree - 1)) END"
+            ).alias("clustering_milli"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_embedding_fast": dedup_embedding_fast,
     "ann_topk_fast": ann_topk_fast,
     "knn_graph": knn_graph,
     "knn_pagerank": knn_pagerank,
+    "knn_triangles": knn_triangles,
     "knn_label_purity": knn_label_purity,
     "knn_graph_ann": knn_graph_ann,
     "knn_graph_ann_bucketed": knn_graph_ann_bucketed,
@@ -1692,6 +1758,37 @@ def _knn_pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
     )
 
 
+_KNN_TRIANGLES_ORACLE_SQL = f"""
+WITH knn AS ({_KNN_ORACLE_SQL}),
+und AS (
+  SELECT DISTINCT least(src_id, neighbor_id) AS a,
+                  greatest(src_id, neighbor_id) AS b
+  FROM knn
+),
+adj AS (
+  SELECT a AS v, b AS w FROM und
+  UNION ALL
+  SELECT b AS v, a AS w FROM und
+),
+deg AS (SELECT v, count(*) AS degree FROM adj GROUP BY v),
+tri AS (
+  SELECT x.v, count(*) AS n_tri
+  FROM adj x
+  JOIN adj y ON x.v = y.v AND x.w < y.w
+  JOIN und u ON u.a = x.w AND u.b = y.w
+  GROUP BY x.v
+)
+SELECT n.vec_id,
+       CAST(coalesce(d.degree, 0) AS BIGINT) AS degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree >= 2 THEN
+         (2000 * coalesce(t.n_tri, 0)) // (d.degree * (d.degree - 1))
+       END AS BIGINT) AS clustering_milli
+FROM (SELECT vec_id FROM embeddings) n
+LEFT JOIN deg d ON d.v = n.vec_id
+LEFT JOIN tri t ON t.v = n.vec_id
+"""
+
 _KNN_PURITY_ORACLE_SQL = f"""
 WITH knn AS ({_KNN_ORACLE_SQL}),
 l AS (SELECT vec_id, label FROM embeddings)
@@ -1721,6 +1818,7 @@ def _shared_oracles() -> dict[str, str]:
         "ann_topk_fast": _sim.ORACLES["ann_topk_cosine"],
         "knn_graph": _KNN_ORACLE_SQL,
         "knn_pagerank": _knn_pagerank_oracle_sql(),
+        "knn_triangles": _KNN_TRIANGLES_ORACLE_SQL,
         "knn_label_purity": _KNN_PURITY_ORACLE_SQL,
         "knn_graph_ann": _knn_ann_oracle_sql(
             KNN_ANN_FLIPS, KNN_ANN_TABLES

@@ -672,3 +672,49 @@ def test_knn_pagerank_matches_python_reference(spark, sf_dir):
     got = {r.vec_id: r.rank_micro for r in knn_pagerank(spark, sf_dir).collect()}
     assert got == ranks
     assert min(got.values()) >= PR_BASE_MICRO
+
+
+def test_knn_triangles_matches_python_reference(spark, sf_dir):
+    """Undirect the operator's own edge list in Python, count each
+    node's closed wedges by brute force, and compare degree /
+    triangle count / milli coefficient exactly."""
+    from angelone_clickhouse_spark.operators.embedding_fast import (
+        knn_graph,
+        knn_triangles,
+    )
+
+    edges = {
+        (min(r.src_id, r.neighbor_id), max(r.src_id, r.neighbor_id))
+        for r in knn_graph(spark, sf_dir)
+        .select("src_id", "neighbor_id")
+        .collect()
+    }
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    got = {r.vec_id: r for r in knn_triangles(spark, sf_dir).collect()}
+    all_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    assert set(got) == all_ids
+    for v in all_ids:
+        ns = sorted(nbrs.get(v, ()))
+        tri = sum(
+            1
+            for i in range(len(ns))
+            for j in range(i + 1, len(ns))
+            if (ns[i], ns[j]) in edges
+        )
+        r = got[v]
+        assert r.degree == len(ns)
+        assert r.n_triangles == tri
+        if len(ns) >= 2:
+            assert r.clustering_milli == (2000 * tri) // (
+                len(ns) * (len(ns) - 1)
+            )
+        else:
+            assert r.clustering_milli is None
