@@ -45,6 +45,7 @@ _PRIORITY = [
     "dsir_weights",             # NEW: DSIR importance weights
     "knn_pagerank",             # NEW: PageRank over the kNN graph
     "knn_triangles",            # NEW: kNN-graph clustering coefficient
+    "decontaminate_bloom",      # NEW: bloom-filter decontamination rung
     # (b) code/oracle changed in r12
     "stream_semdedup_lsh",      # keyed survivor index (physical probe)
     "stream_dedup_docs",        # keyed signature index
@@ -82,7 +83,7 @@ _PRIORITY = [
     "value_dispersion",
     "vwap_daily",
     "weekly_retention",
-    # (d) the 8 oldest r9-stale names (alphabetical)
+    # (d) the 7 oldest r9-stale names (alphabetical)
     "audio_features",
     "customer_balance_quartiles",
     "customer_order_ranks",
@@ -90,9 +91,9 @@ _PRIORITY = [
     "customers_without_orders",
     "dedup_incremental",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     # exactly 50 entries above — the driver gate stops there. r13
-    # owes the remaining 33 r9-stale names: doc_length_histogram,
+    # owes the remaining 34 r9-stale names: dedup_ngram_jaccard,
+    # doc_length_histogram,
     # enrich_tokens_join, image_resize,
     # knn_label_purity, late_shipment_priorities,
     # mixture_sample, multimodal_gate,

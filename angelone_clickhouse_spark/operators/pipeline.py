@@ -142,6 +142,94 @@ def decontaminate_hashed(
     )
 
 
+# decontaminate_bloom: filter geometry. M is sized like a real
+# deployment (the whole point is bits-per-entry ~ 20 at suite scale);
+# K salted md5 positions per gram. Both are semantics here (they fix
+# which false positives occur), so the oracle carries them verbatim.
+BLOOM_M = 1 << 20
+BLOOM_K = 3
+
+
+def decontaminate_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """The bloom-filter rung of the decontamination ladder (ngrams ->
+    hashed -> bloom): the benchmark suite's gram set compresses to a
+    BIT SET — ``k`` salted-md5 positions per gram in an ``m``-bit
+    space, ~2.5 bytes/gram here vs 8 for the hash set — and a
+    training gram is flagged when ALL ``k`` of its positions are set.
+    Bloom filters admit false positives, so alongside the flagged
+    count the op reports the exact-overlap count and the difference:
+    the in-engine measurement of the filter's actual FP cost, which
+    is what a deployment tunes ``m`` against.
+
+    Everything is deterministic (positions are pure md5 functions of
+    the gram), so which false positives occur is itself reproducible
+    and the DuckDB oracle checks flagged/exact/fp verbatim — same
+    exactness convention as dedup's MinHash estimate.
+
+    Scale notes (100 TB): the bit set is represented relationally as
+    the distinct set-bit table (at most m rows ~ KB-scale broadcast;
+    a deployment packs it into a bitmap — Spark's own
+    ``bloom_filter_agg`` is the packed form but is not exposed to
+    SQL users, and the relational spelling is what an oracle can
+    check). The corpus side explodes to k position rows per gram —
+    map-side, then ONE broadcast membership join and a two-level
+    rollup (per-gram all-k test, per-doc count). The corpus never
+    shuffles until the per-doc aggregate, same as the other two
+    rungs."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _word_ngrams(docs, DECON_N, checkpoint_dir)
+    pos_exprs = [
+        F.expr(
+            f"cast(conv(substring(md5(concat('{i}:', gram)), 1, 15),"
+            f" 16, 10) as bigint) % {m}"
+        )
+        for i in range(k)
+    ]
+    pos = grams.select(
+        "doc_id", "gram", F.explode(F.array(*pos_exprs)).alias("p")
+    )
+    bench_bits = (
+        pos.filter(F.col("doc_id") % BENCH_MOD == 0).select("p").distinct()
+    )
+    bench_grams = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("exact_hit", F.lit(True))
+    )
+    flagged = (
+        pos.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench_bits), "p")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == k)
+    )
+    return (
+        flagged.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_flagged_ngrams"),
+            F.sum(
+                F.coalesce("exact_hit", F.lit(False)).cast("long")
+            ).alias("n_exact_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "n_flagged_ngrams",
+            "n_exact_ngrams",
+            (F.col("n_flagged_ngrams") - F.col("n_exact_ngrams")).alias(
+                "n_false_pos"
+            ),
+        )
+    )
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-language keep rates
     (downsample dominant strata) decided by a content-free stable hash
@@ -469,6 +557,7 @@ def pipeline_e2e(
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "decontaminate_hashed": decontaminate_hashed,
+    "decontaminate_bloom": decontaminate_bloom,
     "decontaminate_fingerprint": decontaminate_fingerprint,
     "sample_stratified": sample_stratified,
     "quality_quantile_gate": quality_quantile_gate,
@@ -606,6 +695,44 @@ SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
 FROM c
 """,
 }
+
+ORACLES["decontaminate_bloom"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - {DECON_N - 1})) AS t(i)
+),
+pos AS (
+  SELECT doc_id, gram,
+         ('0x' || substring(md5(CAST(k.i AS VARCHAR) || ':' || gram),
+                            1, 15))::BIGINT % {BLOOM_M} AS p
+  FROM grams, UNNEST(generate_series(0, {BLOOM_K - 1})) AS k(i)
+),
+bench_bits AS (
+  SELECT DISTINCT p FROM pos WHERE doc_id % {BENCH_MOD} = 0
+),
+bench_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0
+),
+flagged AS (
+  SELECT doc_id, gram
+  FROM pos
+  WHERE doc_id % {BENCH_MOD} != 0
+    AND p IN (SELECT p FROM bench_bits)
+  GROUP BY doc_id, gram
+  HAVING count(*) = {BLOOM_K}
+)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_flagged_ngrams,
+       CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_ngrams,
+       CAST(count(*) - sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM flagged f LEFT JOIN bench_grams b ON b.gram = f.gram
+GROUP BY f.doc_id
+"""
 
 from angelone_clickhouse_spark.operators.text import FP_WINDOW as _FPW  # noqa: E402
 

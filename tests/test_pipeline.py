@@ -265,3 +265,35 @@ def test_pack_efficiency_matches_python_reference(spark, sf_dir):
         any_split |= n_split > 0
     # docs average ~54 tokens against a 512 budget: splits must occur
     assert any_split
+
+
+def test_decontaminate_bloom_superset_and_fp_accounting(spark, sf_dir):
+    """At the deployed geometry (M=2^20) the fixture's bit set is so
+    sparse the bloom pass must agree exactly with the exact-overlap
+    pass; at a deliberately tiny M (64 bits, saturated filter) false
+    positives MUST appear, every exact hit must still be flagged
+    (blooms have no false negatives), and the fp accounting column
+    must reconcile."""
+    from angelone_clickhouse_spark.operators.pipeline import (
+        decontaminate_bloom,
+        decontaminate_ngrams,
+    )
+
+    exact = {
+        r.doc_id: r.n_hit_ngrams
+        for r in decontaminate_ngrams(spark, sf_dir).collect()
+    }
+    deployed = {
+        r.doc_id: r
+        for r in decontaminate_bloom(spark, sf_dir).collect()
+    }
+    assert {d: r.n_exact_ngrams for d, r in deployed.items() if r.n_exact_ngrams} == exact
+    assert all(r.n_false_pos == r.n_flagged_ngrams - r.n_exact_ngrams for r in deployed.values())
+    assert sum(r.n_false_pos for r in deployed.values()) == 0
+
+    tiny = {
+        r.doc_id: r for r in decontaminate_bloom(spark, sf_dir, m=64).collect()
+    }
+    for d, n in exact.items():
+        assert d in tiny and tiny[d].n_exact_ngrams == n  # no false negatives
+    assert sum(r.n_false_pos for r in tiny.values()) > 0  # saturated -> FPs
