@@ -46,6 +46,7 @@ _PRIORITY = [
     "knn_pagerank",             # NEW: PageRank over the kNN graph
     "knn_triangles",            # NEW: kNN-graph clustering coefficient
     "decontaminate_bloom",      # NEW: bloom-filter decontamination rung
+    "zorder_layout",            # NEW: Z-order multi-dim layout stats
     # (b) code/oracle changed in r12
     "stream_semdedup_lsh",      # keyed survivor index (physical probe)
     "stream_dedup_docs",        # keyed signature index
@@ -83,16 +84,16 @@ _PRIORITY = [
     "value_dispersion",
     "vwap_daily",
     "weekly_retention",
-    # (d) the 7 oldest r9-stale names (alphabetical)
+    # (d) the 6 oldest r9-stale names (alphabetical)
     "audio_features",
     "customer_balance_quartiles",
     "customer_order_ranks",
     "customers_with_urgent_orders",
     "customers_without_orders",
     "dedup_incremental",
-    "dedup_minhash_lsh",
     # exactly 50 entries above — the driver gate stops there. r13
-    # owes the remaining 34 r9-stale names: dedup_ngram_jaccard,
+    # owes the remaining 35 r9-stale names: dedup_minhash_lsh,
+    # dedup_ngram_jaccard,
     # doc_length_histogram,
     # enrich_tokens_join, image_resize,
     # knn_label_purity, late_shipment_priorities,
@@ -140,6 +141,7 @@ def _registries():
         "angelone_clickhouse_spark.operators.asof",
         "angelone_clickhouse_spark.operators.finance",
         "angelone_clickhouse_spark.operators.embedding_fast",
+        "angelone_clickhouse_spark.operators.layout",
         "angelone_clickhouse_spark.functions.scalar",
         "angelone_clickhouse_spark.sql",
         "angelone_clickhouse_spark.sources.token_config",
