@@ -47,6 +47,7 @@ _PRIORITY = [
     "knn_triangles",            # NEW: kNN-graph clustering coefficient
     "decontaminate_bloom",      # NEW: bloom-filter decontamination rung
     "zorder_layout",            # NEW: Z-order multi-dim layout stats
+    "token_freq_cms",           # NEW: from-scratch count-min sketch
     # (b) code/oracle changed in r12
     "stream_semdedup_lsh",      # keyed survivor index (physical probe)
     "stream_dedup_docs",        # keyed signature index
@@ -84,15 +85,15 @@ _PRIORITY = [
     "value_dispersion",
     "vwap_daily",
     "weekly_retention",
-    # (d) the 6 oldest r9-stale names (alphabetical)
+    # (d) the 5 oldest r9-stale names (alphabetical)
     "audio_features",
     "customer_balance_quartiles",
     "customer_order_ranks",
     "customers_with_urgent_orders",
     "customers_without_orders",
-    "dedup_incremental",
     # exactly 50 entries above — the driver gate stops there. r13
-    # owes the remaining 35 r9-stale names: dedup_minhash_lsh,
+    # owes the remaining 36 r9-stale names: dedup_incremental,
+    # dedup_minhash_lsh,
     # dedup_ngram_jaccard,
     # doc_length_histogram,
     # enrich_tokens_join, image_resize,

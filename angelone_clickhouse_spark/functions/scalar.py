@@ -365,8 +365,108 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# token_freq_cms geometry: D independent hash rows x W counters. Both
+# are semantics (they fix which collisions occur), so the oracle
+# carries them verbatim; a deployment widens W against the stream's
+# mass and keeps the same arithmetic.
+CMS_D = 4
+CMS_W = 256
+CMS_TOP = 20  # exact top-k tokens probed against the sketch
+
+
+def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built FROM
+    RELATIONAL OPS — the from-scratch member of the sketch family
+    (the HLL/theta/KLL/approx_top_k ops wrap engine aggregates whose
+    binary internals are engine-specific; a CMS is just a D x W
+    counter table, so the WHOLE sketch is expressible as one groupBy
+    and every cell is oracle-checkable). Each of the corpus's word
+    occurrences increments one counter per hash row (salted-md5
+    bucket — the MinHash device); a token's estimate is the MIN of
+    its D counters, which can only OVER-count (collisions add, never
+    subtract). The query side probes the exact top-CMS_TOP tokens and
+    reports exact count, estimate, and the overestimate — the
+    one-sided-error guarantee, measured in-engine.
+
+    Everything is deterministic, so which collisions occur is
+    reproducible and the DuckDB oracle checks every estimate
+    verbatim — same convention as decontaminate_bloom.
+
+    Scale notes (100 TB): the sketch is ONE groupBy(d, bucket) with
+    map-side partial sums — D x W rows total (KB-scale, broadcast),
+    CONSTANT memory regardless of vocabulary, and mergeable: shard or
+    per-trigger sketches union and re-sum cell-wise, which is the
+    whole point vs the exact per-token count's vocabulary-sized
+    shuffle. The probe side computes its own buckets map-side and
+    joins the broadcast cell table."""
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    docs_toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cells = (
+        docs_toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.expr(
+                                f"cast(conv(substring(md5(concat('{d}:',"
+                                f" token)), 1, 15), 16, 10) as bigint)"
+                                f" % {CMS_W}"
+                            ).alias("bucket"),
+                        )
+                        for d in range(CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.d", "c.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = docs_toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_c")
+    )
+    # two-phase top-k (TakeOrderedAndProject): per-partition heads
+    # merge on the driver-side limit — no global sort materializes
+    top = exact.orderBy(F.desc("exact_c"), F.asc("token")).limit(CMS_TOP)
+    probes = top.select(
+        "token",
+        "exact_c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(
+                            f"cast(conv(substring(md5(concat('{d}:',"
+                            f" token)), 1, 15), 16, 10) as bigint)"
+                            f" % {CMS_W}"
+                        ).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("token", "exact_c", "c.d", "c.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token", "exact_c")
+        .agg(F.min("n").alias("cms_est"))
+        .select(
+            "token",
+            "exact_c",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_c")).alias("overestimate"),
+        )
+    )
+
+
 QUERIES = {
     "scalar_functions": scalar_functions,
+    "token_freq_cms": token_freq_cms,
     "map_functions": map_functions,
     "distinct_tokens": distinct_tokens,
     "distinct_tokens_approx": distinct_tokens_approx,
@@ -473,3 +573,33 @@ FROM ticks
 GROUP BY token
 """,
 }
+
+_CMS_BUCKET = (
+    "('0x' || substring(md5(CAST(h.d AS VARCHAR) || ':' || token),"
+    f" 1, 15))::BIGINT % {CMS_W}"
+)
+
+ORACLES["token_freq_cms"] = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+hs AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS d),
+cells AS (
+  SELECT h.d, {_CMS_BUCKET} AS bucket, count(*) AS n
+  FROM toks CROSS JOIN hs h
+  GROUP BY 1, 2
+),
+exact AS (SELECT token, count(*) AS exact_c FROM toks GROUP BY token),
+top AS (
+  SELECT token, exact_c FROM exact
+  ORDER BY exact_c DESC, token ASC LIMIT {CMS_TOP}
+),
+probes AS (
+  SELECT t.token, t.exact_c, h.d, {_CMS_BUCKET} AS bucket
+  FROM top t CROSS JOIN hs h
+)
+SELECT p.token, p.exact_c, min(c.n) AS cms_est,
+       min(c.n) - p.exact_c AS overestimate
+FROM probes p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+GROUP BY p.token, p.exact_c
+"""

@@ -83,3 +83,42 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
                 assert wide["lo"] - 1e-9 <= approx <= wide["hi"] + 1e-9, (
                     token, q, approx, wide["lo"], wide["hi"], r["n"]
                 )
+
+
+def test_cms_one_sided_and_python_reference(spark, sf_dir):
+    """Rebuild the D x W counter table in plain Python and compare
+    every probed token's estimate exactly; the CMS guarantee is
+    one-sided (estimate >= exact, always)."""
+    import hashlib
+    from collections import Counter
+
+    from angelone_clickhouse_spark.functions.scalar import (
+        CMS_D,
+        CMS_TOP,
+        CMS_W,
+        token_freq_cms,
+    )
+
+    toks = []
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        toks.extend(r.text.split(" "))
+
+    def bucket(d, tok):
+        return (
+            int(hashlib.md5(f"{d}:{tok}".encode()).hexdigest()[:15], 16)
+            % CMS_W
+        )
+
+    cells = Counter()
+    for t in toks:
+        for d in range(CMS_D):
+            cells[(d, bucket(d, t))] += 1
+    exact = Counter(toks)
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOP]
+    got = {r.token: r for r in token_freq_cms(spark, sf_dir).collect()}
+    assert set(got) == {t for t, _ in top}
+    for t, c in top:
+        est = min(cells[(d, bucket(d, t))] for d in range(CMS_D))
+        r = got[t]
+        assert (r.exact_c, r.cms_est, r.overestimate) == (c, est, est - c)
+        assert r.cms_est >= r.exact_c
