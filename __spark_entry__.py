@@ -48,6 +48,7 @@ _PRIORITY = [
     "decontaminate_bloom",      # NEW: bloom-filter decontamination rung
     "zorder_layout",            # NEW: Z-order multi-dim layout stats
     "token_freq_cms",           # NEW: from-scratch count-min sketch
+    "stream_token_cms",         # NEW: streaming mergeable CMS twin
     # (b) code/oracle changed in r12
     "stream_semdedup_lsh",      # keyed survivor index (physical probe)
     "stream_dedup_docs",        # keyed signature index
@@ -85,14 +86,14 @@ _PRIORITY = [
     "value_dispersion",
     "vwap_daily",
     "weekly_retention",
-    # (d) the 5 oldest r9-stale names (alphabetical)
+    # (d) the 4 oldest r9-stale names (alphabetical)
     "audio_features",
     "customer_balance_quartiles",
     "customer_order_ranks",
     "customers_with_urgent_orders",
-    "customers_without_orders",
     # exactly 50 entries above — the driver gate stops there. r13
-    # owes the remaining 36 r9-stale names: dedup_incremental,
+    # owes the remaining 37 r9-stale names: customers_without_orders,
+    # dedup_incremental,
     # dedup_minhash_lsh,
     # dedup_ngram_jaccard,
     # doc_length_histogram,
@@ -150,6 +151,7 @@ def _registries():
         "angelone_clickhouse_spark.streaming.docdedup",
         "angelone_clickhouse_spark.streaming.embdedup",
         "angelone_clickhouse_spark.streaming.novelty",
+        "angelone_clickhouse_spark.streaming.sketch",
         "angelone_clickhouse_spark.streaming.stream_join",
         "angelone_clickhouse_spark.streaming.sessions",
     ):

@@ -404,52 +404,49 @@ def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_toks = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("token")
     )
-    cells = (
-        docs_toks.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).alias("d"),
-                            F.expr(
-                                f"cast(conv(substring(md5(concat('{d}:',"
-                                f" token)), 1, 15), 16, 10) as bigint)"
-                                f" % {CMS_W}"
-                            ).alias("bucket"),
-                        )
-                        for d in range(CMS_D)
-                    ]
-                )
-            ).alias("c")
-        )
+    return cms_probe_topk(docs_toks, cms_cells(docs_toks))
+
+
+def _cms_hash_structs() -> F.Column:
+    """The D (row, bucket) pairs of the current row's ``token`` —
+    shared by the build side and the probe side (and by the streaming
+    twin in streaming/sketch.py)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(
+                    f"cast(conv(substring(md5(concat('{d}:', token)),"
+                    f" 1, 15), 16, 10) as bigint) % {CMS_W}"
+                ).alias("bucket"),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+
+
+def cms_cells(toks: DataFrame) -> DataFrame:
+    """D x W cell table of a token frame — ONE groupBy with map-side
+    partials; cell-wise summable with any other token frame's table
+    (the merge law the streaming twin runs on)."""
+    return (
+        toks.select(F.explode(_cms_hash_structs()).alias("c"))
         .select("c.d", "c.bucket")
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    exact = docs_toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("exact_c")
-    )
+
+
+def cms_probe_topk(toks: DataFrame, cells: DataFrame) -> DataFrame:
+    """Probe a cell table with the exact top-CMS_TOP tokens of
+    ``toks``: exact count, min-of-rows estimate, one-sided
+    overestimate."""
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_c"))
     # two-phase top-k (TakeOrderedAndProject): per-partition heads
     # merge on the driver-side limit — no global sort materializes
     top = exact.orderBy(F.desc("exact_c"), F.asc("token")).limit(CMS_TOP)
     probes = top.select(
-        "token",
-        "exact_c",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        F.expr(
-                            f"cast(conv(substring(md5(concat('{d}:',"
-                            f" token)), 1, 15), 16, 10) as bigint)"
-                            f" % {CMS_W}"
-                        ).alias("bucket"),
-                    )
-                    for d in range(CMS_D)
-                ]
-            )
-        ).alias("c"),
+        "token", "exact_c", F.explode(_cms_hash_structs()).alias("c")
     ).select("token", "exact_c", "c.d", "c.bucket")
     return (
         probes.join(F.broadcast(cells), ["d", "bucket"])

@@ -122,3 +122,21 @@ def test_cms_one_sided_and_python_reference(spark, sf_dir):
         r = got[t]
         assert (r.exact_c, r.cms_est, r.overestimate) == (c, est, est - c)
         assert r.cms_est >= r.exact_c
+
+
+def test_stream_cms_equals_batch(spark, sf_dir):
+    """Counter addition commutes, so the epoch-merged streaming sketch
+    must equal the one-pass batch sketch row-for-row — the merge law
+    that makes CMS shippable across shards and triggers."""
+    from angelone_clickhouse_spark.functions.scalar import token_freq_cms
+    from angelone_clickhouse_spark.streaming.sketch import stream_token_cms
+
+    batch = {
+        r.token: (r.exact_c, r.cms_est, r.overestimate)
+        for r in token_freq_cms(spark, sf_dir).collect()
+    }
+    stream = {
+        r.token: (r.exact_c, r.cms_est, r.overestimate)
+        for r in stream_token_cms(spark, sf_dir).collect()
+    }
+    assert stream == batch
