@@ -49,6 +49,7 @@ _PRIORITY = [
     "zorder_layout",            # NEW: Z-order multi-dim layout stats
     "token_freq_cms",           # NEW: from-scratch count-min sketch
     "stream_token_cms",         # NEW: streaming mergeable CMS twin
+    "ewma_price",               # NEW: truncated-exact EWMA smoothing
     # (b) code/oracle changed in r12
     "stream_semdedup_lsh",      # keyed survivor index (physical probe)
     "stream_dedup_docs",        # keyed signature index
@@ -86,13 +87,13 @@ _PRIORITY = [
     "value_dispersion",
     "vwap_daily",
     "weekly_retention",
-    # (d) the 4 oldest r9-stale names (alphabetical)
+    # (d) the 3 oldest r9-stale names (alphabetical)
     "audio_features",
     "customer_balance_quartiles",
     "customer_order_ranks",
-    "customers_with_urgent_orders",
     # exactly 50 entries above — the driver gate stops there. r13
-    # owes the remaining 37 r9-stale names: customers_without_orders,
+    # owes the remaining 38 r9-stale names:
+    # customers_with_urgent_orders, customers_without_orders,
     # dedup_incremental,
     # dedup_minhash_lsh,
     # dedup_ngram_jaccard,

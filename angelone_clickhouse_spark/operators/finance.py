@@ -285,8 +285,60 @@ def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_W = 8  # lookback ticks; alpha = 1/2 (weights 2^0 .. 2^(W-1))
+
+
+def ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average price per token — the
+    smoothing signal every tick pipeline derives (RiskMetrics-style
+    EWMA), in its truncated-window form so it stays exact: the last
+    EWMA_W cent-grid prices weighted 2^0 (oldest) .. 2^(m-1) (newest)
+    over a ROWS frame, one truncating long division by (2^m − 1) at
+    the end. The infinite-memory recurrence is sequential by nature;
+    truncating at W (weight tail < 2^-W of the mass) turns it into a
+    frame-local expression with NO float accumulation and NO
+    row-to-row state — each row's value is an independent exact
+    function of its frame, which is what makes it both shuffle-
+    parallel and bit-identical in DuckDB.
+
+    Determinism: collect_list over a ROWS frame yields frame order
+    (the (ts, sequence_number) total order), weights are exact powers
+    of two, division truncates identically (div / //).
+
+    Scale notes: one token-keyed shuffle for the window, whole-stage
+    codegen end to end; the frame list is bounded at EWMA_W elements
+    so memory per row is constant."""
+    t = ticks(spark, sf_dir)
+    cents = _cents()
+    w = (
+        Window.partitionBy("token")
+        .orderBy("ts", "sequence_number")
+        .rowsBetween(-(EWMA_W - 1), 0)
+    )
+    base = t.select("token", "ts", "sequence_number", cents.alias("c"))
+    return base.select(
+        "token",
+        "sequence_number",
+        F.collect_list("c").over(w).alias("frame"),
+    ).select(
+        "token",
+        "sequence_number",
+        F.expr("cast(size(frame) as int)").alias("n_window"),
+        (
+            F.expr(
+                "aggregate(sequence(1, size(frame)), cast(0 as bigint),"
+                " (acc, j) -> acc + frame[j - 1]"
+                " * shiftleft(cast(1 as bigint), j - 1))"
+                " div (shiftleft(cast(1 as bigint), size(frame)) - 1)"
+            )
+            / F.lit(100.0)
+        ).alias("ewma"),
+    )
+
+
 QUERIES = {
     "vwap_daily": vwap_daily,
+    "ewma_price": ewma_price,
     "twap_hourly": twap_hourly,
     "price_histogram": price_histogram,
     "price_outliers": price_outliers,
@@ -295,6 +347,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ewma_price": TICKS_ORACLE_CTE
+    + f"""
+, px AS (
+  SELECT token, ts, sequence_number,
+         CAST(round(last_traded_price * 100) AS BIGINT) AS c
+  FROM ticks
+),
+frames AS (
+  SELECT token, sequence_number,
+         list(c) OVER w AS frame
+  FROM px
+  WINDOW w AS (PARTITION BY token ORDER BY ts, sequence_number
+               ROWS BETWEEN {EWMA_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT token, sequence_number,
+       CAST(len(frame) AS INTEGER) AS n_window,
+       CAST(CAST(list_sum(list_transform(generate_series(1, len(frame)),
+              j -> frame[j] * (CAST(1 AS BIGINT) << (j - 1)))) AS BIGINT)
+            // ((CAST(1 AS BIGINT) << len(frame)) - 1) AS DOUBLE) / 100
+         AS ewma
+FROM frames
+""",
     "rolling_volatility": TICKS_ORACLE_CTE
     + f"""
 , px AS (

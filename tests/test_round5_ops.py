@@ -217,3 +217,52 @@ def test_source_overlap_matrix_is_upper_triangle(spark, sf_dir):
         assert r.source_a < r.source_b
         assert 0.0 <= r.jaccard <= 1.0
         assert r.n_common >= 1
+
+
+def test_ewma_price_matches_python_reference(spark, sf_dir):
+    """Replay the truncated-EWMA arithmetic in plain Python over the
+    same (ts, sequence_number)-ordered cent prices per token and
+    compare every row exactly; the smoothing invariant (EWMA lies
+    within the frame's [min, max]) rides along."""
+    from angelone_clickhouse_spark.operators.finance import (
+        EWMA_W,
+        ewma_price,
+    )
+    from angelone_clickhouse_spark.sources.tables import ticks
+
+    px = (
+        ticks(spark, sf_dir)
+        .selectExpr(
+            "token",
+            "ts",
+            "sequence_number",
+            "cast(round(last_traded_price * 100) as bigint) as c",
+        )
+        .collect()
+    )
+    by_token = {}
+    for r in sorted(px, key=lambda r: (r.token, r.ts, r.sequence_number)):
+        by_token.setdefault(r.token, []).append((r.sequence_number, r.c))
+    expected = {}
+    for tok, seq in by_token.items():
+        for i, (sn, _) in enumerate(seq):
+            frame = [c for _, c in seq[max(0, i - EWMA_W + 1) : i + 1]]
+            num = sum(c * (1 << j) for j, c in enumerate(frame))
+            den = (1 << len(frame)) - 1
+            expected[(tok, sn)] = (len(frame), (num // den) / 100.0)
+    got = {
+        (r.token, r.sequence_number): (r.n_window, r.ewma)
+        for r in ewma_price(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for (tok, sn), (m, e) in got.items():
+        frame = [
+            c
+            for _, c in by_token[tok][
+                max(0, [s for s, _ in by_token[tok]].index(sn) - EWMA_W + 1) : [
+                    s for s, _ in by_token[tok]
+                ].index(sn)
+                + 1
+            ]
+        ]
+        assert min(frame) / 100.0 - 0.01 <= e <= max(frame) / 100.0
