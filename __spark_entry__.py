@@ -32,84 +32,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # their value-parity guarantee via tests/test_full_parity.py at
 # sf0.001 and tools/check_parity.py runs at larger SFs.
 _PRIORITY = [
-    # r12 window = (a) new this round, (b) ops whose code or oracle
-    # text changed this round (must re-earn a row), (c) the ENTIRE
-    # owed r7-stale refresh (after this round no driver row predates
-    # r9), (d) the 14 oldest r9-stale names alphabetically. 27 r9
-    # names remain for r13 (listed at the bottom).
-    # (a) new in r12
-    "ann_topk_deleted",         # NEW: tombstone-delete lifecycle probe
-    "ann_topk_filtered",        # NEW: filtered vector search
-    "ann_index_stats",          # NEW: bucket-occupancy observability
-    "ann_topk_pq",              # NEW: product-quantized ADC search
-    "dsir_weights",             # NEW: DSIR importance weights
-    "knn_pagerank",             # NEW: PageRank over the kNN graph
-    "knn_triangles",            # NEW: kNN-graph clustering coefficient
-    "decontaminate_bloom",      # NEW: bloom-filter decontamination rung
-    "zorder_layout",            # NEW: Z-order multi-dim layout stats
-    "token_freq_cms",           # NEW: from-scratch count-min sketch
-    "stream_token_cms",         # NEW: streaming mergeable CMS twin
-    "ewma_price",               # NEW: truncated-exact EWMA smoothing
-    # (b) code/oracle changed in r12
-    "stream_semdedup_lsh",      # keyed survivor index (physical probe)
-    "stream_dedup_docs",        # keyed signature index
-    "stream_semdedup",          # broadcast pin; hoisted-pairs oracle
-    "knn_graph_ann_bucketed",   # stable index paths (_index_path)
-    "knn_graph_ann_incremental",  # stable index paths
-    "ann_topk_bucketed",        # stable index paths
-    "knn_graph_ann",            # parametrized oracle builder (delete_mod)
-    "knn_graph_ann_amplified",  # parametrized oracle builder
-    "knn_ann_recall",           # parametrized oracle builder
-    # (c) the complete owed r7-stale refresh
-    "hourly_bars_rollup",
-    "ingest_load_shed",
-    "json_extract_events",
-    "map_functions",
-    "minute_bars",
-    "multimodal_features",
-    "multimodal_meta",
-    "pii_redact",
-    "price_histogram",
-    "price_outliers",
-    "price_percentiles",
-    "quality_quantile_gate",
-    "resample_ffill",
-    "salted_user_stats",
-    "sample_stratified",
-    "scalar_functions",
-    "semdedup",
-    "sequence_pack",
-    "skewed_hot_user_stats",
-    "sql_grouping_sets",
-    "text_langid",
-    "tick_interval_join",
-    "twap_hourly",
-    "value_dispersion",
-    "vwap_daily",
-    "weekly_retention",
-    # (d) the 3 oldest r9-stale names (alphabetical)
-    "audio_features",
-    "customer_balance_quartiles",
-    "customer_order_ranks",
-    # exactly 50 entries above — the driver gate stops there. r13
-    # owes the remaining 38 r9-stale names:
-    # customers_with_urgent_orders, customers_without_orders,
-    # dedup_incremental,
-    # dedup_minhash_lsh,
-    # dedup_ngram_jaccard,
-    # doc_length_histogram,
-    # enrich_tokens_join, image_resize,
-    # knn_label_purity, late_shipment_priorities,
-    # mixture_sample, multimodal_gate,
-    # nation_profit, novelty_ngram_rate, order_priority_cube,
-    # orders_above_nation_avg, pack_efficiency,
-    # parts_supplier_counts, pricing_summary, promo_revenue_share,
-    # q2_daily_stats, q3_recency_check, q4_latest_prices,
-    # q6_volume_profile, q7_sample, returned_item_revenue,
-    # revenue_by_nation, revenue_rollup, sessionize_events,
-    # shard_plan, shipping_priority, source_mixture_weights,
-    # tfidf_top_terms, tokens_by_exchange, top_customers,
-    # unknown_exchange_tokens, video_frames, volume_shipping.
+    # r13 window = (a) ops whose code or oracle text changed this
+    # round (must re-earn a driver row): zorder_layout (oracle CAST
+    # fix — the r12 red), stream_token_cms (awaitTermination/cleanup
+    # fix), the three keyed-index replay gates (epoch-commit fold),
+    # ann_topk_deleted (session-cached shared index), and the two
+    # oracle-cast-discipline fixes the type-hardened check_parity
+    # sweep surfaced; (b) the ENTIRE
+    # owed r9-stale refresh — after this round no driver row predates
+    # r10; (c) the 3 oldest r10-stale names alphabetically. 40 r10
+    # names remain for r14 (listed at the bottom).
+    # (a) code/oracle changed in r13
+    "zorder_layout",            # oracle HUGEINT->BIGINT cast (r12 red)
+    "stream_token_cms",         # awaitTermination asserted + tmp cleanup
+    "stream_dedup_docs",        # keyed-index epoch-commit fold
+    "stream_semdedup_lsh",      # keyed-index epoch-commit fold
+    "stream_novelty_docs",      # keyed-index epoch-commit fold
+    "stream_semdedup",          # shares embdedup.py (tmp-dir fix)
+    "ann_topk_deleted",         # shared-index reuse (build/probe split)
+    "orders_monthly_growth",    # oracle cast discipline (HUGEINT->BIGINT)
+    "text_token_stats",         # oracle cast discipline (BIGINT->INTEGER)
+    # (b) the complete owed r9-stale refresh
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_length_histogram",
+    "enrich_tokens_join",
+    "image_resize",
+    "knn_label_purity",
+    "late_shipment_priorities",
+    "mixture_sample",
+    "multimodal_gate",
+    "nation_profit",
+    "novelty_ngram_rate",
+    "order_priority_cube",
+    "orders_above_nation_avg",
+    "pack_efficiency",
+    "parts_supplier_counts",
+    "pricing_summary",
+    "promo_revenue_share",
+    "q2_daily_stats",
+    "q3_recency_check",
+    "q4_latest_prices",
+    "q6_volume_profile",
+    "q7_sample",
+    "returned_item_revenue",
+    "revenue_by_nation",
+    "revenue_rollup",
+    "sessionize_events",
+    "shard_plan",
+    "shipping_priority",
+    "source_mixture_weights",
+    "tfidf_top_terms",
+    "tokens_by_exchange",
+    "top_customers",
+    "unknown_exchange_tokens",
+    "video_frames",
+    "volume_shipping",
+    # (c) the 3 oldest r10-stale names (alphabetical)
+    "ann_ivf_topk",
+    "ann_lsh_topk_amplified",
+    "ann_topk_quantized",
+    # exactly 50 entries above — the driver gate stops there. r14
+    # owes the remaining 40 r10-stale names:
+    # chunk_documents, customer_order_distribution,
+    # decode_ticks, decode_ticks_enriched, decontaminate_fingerprint,
+    # decontaminate_hashed, decontaminate_ngrams, dedup_clusters,
+    # dedup_clusters_minhash, dedup_embedding_fast, dedup_survivors,
+    # disjunctive_revenue, distinct_tokens_approx, distinct_users_hll,
+    # distinct_users_theta, doc_bigram_logprob, doc_unigram_logprob,
+    # dominant_part_suppliers, and the rest of the r10 cohort in
+    # CORRECTNESS_r10.json (run tools/rotation_audit.py for the
+    # exact latest-green-per-name table).
 ]
 
 

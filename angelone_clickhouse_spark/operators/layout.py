@@ -124,9 +124,12 @@ n AS (
 ),
 z AS (
   SELECT x, y,
-         (SELECT sum(((xn >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))
+         -- DuckDB types a correlated sum() as HUGEINT (int128); CAST to
+         -- BIGINT so file_id below matches Spark's LongType exactly
+         -- (the driver's value hash is type-sensitive).
+         CAST((SELECT sum(((xn >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))
                    + ((yn >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))
-          FROM UNNEST(generate_series(0, {Z_BITS - 1})) AS t(b)) AS zval
+          FROM UNNEST(generate_series(0, {Z_BITS - 1})) AS t(b)) AS BIGINT) AS zval
   FROM n
 )
 SELECT zval // {Z_SPAN} AS file_id,

@@ -445,8 +445,12 @@ WITH monthly AS (
 )
 SELECT month, n_orders,
        CAST(cents AS DOUBLE) / 100 AS revenue,
-       CASE WHEN prev_c IS NOT NULL
-            THEN ((cents - prev_c) * 10000) // prev_c END AS growth_bp
+       -- cents = sum(BIGINT) is HUGEINT in DuckDB, so the quotient is
+       -- HUGEINT vs Spark's BIGINT; CAST so result types match the
+       -- Spark schema exactly (oracle cast discipline, r13)
+       CAST(CASE WHEN prev_c IS NOT NULL
+            THEN ((cents - prev_c) * 10000) // prev_c END AS BIGINT)
+         AS growth_bp
 FROM (
   SELECT *, lag(cents) OVER (ORDER BY month) AS prev_c FROM monthly
 )

@@ -884,9 +884,13 @@ GROUP BY event_type
 """,
     "text_token_stats": """
 SELECT doc_id,
-       len(string_split(text, ' '))                          AS n_tokens,
-       len(list_distinct(string_split(text, ' ')))           AS n_distinct_tokens,
-       length(text)                                          AS text_len,
+       -- DuckDB len()/length() are BIGINT; Spark size()/length() are
+       -- INT — CAST so result types match the Spark schema exactly
+       -- (oracle cast discipline, r13)
+       CAST(len(string_split(text, ' ')) AS INTEGER)         AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' ')))
+            AS INTEGER)                                      AS n_distinct_tokens,
+       CAST(length(text) AS INTEGER)                         AS text_len,
        round(
          (length(text) - len(string_split(text, ' ')) + 1)
          * 1.0 / len(string_split(text, ' ')), 6)            AS avg_token_len

@@ -48,11 +48,11 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angelone_clickhouse_spark.streaming.workdirs import owned_tmpdir
 from angelone_clickhouse_spark.operators.dedup import (
     N_MINHASH,
     _incremental_verdicts,
@@ -443,11 +443,11 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_dir = _REPLAY_CACHE.get(sf_dir)
     if docs_dir is None:
         docs_dir = os.path.join(
-            tempfile.mkdtemp(prefix="stream_dedup_docs_"), "in"
+            owned_tmpdir(prefix="stream_dedup_docs_"), "in"
         )
         write_epoch_replay(spark, sf_dir, docs_dir)
         _REPLAY_CACHE[sf_dir] = docs_dir
-    work = tempfile.mkdtemp(prefix="stream_dedup_docs_run_")
+    work = owned_tmpdir(prefix="stream_dedup_docs_run_")
     out_dir = os.path.join(work, "verdicts")
     index_dir = os.path.join(work, "index")
     dedup_docs_stream(

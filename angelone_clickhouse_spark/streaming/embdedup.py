@@ -52,7 +52,6 @@ bounded arriving epoch's probe-partition ids.
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Iterator
 
 import numpy as np
@@ -60,6 +59,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angelone_clickhouse_spark.streaming.workdirs import owned_tmpdir
 from angelone_clickhouse_spark.operators.dedup import COSINE_THRESHOLD
 from angelone_clickhouse_spark.streaming.docdedup import (
     N_STREAM_EPOCHS,
@@ -283,11 +283,11 @@ def stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_dir = _REPLAY_CACHE.get(sf_dir)
     if emb_dir is None:
         emb_dir = os.path.join(
-            tempfile.mkdtemp(prefix="stream_semdedup_"), "in"
+            owned_tmpdir(prefix="stream_semdedup_"), "in"
         )
         write_emb_epoch_replay(spark, sf_dir, emb_dir)
         _REPLAY_CACHE[sf_dir] = emb_dir
-    work = tempfile.mkdtemp(prefix="stream_semdedup_run_")
+    work = owned_tmpdir(prefix="stream_semdedup_run_")
     out_dir = os.path.join(work, "verdicts")
     index_dir = os.path.join(work, "index")
     semdedup_stream(
@@ -769,12 +769,12 @@ def stream_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_dir = _REPLAY_CACHE.get(sf_dir)
     if emb_dir is None:
         emb_dir = os.path.join(
-            tempfile.mkdtemp(prefix="stream_semdedup_"), "in"
+            owned_tmpdir(prefix="stream_semdedup_"), "in"
         )
         write_emb_epoch_replay(spark, sf_dir, emb_dir)
         _REPLAY_CACHE[sf_dir] = emb_dir
     planes = _adaptive_planes(load_table(spark, sf_dir, "embeddings").count())
-    work = tempfile.mkdtemp(prefix="stream_semdedup_lsh_run_")
+    work = owned_tmpdir(prefix="stream_semdedup_lsh_run_")
     out_dir = os.path.join(work, "verdicts")
     index_dir = os.path.join(work, "index")
     semdedup_lsh_stream(

@@ -47,11 +47,11 @@ bounded by probed-partition occupancy, not |distinct grams seen|.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angelone_clickhouse_spark.streaming.workdirs import owned_tmpdir
 from angelone_clickhouse_spark.operators.mixing import NOVELTY_N
 from angelone_clickhouse_spark.streaming.docdedup import (
     DOCS_SCHEMA,
@@ -234,11 +234,11 @@ def stream_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_dir = _REPLAY_CACHE.get(sf_dir)
     if docs_dir is None:
         docs_dir = os.path.join(
-            tempfile.mkdtemp(prefix="stream_novelty_"), "in"
+            owned_tmpdir(prefix="stream_novelty_"), "in"
         )
         write_epoch_replay(spark, sf_dir, docs_dir)
         _REPLAY_CACHE[sf_dir] = docs_dir
-    work = tempfile.mkdtemp(prefix="stream_novelty_run_")
+    work = owned_tmpdir(prefix="stream_novelty_run_")
     out_dir = os.path.join(work, "verdicts")
     index_dir = os.path.join(work, "index")
     novelty_docs_stream(

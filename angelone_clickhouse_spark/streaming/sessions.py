@@ -36,6 +36,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from angelone_clickhouse_spark.streaming.workdirs import owned_tmpdir
+
 SESSION_GAP_MIN = 30
 
 OUTPUT_SCHEMA = StructType(
@@ -125,13 +127,12 @@ def gap_sessions(spark, sf_dir: str) -> DataFrame:
     operator's own sort, so a single batch is exact regardless of file
     order (state carry-over is pytest-covered)."""
     import os
-    import tempfile
-
+    
     from pyspark.sql import functions as F
 
     from angelone_clickhouse_spark.sources.tables import load_table
 
-    work = tempfile.mkdtemp(prefix="gap_sessions_")
+    work = owned_tmpdir(prefix="gap_sessions_")
     ev = load_table(spark, sf_dir, "events")
     # the normalized replay copy is harness setup, not operator work —
     # reuse it across calls (bench runs each query 3x); the streaming

@@ -39,11 +39,11 @@ deployment queries the cell table directly.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angelone_clickhouse_spark.streaming.workdirs import owned_tmpdir
 from angelone_clickhouse_spark.functions.scalar import (
     cms_cells,
     cms_probe_topk,
@@ -99,11 +99,11 @@ def stream_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_dir = _REPLAY_CACHE.get(sf_dir)
     if docs_dir is None:
         docs_dir = os.path.join(
-            tempfile.mkdtemp(prefix="stream_cms_"), "in"
+            owned_tmpdir(prefix="stream_cms_"), "in"
         )
         write_epoch_replay(spark, sf_dir, docs_dir)
         _REPLAY_CACHE[sf_dir] = docs_dir
-    work = tempfile.mkdtemp(prefix="stream_cms_run_")
+    work = owned_tmpdir(prefix="stream_cms_run_")
     cells_dir = os.path.join(work, "cells")
     os.makedirs(cells_dir, exist_ok=True)
     stream = (
@@ -117,7 +117,16 @@ def stream_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    # awaitTermination(timeout) returns False when the query is STILL
+    # RUNNING — proceeding then would merge a partially-written cells
+    # store and silently understate every estimate (ADVICE r12). Stop
+    # the straggler and fail loudly instead.
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "stream_token_cms: availableNow replay did not finish in "
+            "600s; cells store is incomplete"
+        )
     toks = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("token")
     )

@@ -48,6 +48,72 @@ def _multiset(rows, colnames):
     return sorted(",".join(_norm(r[i]) for i in order) for r in rows)
 
 
+def _canon_duck_type(t: str) -> str:
+    """Canonical type tag for a DuckDB result column type string."""
+    t = str(t).upper()
+    if t.startswith("DECIMAL"):
+        return t.replace(" ", "")  # keep precision/scale — drivers hash them
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t.startswith("STRUCT") or t.startswith("MAP"):
+        return t.replace(" ", "")
+    if t.endswith("[]"):
+        return "list<" + _canon_duck_type(t[:-2]) + ">"
+    m = re.fullmatch(r"LIST\((.*)\)", t)
+    if m:
+        return "list<" + _canon_duck_type(m.group(1)) + ">"
+    return {
+        "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32",
+        "BIGINT": "i64", "HUGEINT": "i128",
+        "UTINYINT": "u8", "USMALLINT": "u16", "UINTEGER": "u32",
+        "UBIGINT": "u64",
+        "FLOAT": "f32", "REAL": "f32", "DOUBLE": "f64",
+        "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+        "BLOB": "bytes",
+    }.get(t, t)
+
+
+def _canon_spark_type(t: str) -> str:
+    """Canonical type tag for a Spark ``dataType.simpleString()``."""
+    t = t.lower()
+    if t.startswith("decimal"):
+        return t.upper().replace(" ", "")
+    if t.startswith("timestamp"):
+        return "ts"
+    m = re.fullmatch(r"array<(.*)>", t)
+    if m:
+        return "list<" + _canon_spark_type(m.group(1)) + ">"
+    if t.startswith("struct") or t.startswith("map"):
+        return t.upper().replace(" ", "")
+    return {
+        "tinyint": "i8", "smallint": "i16", "int": "i32",
+        "bigint": "i64", "float": "f32", "double": "f64",
+        "string": "str", "boolean": "bool", "date": "date",
+        "binary": "bytes",
+    }.get(t, t)
+
+
+def _type_mismatches(sdf_schema, dcols, dtypes) -> list[str]:
+    """Per-column canonical-type compare, joined on column name.
+
+    The driver's value hash is TYPE-sensitive: DuckDB returning a
+    HUGEINT (e.g. any correlated/plain ``sum()`` over BIGINT) or a
+    DECIMAL where Spark returns BIGINT hash-mismatches even when every
+    value is numerically equal — exactly what shipped zorder_layout red
+    in r12 while this checker's stringified compare stayed green
+    (ADVICE r12). Comparing canonical type tags here makes the local
+    pre-flight predict the driver verdict.
+    """
+    stypes = {f.name: _canon_spark_type(f.dataType.simpleString())
+              for f in sdf_schema.fields}
+    dtyped = {c: _canon_duck_type(t) for c, t in zip(dcols, dtypes)}
+    out = []
+    for c in sorted(set(stypes) & set(dtyped)):
+        if stypes[c] != dtyped[c]:
+            out.append(f"{c}: spark={stypes[c]} duckdb={dtyped[c]}")
+    return out
+
+
 def run_parity(
     spark, sf_dir: str, only: set[str] | None = None, quiet: bool = False
 ) -> list[str]:
@@ -101,6 +167,7 @@ def run_parity(
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sschema = sdf.schema
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -113,6 +180,7 @@ def run_parity(
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            dtypes = rel.types
             drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
@@ -123,6 +191,9 @@ def run_parity(
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        tmis = _type_mismatches(sschema, dcols, dtypes)
+        if tmis:
+            problems.append("column types differ: " + "; ".join(tmis))
         if not problems:
             sm, dm = _multiset(srows, scols), _multiset(drows, dcols)
             if sm != dm:
