@@ -56,6 +56,59 @@ def salted_group_sum(
     return partial.groupBy(key).agg(*merges)
 
 
+def udaf_user_stats(
+    ev: DataFrame, salted: bool, n_salts: int = 16
+) -> DataFrame:
+    """Per-user exact cent-sum through a GROUPED_AGG pandas UDF,
+    plain or salted — the pair behind bench.py's ``skew_udaf_secs``
+    crossover measurement (VERDICT r12 #7).
+
+    WHY THIS PAIR: for algebraic aggregates (sum/count/min/max) a
+    plain ``groupBy`` is already skew-immune in Spark — partial
+    (map-side) aggregation collapses the hot key to one row per map
+    task before the shuffle, so each reducer merges at most
+    n_map_tasks partials and salting can only add overhead. That is
+    exactly what ``skew_secs`` has measured every round (salted >
+    plain at every fixture scale), and it is the HONEST result, not a
+    failure of the fixture. The plan shape where salting genuinely
+    pays in PySpark is an aggregate with NO partial step: a
+    grouped-agg pandas UDAF ships every raw row of a group to the one
+    reducer that owns the group — a heavy hitter owning ~50% of the
+    table pins one task with half the data (plus the Arrow transfer
+    for it), which is the real 100 TB funnel. Salting the UDAF
+    spreads that payload over ``n_salts`` reducers and re-merges the
+    algebraic partials JVM-side.
+
+    The UDAF body is an exact integer sum (numpy int64 over the cent
+    grid), so plain, salted, and the built-in ``F.sum`` all agree
+    bit-for-bit — asserted in tests/test_skew_stress.py."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module's `from __future__ import
+    # annotations` stringifies type hints, which defeats pandas_udf's
+    # signature inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def sum_cents(v):
+        return int(v.to_numpy(dtype="int64").sum())
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    with_c = ev.select("user_id", cents.alias("cents"))
+    if not salted:
+        return with_c.groupBy("user_id").agg(
+            sum_cents("cents").alias("sum_value_cents")
+        )
+    salted_df = with_c.withColumn(
+        "_salt",
+        (F.abs(F.xxhash64(F.monotonically_increasing_id())) % n_salts),
+    )
+    partial = salted_df.groupBy("user_id", "_salt").agg(
+        sum_cents("cents").alias("sum_value_cents")
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("sum_value_cents").alias("sum_value_cents")
+    )
+
+
 def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible demo of the salted path: per-user event stats
     through the two-phase aggregate, oracle-checked against a plain

@@ -330,7 +330,7 @@ def make_docdedup_epoch_writer(
         from angelone_clickhouse_spark.operators.dedup import _band_keys
         from angelone_clickhouse_spark.streaming.keyed_index import (
             collect_pks,
-            commit_epoch_keyed,
+            commit_epoch_fused,
             pk_of_band,
             read_keyed,
             sweep_epoch_keyed,
@@ -358,10 +358,16 @@ def make_docdedup_epoch_writer(
         pks = collect_pks(bn, pk_of_band())
         stored = read_keyed(spark, index_dir, KEYED_SIG_SCHEMA, pks=pks)
         verdicts, kept_sig = dedup_epoch_keyed(batch, sig, stored, bn=bn)
+        # checkpoint: verdicts feeds BOTH fused-union branches (its
+        # own rows + the kept_sig filter), so without it the fused
+        # job would run the collision join twice
         verdicts = verdicts.localCheckpoint(eager=True)
-        _commit_epoch_flat(verdicts, out_dir, epoch_id)
-        commit_epoch_keyed(
-            _keyed_sig_rows(kept_sig, bn=bn), index_dir, epoch_id
+        commit_epoch_fused(
+            verdicts,
+            out_dir,
+            _keyed_sig_rows(kept_sig, bn=bn),
+            index_dir,
+            epoch_id,
         )
 
 

@@ -659,7 +659,7 @@ def make_embdedup_lsh_epoch_writer(
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
         from angelone_clickhouse_spark.streaming.keyed_index import (
             collect_pks,
-            commit_epoch_keyed,
+            commit_epoch_fused,
             pk_of,
             read_keyed,
             sweep_epoch_keyed,
@@ -703,9 +703,14 @@ def make_embdedup_lsh_epoch_writer(
         verdicts, kept_vec = semdedup_lsh_epoch_keyed(
             batch, stored, planes, n_tables, n_flips, new_vec=new_vec
         )
+        # checkpoint: verdicts feeds BOTH fused-union branches (its
+        # own rows + the kept_vec filter), so without it the fused
+        # job would run the collision join twice
         verdicts = verdicts.localCheckpoint(eager=True)
-        commit_epoch_flat(verdicts, out_dir, epoch_id)
-        commit_epoch_keyed(_keyed_lsh_rows(kept_vec), index_dir, epoch_id)
+        commit_epoch_fused(
+            verdicts, out_dir, _keyed_lsh_rows(kept_vec), index_dir,
+            epoch_id,
+        )
 
 
     return write_epoch

@@ -157,6 +157,84 @@ def commit_epoch_keyed(
     shutil.rmtree(index_dir + ".stage", ignore_errors=True)
 
 
+def commit_epoch_fused(
+    flat_df: DataFrame,
+    flat_dir: str,
+    keyed_df_with_pk: DataFrame,
+    keyed_dir: str,
+    epoch_id: int,
+) -> None:
+    """Commit an epoch's TWO sinks (flat verdicts + keyed survivor
+    append) with ONE staging job.
+
+    Every keyed gate writer used to run two Spark jobs per epoch —
+    ``commit_epoch_flat(verdicts)`` then ``commit_epoch_keyed(
+    survivor rows)`` — and at fixture scale that second job's fixed
+    cost (scheduling + staging-dir churn) is most of what the keyed
+    store added over the r11 flat layout (VERDICT r12 task #3: the
+    replay gates' weather-normalized regression is commit overhead,
+    not dataflow). Fusing stages both sinks in one
+    ``partitionBy(_dest, pk)`` write — flat rows under a sentinel
+    ``pk=-1`` (pmod is never negative, so it cannot collide with a
+    real bucket) — then renames each side into its dataset under the
+    usual ``e{epoch}-`` prefix. The union takes the SUPERSET schema
+    (``unionByName(allowMissingColumns)``); that is safe because
+    every consumer of both stores reads with an EXPLICIT schema, so
+    the null-padded foreign columns are never even scanned, and
+    all-null parquet columns cost bytes only in the footer.
+
+    Retry contract unchanged: both sweeps run before the renames, the
+    staged write is deterministic, and the renames are per-file under
+    the epoch prefix — identical to running the two commits
+    back-to-back, minus one job."""
+    from angelone_clickhouse_spark.streaming.epoch_commit import (
+        commit_epoch_partitioned,
+        epoch_prefix,
+        sweep_prefix,
+    )
+
+    _dest = "_dest"
+    staging = os.path.join(keyed_dir + ".stage", f"epoch-{epoch_id}-fused")
+    shutil.rmtree(staging, ignore_errors=True)
+    fused = (
+        flat_df.withColumn(_dest, F.lit("flat"))
+        .withColumn(PART_COL, F.lit(-1).cast("int"))
+        .unionByName(
+            keyed_df_with_pk.withColumn(_dest, F.lit("keyed")),
+            allowMissingColumns=True,
+        )
+    )
+    # single task: both sinks' epoch payloads are trigger-bounded
+    # (same contract as commit_epoch_flat's coalesce(1) default)
+    fused.coalesce(1).write.mode("overwrite").partitionBy(
+        _dest, PART_COL
+    ).parquet(staging)
+    prefix = epoch_prefix(epoch_id)
+    flat_staged = os.path.join(staging, f"{_dest}=flat", f"{PART_COL}=-1")
+    sweep_prefix(flat_dir, prefix)
+    os.makedirs(flat_dir, exist_ok=True)
+    if os.path.isdir(flat_staged):
+        for name in os.listdir(flat_staged):
+            if name.startswith("part-"):
+                os.rename(
+                    os.path.join(flat_staged, name),
+                    os.path.join(flat_dir, prefix + name),
+                )
+    keyed_staged = os.path.join(staging, f"{_dest}=keyed")
+    os.makedirs(keyed_dir, exist_ok=True)
+    if os.path.isdir(keyed_staged):
+        commit_epoch_partitioned(
+            keyed_staged, keyed_dir, epoch_id,
+            partition_prefix=f"{PART_COL}=",
+        )
+    else:
+        # no survivors this epoch: still sweep a crashed attempt's
+        # leftovers so the retry contract holds
+        sweep_epoch_keyed(keyed_dir, epoch_id)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(keyed_dir + ".stage", ignore_errors=True)
+
+
 def sweep_epoch_keyed(index_dir: str, epoch_id: int) -> None:
     """Retry path: drop a crashed attempt's files from every
     partition before the epoch reads the index."""

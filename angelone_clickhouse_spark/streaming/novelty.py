@@ -59,7 +59,6 @@ from angelone_clickhouse_spark.streaming.docdedup import (
     write_epoch_replay,
 )
 from angelone_clickhouse_spark.streaming.epoch_commit import (
-    commit_epoch_flat,
     sweep_prefix,
 )
 
@@ -159,7 +158,7 @@ def make_novelty_epoch_writer(
         from angelone_clickhouse_spark.streaming.keyed_index import (
             PART_COL,
             collect_pks,
-            commit_epoch_keyed,
+            commit_epoch_fused,
             sweep_epoch_keyed,
         )
 
@@ -183,10 +182,13 @@ def make_novelty_epoch_writer(
         pks = collect_pks(dg.select("gram"), _gram_pk())
         index = read_gram_index(spark, index_dir, pks=pks)
         verdicts, new_grams = novelty_epoch(batch, index, dg=dg)
-        verdicts = verdicts.localCheckpoint(eager=True)
-        new_grams = new_grams.localCheckpoint(eager=True)
-        commit_epoch_flat(verdicts, out_dir, epoch_id)
-        commit_epoch_keyed(
+        # no checkpoints needed any more: each frame feeds exactly
+        # one branch of the single fused staging job (the two eager
+        # checkpoints existed to keep the two commit JOBS from
+        # recomputing the epoch — the fused commit is one job)
+        commit_epoch_fused(
+            verdicts,
+            out_dir,
             new_grams.withColumn(PART_COL, _gram_pk()),
             index_dir,
             epoch_id,

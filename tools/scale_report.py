@@ -177,10 +177,24 @@ def main() -> int:
             "| measure | sf0.1 s | sf1.0 s |",
             "|---|---|---|",
         ]
-        for key in ("build_secs", "probe_secs", "topk_probe_secs"):
+        for key in (
+            "build_secs",
+            "tomb_build_secs",
+            "probe_secs",
+            "topk_probe_secs",
+            "deleted_probe_secs",
+        ):
             va = f"{ia[key]:.2f}" if key in ia else "—"
             vb = f"{ib[key]:.2f}" if key in ib else "—"
             lines.append(f"| `{key}` | {va} | {vb} |")
+        lines.append(
+            "\n`deleted_probe_secs` is `ann_topk_deleted`'s probe half"
+            " riding the shared index with the tombstone set already"
+            " written (`tomb_build_secs`) — the split that shows the"
+            " registry op's single-run sf1.0 ratio was build-inclusive"
+            " (index + tombstone overwrite per invocation), not a"
+            " super-linear probe (VERDICT r12 #6)."
+        )
     lines.append("")
     out = os.path.join(ROOT, "SCALE.md")
     with open(out, "w") as f:
