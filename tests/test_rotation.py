@@ -1,0 +1,41 @@
+"""Guards on the driver-contract rotation machinery
+(__spark_entry__._PRIORITY + tools/rotation_audit.py): the correctness
+gate only checks the first 50 registry entries, so a malformed window
+(wrong length, duplicate, or dangling name) silently shrinks the
+driver's coverage — cheap structural asserts catch that at CI time."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_priority_window_is_exactly_the_gate_width():
+    assert len(entrymod._PRIORITY) == 50
+
+
+def test_priority_window_has_no_duplicates():
+    assert len(set(entrymod._PRIORITY)) == len(entrymod._PRIORITY)
+
+
+def test_priority_names_all_registered_and_lead_the_registry():
+    qs = list(entrymod.queries())
+    missing = [n for n in entrymod._PRIORITY if n not in qs]
+    assert not missing, f"window names not in registry: {missing}"
+    assert qs[:50] == entrymod._PRIORITY
+
+
+def test_every_window_entry_has_an_oracle():
+    """A window slot without an oracle burns a driver row on the weak
+    rows-only check — every current entry is oracle-paired and the
+    window must stay that way."""
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in entrymod._PRIORITY if n not in oracles]
+    assert not missing, f"window entries without oracles: {missing}"
+
+
+def test_rotation_audit_runs_and_covers_registry():
+    from tools.rotation_audit import audit
+
+    rows, green, newest, qs = audit()
+    assert len(rows) == len(qs)
+    assert newest >= 12
