@@ -59,6 +59,7 @@ from angelone_clickhouse_spark.operators.dedup import (
     minhash_signatures,
 )
 from angelone_clickhouse_spark.streaming.epoch_commit import (
+    await_or_raise,
     commit_epoch_flat,
     sweep_prefix,
 )
@@ -401,7 +402,7 @@ def dedup_docs_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s, "dedup_docs_stream")
 
 
 def write_epoch_replay(

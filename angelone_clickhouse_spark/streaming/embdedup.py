@@ -66,6 +66,7 @@ from angelone_clickhouse_spark.streaming.docdedup import (
     _read_index,
 )
 from angelone_clickhouse_spark.streaming.epoch_commit import (
+    await_or_raise,
     commit_epoch_flat,
     sweep_prefix,
 )
@@ -236,7 +237,7 @@ def semdedup_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s, "semdedup stream")
 
 
 def write_emb_epoch_replay(
@@ -755,7 +756,7 @@ def semdedup_lsh_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s, "semdedup stream")
 
 
 def stream_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -133,3 +133,18 @@ def commit_epoch_partitioned(
                     os.path.join(src_dir, name),
                     os.path.join(dst_dir, prefix + name),
                 )
+
+
+def await_or_raise(q, timeout_s: int, what: str) -> None:
+    """``awaitTermination(timeout)`` returns False when the query is
+    STILL RUNNING — every replay runner must treat that as a hard
+    error, because its caller is about to read the committed store
+    and a straggling query would make the read a partial state
+    (ADVICE r12 on stream_token_cms; applied to every runner in r13).
+    Stops the query before raising so the store stops moving."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"{what}: availableNow replay did not finish in "
+            f"{timeout_s}s; committed state is incomplete"
+        )

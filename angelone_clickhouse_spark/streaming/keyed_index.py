@@ -163,6 +163,7 @@ def commit_epoch_fused(
     keyed_df_with_pk: DataFrame,
     keyed_dir: str,
     epoch_id: int,
+    bulk: bool = False,
 ) -> None:
     """Commit an epoch's TWO sinks (flat verdicts + keyed survivor
     append) with ONE staging job.
@@ -204,9 +205,17 @@ def commit_epoch_fused(
             allowMissingColumns=True,
         )
     )
-    # single task: both sinks' epoch payloads are trigger-bounded
-    # (same contract as commit_epoch_flat's coalesce(1) default)
-    fused.coalesce(1).write.mode("overwrite").partitionBy(
+    # default: single task — both sinks' epoch payloads are
+    # trigger-bounded (same contract as commit_epoch_flat's
+    # coalesce(1) default). bulk=True mirrors commit_epoch_keyed's
+    # arm for a sink whose epochs carry bulk data: stage tasks own
+    # whole (dest, pk) partitions in parallel.
+    staged = (
+        fused.repartition(F.col(_dest), F.col(PART_COL))
+        if bulk
+        else fused.coalesce(1)
+    )
+    staged.write.mode("overwrite").partitionBy(
         _dest, PART_COL
     ).parquet(staging)
     prefix = epoch_prefix(epoch_id)

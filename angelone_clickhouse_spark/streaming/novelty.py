@@ -59,6 +59,7 @@ from angelone_clickhouse_spark.streaming.docdedup import (
     write_epoch_replay,
 )
 from angelone_clickhouse_spark.streaming.epoch_commit import (
+    await_or_raise,
     sweep_prefix,
 )
 
@@ -221,7 +222,7 @@ def novelty_docs_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s, "novelty_docs_stream")
 
 
 # replay layout shared with stream_dedup_docs (same splitter); built

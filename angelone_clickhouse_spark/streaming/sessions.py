@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from angelone_clickhouse_spark.streaming.epoch_commit import await_or_raise
 from angelone_clickhouse_spark.streaming.workdirs import owned_tmpdir
 
 SESSION_GAP_MIN = 30
@@ -153,7 +154,7 @@ def gap_sessions(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300, "gap_sessions stream")
     # NTZ for the cross-engine compare: the op emits naive wall-clock
     # micros; under the UTC session the LTZ->NTZ cast is identity
     return spark.table(name).select(

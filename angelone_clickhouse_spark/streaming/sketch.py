@@ -53,6 +53,7 @@ from angelone_clickhouse_spark.streaming.docdedup import (
     write_epoch_replay,
 )
 from angelone_clickhouse_spark.streaming.epoch_commit import (
+    await_or_raise,
     commit_epoch_flat,
     sweep_prefix,
 )
@@ -117,16 +118,10 @@ def stream_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    # awaitTermination(timeout) returns False when the query is STILL
-    # RUNNING — proceeding then would merge a partially-written cells
-    # store and silently understate every estimate (ADVICE r12). Stop
-    # the straggler and fail loudly instead.
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "stream_token_cms: availableNow replay did not finish in "
-            "600s; cells store is incomplete"
-        )
+    # proceeding while the query still runs would merge a partially
+    # written cells store and silently understate every estimate
+    # (ADVICE r12; the shared guard is applied to every runner)
+    await_or_raise(q, 600, "stream_token_cms")
     toks = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("token")
     )
