@@ -122,41 +122,6 @@ def collect_pks(df_with_keys: DataFrame, pk_col: F.Column) -> list[int]:
     ]
 
 
-def commit_epoch_keyed(
-    df_with_pk: DataFrame, index_dir: str, epoch_id: int,
-    bulk: bool = False,
-) -> None:
-    """Retry-idempotent epoch append into the keyed store: stage the
-    epoch hive-partitioned on PART_COL (one file per touched
-    partition), then sweep + rename under the epoch prefix.
-
-    Default staging is a SINGLE task writing all partitions — the
-    epoch payload is trigger-bounded (the same contract as
-    commit_epoch_flat's coalesce(1) default), so a shuffle per commit
-    is pure overhead at any trigger a single task can sort. Pass
-    ``bulk=True`` for a sink whose epochs carry bulk data: staging
-    becomes a repartition on PART_COL so each write task owns whole
-    partitions in parallel."""
-    staging = os.path.join(index_dir + ".stage", f"epoch-{epoch_id}")
-    shutil.rmtree(staging, ignore_errors=True)
-    staged = (
-        df_with_pk.repartition(F.col(PART_COL))
-        if bulk
-        else df_with_pk.coalesce(1)
-    )
-    (
-        staged.write.mode("overwrite")
-        .partitionBy(PART_COL)
-        .parquet(staging)
-    )
-    os.makedirs(index_dir, exist_ok=True)
-    commit_epoch_partitioned(
-        staging, index_dir, epoch_id, partition_prefix=f"{PART_COL}="
-    )
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(index_dir + ".stage", ignore_errors=True)
-
-
 def commit_epoch_fused(
     flat_df: DataFrame,
     flat_dir: str,
@@ -207,9 +172,9 @@ def commit_epoch_fused(
     )
     # default: single task — both sinks' epoch payloads are
     # trigger-bounded (same contract as commit_epoch_flat's
-    # coalesce(1) default). bulk=True mirrors commit_epoch_keyed's
-    # arm for a sink whose epochs carry bulk data: stage tasks own
-    # whole (dest, pk) partitions in parallel.
+    # coalesce(1) default). bulk=True is for a sink whose epochs
+    # carry bulk data: stage tasks own whole (dest, pk) partitions in
+    # parallel instead of funneling through one task.
     staged = (
         fused.repartition(F.col(_dest), F.col(PART_COL))
         if bulk
