@@ -40,8 +40,8 @@ _PRIORITY = [
     # oracle-cast-discipline fixes the type-hardened check_parity
     # sweep surfaced; (b) the ENTIRE
     # owed r9-stale refresh — after this round no driver row predates
-    # r10; (c) the 2 oldest r10-stale names alphabetically. 41 r10
-    # names remain for r14 (listed at the bottom).
+    # r10; (c) the single oldest r10-stale name. 42 r10 names remain
+    # for r14 (listed at the bottom).
     # (a) code/oracle changed in r13
     "zorder_layout",            # oracle HUGEINT->BIGINT cast (r12 red)
     "stream_token_cms",         # awaitTermination asserted + tmp cleanup
@@ -53,6 +53,7 @@ _PRIORITY = [
     "orders_monthly_growth",    # oracle cast discipline (HUGEINT->BIGINT)
     "text_token_stats",         # oracle cast discipline (BIGINT->INTEGER)
     "gap_sessions",             # stream runner awaitTermination guard
+    "zorder_prune_stats",       # NEW r13: stats-skipping effectiveness
     # (b) the complete owed r9-stale refresh
     "customers_with_urgent_orders",
     "customers_without_orders",
@@ -92,12 +93,12 @@ _PRIORITY = [
     "unknown_exchange_tokens",
     "video_frames",
     "volume_shipping",
-    # (c) the 2 oldest r10-stale names (alphabetical)
+    # (c) the oldest r10-stale name (alphabetical)
     "ann_ivf_topk",
-    "ann_lsh_topk_amplified",
     # exactly 50 entries above — the driver gate stops there. r14
-    # owes the remaining 41 r10-stale names:
-    # ann_topk_quantized, chunk_documents, customer_order_distribution,
+    # owes the remaining 42 r10-stale names:
+    # ann_lsh_topk_amplified, ann_topk_quantized, chunk_documents,
+    # customer_order_distribution,
     # decode_ticks, decode_ticks_enriched, decontaminate_fingerprint,
     # decontaminate_hashed, decontaminate_ngrams, dedup_clusters,
     # dedup_clusters_minhash, dedup_embedding_fast, dedup_survivors,

@@ -101,7 +101,184 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"zorder_layout": zorder_layout}
+# --- pruning effectiveness (r13) -------------------------------------
+#
+# zorder_layout produces the per-file stats a pruning reader would
+# consult; THIS op closes the loop by measuring what those stats buy:
+# for a grid of probe rectangles over (user_id, value), how many
+# equal-size files must be scanned under a Z-ORDER layout vs a
+# SINGLE-COLUMN (x-major) sort of the same rows — the number a
+# lakehouse `OPTIMIZE ZORDER BY` exists to shrink. Both layouts are
+# the rank-based equal-size assignment a real writer produces
+# (repartitionByRange + maxRecordsPerFile): file = (row_number over
+# the layout's sort order - 1) div rows_per_file, rows_per_file =
+# ceil(n / PRUNE_FILES). A file is SCANNED by a probe iff its
+# [min,max] range intersects the probe rectangle in BOTH dimensions —
+# exactly the min/max-stats skipping rule of parquet row groups and
+# Iceberg/Delta file stats.
+#
+# Everything is integer arithmetic (the Morton lattice, the div-based
+# file assignment, the pct-of-range probe bounds), so DuckDB computes
+# the identical table. Ties in each sort order are broken by the
+# unique event_id, making file assignment — not just the stats —
+# bit-deterministic on both engines.
+#
+# Scale notes (100 TB): the layout halves are one global-order
+# row_number each — the registry twin accepts the single-partition
+# window at fixture scale; a real rewrite IS repartitionByRange
+# (distributed range sort), and the probe-vs-file-stats join touches
+# PRUNE_FILES × |probes| rows, driver-trivial at any corpus size
+# because file STATS, not data, are joined (that is the whole point
+# of stats-based pruning: the planner reads O(files) metadata).
+
+PRUNE_FILES = 50
+# (probe_id, x_lo_pct, x_hi_pct, y_lo_pct, y_hi_pct): a selective
+# band in x only, in y only, a tight 2-D box, a wider 2-D box
+PROBES = [
+    (1, 45, 55, 0, 100),
+    (2, 0, 100, 45, 55),
+    (3, 45, 55, 45, 55),
+    (4, 35, 65, 35, 65),
+]
+
+
+def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files scanned per probe rectangle under Z-order vs x-major
+    layout (min/max-stats skipping), plus the probe's exact matching
+    row count: one row per probe —
+    (probe_id, n_files, files_scanned_z, files_scanned_xsort,
+    rows_matched)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.col("user_id").alias("x"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("y"),
+        F.col("event_id").alias("rid"),
+    )
+    bounds = keyed.agg(
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        F.min("y").alias("y0"),
+        F.max("y").alias("y1"),
+    )
+    cnt = keyed.agg(
+        F.expr(
+            f"cast((count(*) + {PRUNE_FILES - 1}) div {PRUNE_FILES}"
+            " as bigint)"
+        ).alias("rpf")
+    )
+    top = (1 << Z_BITS) - 1
+    norm = (
+        f"((%s - %s0) * {top}) div greatest(cast(1 as bigint), %s1 - %s0)"
+    )
+    zval = F.expr(
+        f"aggregate(sequence(0, {Z_BITS - 1}), cast(0 as bigint), "
+        f"(acc, b) -> acc"
+        f" + (shiftright(xn, b) % 2) * shiftleft(cast(1 as bigint), 2 * b)"
+        f" + (shiftright(yn, b) % 2) * shiftleft(cast(1 as bigint),"
+        f" 2 * b + 1))"
+    )
+    zrows = (
+        keyed.crossJoin(F.broadcast(bounds))
+        .select(
+            "x",
+            "y",
+            "rid",
+            F.expr(norm % ("x", "x", "x", "x")).alias("xn"),
+            F.expr(norm % ("y", "y", "y", "y")).alias("yn"),
+        )
+        .select("x", "y", "rid", zval.alias("zval"))
+        .crossJoin(F.broadcast(cnt))
+    )
+
+    def file_stats(df: DataFrame, *order: str) -> DataFrame:
+        rn = F.row_number().over(Window.orderBy(*order))
+        return (
+            df.withColumn("fid", F.expr("-1") + rn)
+            .select("x", "y", F.expr("fid div rpf").alias("fid"))
+            .groupBy("fid")
+            .agg(
+                F.min("x").alias("minx"),
+                F.max("x").alias("maxx"),
+                F.min("y").alias("miny"),
+                F.max("y").alias("maxy"),
+            )
+        )
+
+    files_z = file_stats(zrows, "zval", "rid")
+    files_x = file_stats(zrows, "x", "y", "rid")
+    probes = spark.createDataFrame(
+        PROBES, "probe_id int, xlop int, xhip int, ylop int, yhip int"
+    )
+    pct = "%s0 + ((%s1 - %s0) * %s) div 100"
+    rects = probes.crossJoin(F.broadcast(bounds)).select(
+        "probe_id",
+        F.expr(pct % ("x", "x", "x", "xlop")).alias("pxlo"),
+        F.expr(pct % ("x", "x", "x", "xhip")).alias("pxhi"),
+        F.expr(pct % ("y", "y", "y", "ylop")).alias("pylo"),
+        F.expr(pct % ("y", "y", "y", "yhip")).alias("pyhi"),
+    )
+    hit = (
+        (F.col("maxx") >= F.col("pxlo"))
+        & (F.col("minx") <= F.col("pxhi"))
+        & (F.col("maxy") >= F.col("pylo"))
+        & (F.col("miny") <= F.col("pyhi"))
+    )
+
+    def scanned(files: DataFrame, out: str) -> DataFrame:
+        # file STATS x probe grid: PRUNE_FILES x |PROBES| rows — the
+        # planner-side metadata join, broadcast by construction
+        return (
+            files.join(F.broadcast(rects), hit)
+            .groupBy("probe_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    matched = (
+        keyed.crossJoin(F.broadcast(rects))
+        .filter(
+            (F.col("x") >= F.col("pxlo"))
+            & (F.col("x") <= F.col("pxhi"))
+            & (F.col("y") >= F.col("pylo"))
+            & (F.col("y") <= F.col("pyhi"))
+        )
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("rows_matched"))
+    )
+    n_files = files_z.agg(F.count(F.lit(1)).alias("n_files"))
+    return (
+        rects.select("probe_id")
+        .crossJoin(F.broadcast(n_files))
+        .join(
+            F.broadcast(scanned(files_z, "files_scanned_z")),
+            "probe_id",
+            "left",
+        )
+        .join(
+            F.broadcast(scanned(files_x, "files_scanned_xsort")),
+            "probe_id",
+            "left",
+        )
+        .join(F.broadcast(matched), "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_files",
+            F.coalesce("files_scanned_z", F.lit(0)).alias(
+                "files_scanned_z"
+            ),
+            F.coalesce("files_scanned_xsort", F.lit(0)).alias(
+                "files_scanned_xsort"
+            ),
+            F.coalesce("rows_matched", F.lit(0)).alias("rows_matched"),
+        )
+    )
+
+
+QUERIES = {
+    "zorder_layout": zorder_layout,
+    "zorder_prune_stats": zorder_prune_stats,
+}
 
 ORACLES = {
     "zorder_layout": f"""
@@ -138,5 +315,100 @@ SELECT zval // {Z_SPAN} AS file_id,
        min(y) AS min_value_c, max(y) AS max_value_c
 FROM z
 GROUP BY 1
+""",
+    "zorder_prune_stats": f"""
+WITH keyed AS (
+  SELECT user_id AS x,
+         CAST(floor("value" * 100) AS BIGINT) AS y,
+         event_id AS rid
+  FROM events
+),
+bounds AS (
+  SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+  FROM keyed
+),
+cnt AS (
+  SELECT CAST((count(*) + {PRUNE_FILES - 1}) // {PRUNE_FILES} AS BIGINT)
+           AS rpf
+  FROM keyed
+),
+n AS (
+  SELECT x, y, rid,
+         ((x - x0) * {(1 << Z_BITS) - 1})
+           // greatest(CAST(1 AS BIGINT), x1 - x0) AS xn,
+         ((y - y0) * {(1 << Z_BITS) - 1})
+           // greatest(CAST(1 AS BIGINT), y1 - y0) AS yn
+  FROM keyed CROSS JOIN bounds
+),
+z AS (
+  SELECT x, y, rid,
+         CAST((SELECT sum(((xn >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))
+                   + ((yn >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1)))
+          FROM UNNEST(generate_series(0, {Z_BITS - 1})) AS t(b)) AS BIGINT)
+           AS zval
+  FROM n
+),
+fz AS (
+  SELECT x, y,
+         (row_number() OVER (ORDER BY zval, rid) - 1) // rpf AS fid
+  FROM z CROSS JOIN cnt
+),
+files_z AS (
+  SELECT fid, min(x) AS minx, max(x) AS maxx,
+         min(y) AS miny, max(y) AS maxy
+  FROM fz GROUP BY 1
+),
+fx AS (
+  SELECT x, y,
+         (row_number() OVER (ORDER BY x, y, rid) - 1) // rpf AS fid
+  FROM keyed CROSS JOIN cnt
+),
+files_x AS (
+  SELECT fid, min(x) AS minx, max(x) AS maxx,
+         min(y) AS miny, max(y) AS maxy
+  FROM fx GROUP BY 1
+),
+probes(probe_id, xlop, xhip, ylop, yhip) AS (
+  VALUES {", ".join(str(p) for p in PROBES)}
+),
+rects AS (
+  SELECT probe_id,
+         x0 + ((x1 - x0) * xlop) // 100 AS pxlo,
+         x0 + ((x1 - x0) * xhip) // 100 AS pxhi,
+         y0 + ((y1 - y0) * ylop) // 100 AS pylo,
+         y0 + ((y1 - y0) * yhip) // 100 AS pyhi
+  FROM probes CROSS JOIN bounds
+),
+sz AS (
+  SELECT probe_id, count(*) AS files_scanned_z
+  FROM files_z JOIN rects
+    ON maxx >= pxlo AND minx <= pxhi AND maxy >= pylo AND miny <= pyhi
+  GROUP BY 1
+),
+sx AS (
+  SELECT probe_id, count(*) AS files_scanned_xsort
+  FROM files_x JOIN rects
+    ON maxx >= pxlo AND minx <= pxhi AND maxy >= pylo AND miny <= pyhi
+  GROUP BY 1
+),
+m AS (
+  SELECT probe_id, count(*) AS rows_matched
+  FROM keyed JOIN rects
+    ON x >= pxlo AND x <= pxhi AND y >= pylo AND y <= pyhi
+  GROUP BY 1
+),
+nf AS (SELECT CAST(count(*) AS BIGINT) AS n_files FROM files_z)
+SELECT r.probe_id,
+       nf.n_files,
+       CAST(coalesce(sz.files_scanned_z, 0) AS BIGINT)
+         AS files_scanned_z,
+       CAST(coalesce(sx.files_scanned_xsort, 0) AS BIGINT)
+         AS files_scanned_xsort,
+       CAST(coalesce(m.rows_matched, 0) AS BIGINT) AS rows_matched
+FROM rects r
+CROSS JOIN nf
+LEFT JOIN sz USING (probe_id)
+LEFT JOIN sx USING (probe_id)
+LEFT JOIN m USING (probe_id)
 """,
 }

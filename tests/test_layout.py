@@ -78,3 +78,38 @@ def test_zorder_localizes_both_dimensions(spark):
     avg_span_v = sum(r.max_value_c - r.min_value_c for r in ux) / len(ux)
     assert avg_span_u < 0.5 * full_u
     assert avg_span_v < 0.5 * full_v
+
+
+def test_prune_stats_show_zorder_payoff(spark):
+    """The measurement op must reproduce the Z-order lesson on the
+    fixture: (a) for a probe selective in the SECOND dimension only,
+    the x-major layout prunes nothing (scans every file) while
+    Z-order scans a small fraction; (b) for 2-D box probes Z-order
+    scans no more files than x-major; (c) the pure-x band probe is
+    the one place x-major may win (its own column is fully sorted);
+    (d) scanned counts are bounded by n_files and every probe matches
+    at least one row on this fixture."""
+    from angelone_clickhouse_spark.operators.layout import (
+        zorder_prune_stats,
+    )
+
+    rows = {
+        r.probe_id: r
+        for r in zorder_prune_stats(spark, SF_CORRECT).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    n_files = rows[1].n_files
+    for r in rows.values():
+        assert 0 < r.files_scanned_z <= n_files
+        assert 0 < r.files_scanned_xsort <= n_files
+        assert r.rows_matched > 0
+    # (a) y-band probe: x-sort barely prunes (each file's y-range is
+    # ~unconstrained; at tiny SFs a few sparse files can still miss
+    # the band, so the bound is a large fraction rather than ==), z
+    # prunes hard — at least 3x fewer files and under half the total
+    assert rows[2].files_scanned_xsort > (2 * n_files) // 3
+    assert rows[2].files_scanned_z * 3 <= rows[2].files_scanned_xsort
+    assert rows[2].files_scanned_z < n_files // 2
+    # (b) 2-D boxes: z never worse
+    assert rows[3].files_scanned_z <= rows[3].files_scanned_xsort
+    assert rows[4].files_scanned_z <= rows[4].files_scanned_xsort
