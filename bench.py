@@ -221,15 +221,22 @@ def main() -> None:
         )
         from angelone_clickhouse_spark.sources.skewed import HOT_USER
 
+        skew_ev = spark.read.parquet(f"{d}/events.parquet")
+        # bound the amplified fixture to ~10M rows at ANY SF (the
+        # crossover is about the single-reducer payload size, which
+        # this fixes absolutely): x100 at sf0.1, x10 at sf1.0. Project
+        # to the two consumed columns BEFORE the explode — amplifying
+        # the full-width rows OOM'd the checkpoint at sf1.0.
+        amp_n = max(1, min(100, 10_000_000 // max(1, skew_ev.count())))
         amp = (
-            spark.read.parquet(f"{d}/events.parquet")
+            skew_ev.select("event_id", "user_id", "value")
             .withColumn(
                 "user_id",
                 F.when(
                     F.col("event_id") % 10 > 0, F.lit(HOT_USER)
                 ).otherwise(F.col("user_id")),
             )
-            .withColumn("_r", F.explode(F.expr("sequence(1, 100)")))
+            .withColumn("_r", F.explode(F.expr(f"sequence(1, {amp_n})")))
             .localCheckpoint(eager=True)
         )
         for label, is_salted in (("salted", True), ("plain", False)):
