@@ -92,14 +92,23 @@ def udaf_user_stats(
         return int(v.to_numpy(dtype="int64").sum())
 
     cents = F.round(F.col("value") * 100).cast("long")
-    with_c = ev.select("user_id", cents.alias("cents"))
     if not salted:
+        with_c = ev.select("user_id", cents.alias("cents"))
         return with_c.groupBy("user_id").agg(
             sum_cents("cents").alias("sum_value_cents")
         )
-    salted_df = with_c.withColumn(
-        "_salt",
-        (F.abs(F.xxhash64(F.monotonically_increasing_id())) % n_salts),
+    # the salt must be a DETERMINISTIC function of the input row
+    # (ADVICE r13): the old xxhash64(monotonically_increasing_id())
+    # fed a nondeterministic expression into a shuffle, so a stage
+    # retry could re-salt recomputed rows relative to already-fetched
+    # map output — the classic nondeterministic-repartition
+    # double-count/drop hazard. Hashing the full row content instead
+    # keeps the exact same spread for the hot key (its rows differ in
+    # event_id / value / amplification index) while any recompute
+    # reproduces identical salts bit-for-bit.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in ev.columns]), F.lit(n_salts))
+    salted_df = ev.select(
+        "user_id", cents.alias("cents"), salt.alias("_salt")
     )
     partial = salted_df.groupBy("user_id", "_salt").agg(
         sum_cents("cents").alias("sum_value_cents")

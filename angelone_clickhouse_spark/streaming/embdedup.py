@@ -756,7 +756,7 @@ def semdedup_lsh_stream(
         .trigger(availableNow=True)
         .start()
     )
-    await_or_raise(q, timeout_s, "semdedup stream")
+    await_or_raise(q, timeout_s, "semdedup_lsh stream")
 
 
 def stream_semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -185,7 +185,13 @@ def commit_epoch_fused(
     ).parquet(staging)
     prefix = epoch_prefix(epoch_id)
     flat_staged = os.path.join(staging, f"{_dest}=flat", f"{PART_COL}=-1")
+    # BOTH sides' sweeps run before ANY rename, so the docstring's
+    # "both sweeps run before the renames" holds literally (ADVICE
+    # r13 — the keyed sweep used to run inside
+    # commit_epoch_partitioned AFTER the flat renames; sweeping is
+    # idempotent, so the inner re-sweep below stays harmless).
     sweep_prefix(flat_dir, prefix)
+    sweep_epoch_keyed(keyed_dir, epoch_id)
     os.makedirs(flat_dir, exist_ok=True)
     if os.path.isdir(flat_staged):
         for name in os.listdir(flat_staged):
@@ -201,10 +207,6 @@ def commit_epoch_fused(
             keyed_staged, keyed_dir, epoch_id,
             partition_prefix=f"{PART_COL}=",
         )
-    else:
-        # no survivors this epoch: still sweep a crashed attempt's
-        # leftovers so the retry contract holds
-        sweep_epoch_keyed(keyed_dir, epoch_id)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(keyed_dir + ".stage", ignore_errors=True)
 

@@ -35,16 +35,50 @@ def test_common_types_align_across_engines():
         ("BOOLEAN", "boolean"),
         ("DATE", "date"),
         ("TIMESTAMP", "timestamp"),
-        ("TIMESTAMP WITH TIME ZONE", "timestamp"),
+        ("TIMESTAMP", "timestamp_ntz"),
         ("BIGINT[]", "array<bigint>"),
         ("DOUBLE[]", "array<double>"),
         ("DECIMAL(10,2)", "decimal(10,2)"),
+        ("STRUCT(a INTEGER, b VARCHAR)", "struct<a:int,b:string>"),
+        (
+            "STRUCT(a BIGINT, xs DOUBLE[])",
+            "struct<a:bigint,xs:array<double>>",
+        ),
+        ("MAP(VARCHAR, BIGINT)", "map<string,bigint>"),
+        (
+            "STRUCT(inner STRUCT(x INTEGER))",
+            "struct<inner:struct<x:int>>",
+        ),
     ]
     for duck, spark in pairs:
         assert _canon_duck_type(duck) == _canon_spark_type(spark), (
             duck,
             spark,
         )
+
+
+def test_tz_aware_timestamp_is_distinct():
+    """ADVICE r13: a TIMESTAMPTZ oracle column must FAIL the local
+    type gate — its isoformat values carry +00:00 and would mismatch
+    the driver's hash of Spark's tz-naive collect() datetimes."""
+    assert _canon_duck_type("TIMESTAMPTZ") == "ts_tz"
+    assert _canon_duck_type("TIMESTAMP WITH TIME ZONE") == "ts_tz"
+    assert _canon_duck_type("TIMESTAMP") == "ts"
+    assert _canon_spark_type("timestamp") == "ts"
+    assert _canon_spark_type("timestamp_ntz") == "ts"
+    assert _canon_duck_type("TIMESTAMPTZ") != _canon_spark_type("timestamp")
+
+
+def test_struct_grammar_mismatch_detected():
+    """Same field names but different field types must still mismatch
+    under the shared struct grammar (it must not collapse to a blind
+    string compare that never matches OR always matches)."""
+    assert _canon_duck_type("STRUCT(a INTEGER)") != _canon_spark_type(
+        "struct<a:bigint>"
+    )
+    assert _canon_duck_type("MAP(VARCHAR, INTEGER)") != _canon_spark_type(
+        "map<string,bigint>"
+    )
 
 
 def test_correlated_sum_is_hugeint_and_flagged(spark):

@@ -48,18 +48,60 @@ def _multiset(rows, colnames):
     return sorted(",".join(_norm(r[i]) for i in order) for r in rows)
 
 
+def _split_top(s: str) -> list[str]:
+    """Split ``s`` on commas at nesting depth 0 (shared by the DuckDB
+    and Spark nested-type parsers)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
 def _canon_duck_type(t: str) -> str:
-    """Canonical type tag for a DuckDB result column type string."""
-    t = str(t).upper()
+    """Canonical type tag for a DuckDB result column type string.
+
+    Timestamps keep their tz-ness distinct (ADVICE r13): DuckDB
+    ``TIMESTAMP``/``TIMESTAMP_NTZ`` (naive) canonicalize to ``ts``
+    (matching Spark's collect()-naive datetimes), while
+    ``TIMESTAMPTZ`` / ``TIMESTAMP WITH TIME ZONE`` become ``ts_tz`` —
+    a tz-aware oracle column now FAILS the local gate the same way the
+    driver's value hash would (isoformat carries the +00:00 suffix).
+    Struct/map are normalized into the same ``struct<name:tag,...>`` /
+    ``map<tag,tag>`` grammar as the Spark side, so nested results can
+    actually match instead of guaranteeing a false mismatch.
+    """
+    t = str(t).strip().upper()
     if t.startswith("DECIMAL"):
         return t.replace(" ", "")  # keep precision/scale — drivers hash them
-    if t.startswith("TIMESTAMP"):
+    if t in ("TIMESTAMPTZ", "TIMESTAMP WITH TIME ZONE"):
+        return "ts_tz"
+    if t.startswith("TIMESTAMP"):  # TIMESTAMP, TIMESTAMP_NTZ, TIMESTAMP_S/MS/NS
         return "ts"
-    if t.startswith("STRUCT") or t.startswith("MAP"):
-        return t.replace(" ", "")
+    m = re.fullmatch(r"STRUCT\((.*)\)", t, re.S)
+    if m:
+        fields = []
+        for part in _split_top(m.group(1)):
+            name, _, ftype = part.partition(" ")
+            fields.append(f"{name.strip().strip(chr(34)).lower()}:"
+                          + _canon_duck_type(ftype))
+        return "struct<" + ",".join(fields) + ">"
+    m = re.fullmatch(r"MAP\((.*)\)", t, re.S)
+    if m:
+        kv = _split_top(m.group(1))
+        return "map<" + ",".join(_canon_duck_type(p) for p in kv) + ">"
     if t.endswith("[]"):
         return "list<" + _canon_duck_type(t[:-2]) + ">"
-    m = re.fullmatch(r"LIST\((.*)\)", t)
+    m = re.fullmatch(r"LIST\((.*)\)", t, re.S)
     if m:
         return "list<" + _canon_duck_type(m.group(1)) + ">"
     return {
@@ -74,17 +116,33 @@ def _canon_duck_type(t: str) -> str:
 
 
 def _canon_spark_type(t: str) -> str:
-    """Canonical type tag for a Spark ``dataType.simpleString()``."""
-    t = t.lower()
+    """Canonical type tag for a Spark ``dataType.simpleString()``.
+
+    Both Spark timestamp flavors map to ``ts``: LTZ and NTZ alike
+    surface as tz-NAIVE ``datetime`` objects from ``collect()`` (LTZ is
+    rendered in the session tz, fixed to UTC here), so their value
+    strings match a naive DuckDB TIMESTAMP and can never match a
+    tz-aware ``ts_tz`` column — see :func:`_canon_duck_type`.
+    """
+    t = t.strip().lower()
     if t.startswith("decimal"):
         return t.upper().replace(" ", "")
-    if t.startswith("timestamp"):
+    if t.startswith("timestamp"):  # timestamp (LTZ) and timestamp_ntz
         return "ts"
-    m = re.fullmatch(r"array<(.*)>", t)
+    m = re.fullmatch(r"array<(.*)>", t, re.S)
     if m:
         return "list<" + _canon_spark_type(m.group(1)) + ">"
-    if t.startswith("struct") or t.startswith("map"):
-        return t.upper().replace(" ", "")
+    m = re.fullmatch(r"struct<(.*)>", t, re.S)
+    if m:
+        fields = []
+        for part in _split_top(m.group(1)):
+            name, _, ftype = part.partition(":")
+            fields.append(f"{name.strip().lower()}:" + _canon_spark_type(ftype))
+        return "struct<" + ",".join(fields) + ">"
+    m = re.fullmatch(r"map<(.*)>", t, re.S)
+    if m:
+        kv = _split_top(m.group(1))
+        return "map<" + ",".join(_canon_spark_type(p) for p in kv) + ">"
     return {
         "tinyint": "i8", "smallint": "i16", "int": "i32",
         "bigint": "i64", "float": "f32", "double": "f64",
