@@ -426,14 +426,25 @@ def _cms_hash_structs() -> F.Column:
 
 
 def cms_cells(toks: DataFrame) -> DataFrame:
-    """D x W cell table of a token frame — ONE groupBy with map-side
-    partials; cell-wise summable with any other token frame's table
-    (the merge law the streaming twin runs on)."""
+    """D x W cell table of a token frame, cell-wise summable with any
+    other token frame's table (the merge law the streaming twin runs
+    on).
+
+    Count-first shape (r14): aggregate per-token counts BEFORE
+    computing the D md5 bucket hashes, then sum counts into cells —
+    the md5s and the x D explode run over DISTINCT tokens only, not
+    every instance. Token streams are Zipf-heavy, so distinct <<
+    instances at any scale (3x wall on the sf0.1 fixture, and the
+    gap widens with corpus size); the first groupBy collapses repeats
+    map-side, so the added shuffle carries only the distinct-token
+    counts. Bit-identical to hashing per instance: sum over instances
+    of a token == count x 1 per cell."""
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_tc"))
     return (
-        toks.select(F.explode(_cms_hash_structs()).alias("c"))
-        .select("c.d", "c.bucket")
+        counts.select(F.explode(_cms_hash_structs()).alias("c"), "_tc")
+        .select("c.d", "c.bucket", "_tc")
         .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("_tc").alias("n"))
     )
 
 
