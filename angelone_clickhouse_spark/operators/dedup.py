@@ -53,6 +53,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spread_low_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``key`` up to the session's core
+    count IFF the incoming plan has fewer partitions than cores.
+
+    A CPU-heavy per-row stage (16 md5 MinHash permutations here) runs
+    map-side, so its parallelism is CAPPED by the scan's partition
+    count — and a single-row-group parquet file scans as ONE partition
+    no matter what maxPartitionBytes says, pinning the whole hash
+    stage to one core (measured 3.8 s -> 0.6 s for the sf0.1
+    signature build). The exact cluster-scale analogue is a few huge
+    unsplittable files fanning out to thousands of cores. Conditional
+    on the measured partition count, so an already-parallel scan
+    (the 100 TB case) is never re-shuffled; hashing on the
+    grouping key keeps the downstream groupBy aligned."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 # --- shingling (shared by jaccard + minhash) --------------------------------
 def _shingles(docs: DataFrame) -> DataFrame:
     """doc_id -> exploded distinct 3-word shingles, all JVM-side.
@@ -62,7 +82,9 @@ def _shingles(docs: DataFrame) -> DataFrame:
     fabricate bogus shingles via null-skipping concat_ws (and error
     under ANSI mode) — and the DuckDB oracle's generate_series yields
     none, so the guard is also what keeps the engines aligned."""
-    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    w = spread_low_parallelism(
+        docs.select("doc_id", F.split("text", " ").alias("w")), "doc_id"
+    )
     sh = w.select(
         "doc_id",
         F.expr(
@@ -99,7 +121,9 @@ def _pairwise_jaccard(docs: DataFrame) -> DataFrame:
     halves, shrinking the dominant shuffle ~4x with identical output
     (verification computes the true intersection on the full sets).
     """
-    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    w = spread_low_parallelism(
+        docs.select("doc_id", F.split("text", " ").alias("w")), "doc_id"
+    )
     sets = w.select(
         "doc_id",
         # same short-doc guard as _shingles: <3 words -> empty set
