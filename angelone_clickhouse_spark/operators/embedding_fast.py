@@ -1378,11 +1378,23 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return pagerank_from_edges(edges, nodes)
+
+
+def pagerank_from_edges(
+    edges: DataFrame, nodes: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """The graph math of :func:`knn_pagerank` over an ALREADY-
+    MATERIALIZED (src_id, neighbor_id) edge frame — split out so the
+    sf1.0 parity harness (tools/graph_parity.py) can feed BOTH engines
+    the same parquet edge fixture: the exact-kNN DuckDB oracle is
+    O(n²) and sf1.0-intractable, but the graph math the op owns is
+    value-checkable at any scale once the edges are shared."""
     ranks = nodes.select(
         "vec_id",
         F.lit(PR_INIT_MICRO).cast("long").alias("rank_micro"),
     )
-    for t in range(PR_ITERS):
+    for t in range(iters):
         if t > 0:
             # cut the doubling lineage BETWEEN rounds (not after the
             # last: the returned frame keeps the final iteration's
@@ -1434,6 +1446,15 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-node rollup; the edge list materializes once and
     feeds all three."""
     g = knn_graph(spark, sf_dir).select("src_id", "neighbor_id")
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return triangles_from_edges(g, nodes)
+
+
+def triangles_from_edges(g: DataFrame, nodes: DataFrame) -> DataFrame:
+    """The graph math of :func:`knn_triangles` over an ALREADY-BUILT
+    directed (src_id, neighbor_id) edge frame — same split as
+    :func:`pagerank_from_edges`, for the shared-edge-fixture sf1.0
+    value check."""
     und = (
         g.select(
             F.least("src_id", "neighbor_id").alias("a"),
@@ -1456,7 +1477,6 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
     return (
         nodes.join(deg.withColumnRenamed("v", "vec_id"), "vec_id", "left")
         .join(tri.withColumnRenamed("v", "vec_id"), "vec_id", "left")
@@ -1745,15 +1765,25 @@ FROM (
 WHERE rank <= {KNN_K}
 """
 
-def _knn_pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
+def _knn_pagerank_oracle_sql(
+    iters: int = PR_ITERS, edges_sql: str | None = None
+) -> str:
     """DuckDB spelling of :func:`knn_pagerank`: the registry's kNN
     oracle as the edge list, then one (mass, rank) CTE pair per power
     iteration — exact integer arithmetic end-to-end (truncating //
     on non-negative longs matches Spark's div), so every round agrees
     with Spark bit-for-bit. Same unrolled-iteration device as
-    similarity._kmeans_refine_oracle_sql."""
+    similarity._kmeans_refine_oracle_sql.
+
+    ``edges_sql`` substitutes the edge source (default: the O(n²)
+    exact-kNN oracle, used by the driver gate at sf<=0.1); the sf1.0
+    harness (tools/graph_parity.py) passes a ``read_parquet(...)``
+    over a Spark-materialized edge fixture, making the graph math
+    value-checkable at scales where the kNN oracle is intractable."""
+    if edges_sql is None:
+        edges_sql = f"SELECT src_id, neighbor_id FROM ({_KNN_ORACLE_SQL}) k"
     ctes = [
-        f"edges AS (SELECT src_id, neighbor_id FROM ({_KNN_ORACLE_SQL}) k)",
+        f"edges AS ({edges_sql})",
         "nodes AS (SELECT vec_id FROM embeddings)",
         f"r0 AS (SELECT vec_id, CAST({PR_INIT_MICRO} AS BIGINT) AS r"
         " FROM nodes)",
@@ -1781,8 +1811,13 @@ def _knn_pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
     )
 
 
-_KNN_TRIANGLES_ORACLE_SQL = f"""
-WITH knn AS ({_KNN_ORACLE_SQL}),
+def _knn_triangles_oracle_sql(edges_sql: str | None = None) -> str:
+    """DuckDB spelling of :func:`knn_triangles`; ``edges_sql`` swaps
+    the edge source exactly as in :func:`_knn_pagerank_oracle_sql`."""
+    if edges_sql is None:
+        edges_sql = f"SELECT src_id, neighbor_id FROM ({_KNN_ORACLE_SQL}) k"
+    return f"""
+WITH knn AS ({edges_sql}),
 und AS (
   SELECT DISTINCT least(src_id, neighbor_id) AS a,
                   greatest(src_id, neighbor_id) AS b
@@ -1841,7 +1876,7 @@ def _shared_oracles() -> dict[str, str]:
         "ann_topk_fast": _sim.ORACLES["ann_topk_cosine"],
         "knn_graph": _KNN_ORACLE_SQL,
         "knn_pagerank": _knn_pagerank_oracle_sql(),
-        "knn_triangles": _KNN_TRIANGLES_ORACLE_SQL,
+        "knn_triangles": _knn_triangles_oracle_sql(),
         "knn_label_purity": _KNN_PURITY_ORACLE_SQL,
         "knn_graph_ann": _knn_ann_oracle_sql(
             KNN_ANN_FLIPS, KNN_ANN_TABLES

@@ -162,24 +162,30 @@ def commit_epoch_fused(
     _dest = "_dest"
     staging = os.path.join(keyed_dir + ".stage", f"epoch-{epoch_id}-fused")
     shutil.rmtree(staging, ignore_errors=True)
-    fused = (
-        flat_df.withColumn(_dest, F.lit("flat"))
-        .withColumn(PART_COL, F.lit(-1).cast("int"))
-        .unionByName(
-            keyed_df_with_pk.withColumn(_dest, F.lit("keyed")),
-            allowMissingColumns=True,
-        )
+    flat_branch = flat_df.withColumn(_dest, F.lit("flat")).withColumn(
+        PART_COL, F.lit(-1).cast("int")
     )
+    keyed_branch = keyed_df_with_pk.withColumn(_dest, F.lit("keyed"))
     # default: single task — both sinks' epoch payloads are
     # trigger-bounded (same contract as commit_epoch_flat's
     # coalesce(1) default). bulk=True is for a sink whose epochs
-    # carry bulk data: stage tasks own whole (dest, pk) partitions in
-    # parallel instead of funneling through one task.
-    staged = (
-        fused.repartition(F.col(_dest), F.col(PART_COL))
-        if bulk
-        else fused.coalesce(1)
-    )
+    # carry bulk data: ONLY the keyed branch is shuffled (so its
+    # stage tasks own whole pk partitions); the flat branch keeps
+    # its natural partitioning — union concatenates partitions
+    # without co-partitioning them, so the flat rows reach the
+    # dynamic partitionBy writer shuffle-free. (The first cut
+    # repartitioned the whole union on (_dest, pk), which shuffled
+    # the flat side the old two-job path never shuffled and measured
+    # SLOWER than two jobs at sf0.1 — bench `keyed_commit_secs`.)
+    if bulk:
+        staged = flat_branch.unionByName(
+            keyed_branch.repartition(F.col(PART_COL)),
+            allowMissingColumns=True,
+        )
+    else:
+        staged = flat_branch.unionByName(
+            keyed_branch, allowMissingColumns=True
+        ).coalesce(1)
     staged.write.mode("overwrite").partitionBy(
         _dest, PART_COL
     ).parquet(staging)
