@@ -32,81 +32,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # their value-parity guarantee via tests/test_full_parity.py at
 # sf0.001 and tools/check_parity.py runs at larger SFs.
 _PRIORITY = [
-    # r13 window = (a) ops whose code or oracle text changed this
-    # round (must re-earn a driver row): zorder_layout (oracle CAST
-    # fix — the r12 red), stream_token_cms (awaitTermination/cleanup
-    # fix), the three keyed-index replay gates (epoch-commit fold),
-    # ann_topk_deleted (session-cached shared index), and the two
-    # oracle-cast-discipline fixes the type-hardened check_parity
-    # sweep surfaced; (b) the ENTIRE
-    # owed r9-stale refresh — after this round no driver row predates
-    # r10; (c) the single oldest r10-stale name. 42 r10 names remain
-    # for r14 (listed at the bottom).
-    # (a) code/oracle changed in r13
-    "zorder_layout",            # oracle HUGEINT->BIGINT cast (r12 red)
-    "stream_token_cms",         # awaitTermination asserted + tmp cleanup
-    "stream_dedup_docs",        # keyed-index epoch-commit fold
-    "stream_semdedup_lsh",      # keyed-index epoch-commit fold
-    "stream_novelty_docs",      # keyed-index epoch-commit fold
-    "stream_semdedup",          # shares embdedup.py (tmp-dir fix)
-    "ann_topk_deleted",         # shared-index reuse (build/probe split)
-    "orders_monthly_growth",    # oracle cast discipline (HUGEINT->BIGINT)
-    "text_token_stats",         # oracle cast discipline (BIGINT->INTEGER)
-    "gap_sessions",             # stream runner awaitTermination guard
-    "zorder_prune_stats",       # NEW r13: stats-skipping effectiveness
-    # (b) the complete owed r9-stale refresh
-    "customers_with_urgent_orders",
-    "customers_without_orders",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "doc_length_histogram",
-    "enrich_tokens_join",
-    "image_resize",
-    "knn_label_purity",
-    "late_shipment_priorities",
-    "mixture_sample",
-    "multimodal_gate",
-    "nation_profit",
-    "novelty_ngram_rate",
-    "order_priority_cube",
-    "orders_above_nation_avg",
-    "pack_efficiency",
-    "parts_supplier_counts",
-    "pricing_summary",
-    "promo_revenue_share",
-    "q2_daily_stats",
-    "q3_recency_check",
-    "q4_latest_prices",
-    "q6_volume_profile",
-    "q7_sample",
-    "returned_item_revenue",
-    "revenue_by_nation",
-    "revenue_rollup",
-    "sessionize_events",
-    "shard_plan",
-    "shipping_priority",
-    "source_mixture_weights",
-    "tfidf_top_terms",
-    "tokens_by_exchange",
-    "top_customers",
-    "unknown_exchange_tokens",
-    "video_frames",
-    "volume_shipping",
-    # (c) the oldest r10-stale name (alphabetical)
-    "ann_ivf_topk",
-    # exactly 50 entries above — the driver gate stops there. r14
-    # owes the remaining 42 r10-stale names:
-    # ann_lsh_topk_amplified, ann_topk_quantized, chunk_documents,
-    # customer_order_distribution,
-    # decode_ticks, decode_ticks_enriched, decontaminate_fingerprint,
-    # decontaminate_hashed, decontaminate_ngrams, dedup_clusters,
-    # dedup_clusters_minhash, dedup_embedding_fast, dedup_survivors,
-    # disjunctive_revenue, distinct_tokens_approx, distinct_users_hll,
-    # distinct_users_theta, doc_bigram_logprob, doc_unigram_logprob,
-    # dominant_part_suppliers, and the rest of the r10 cohort in
-    # CORRECTNESS_r10.json (run tools/rotation_audit.py for the
-    # exact latest-green-per-name table).
+    # r14 window = (a) ops whose executed code changed this round
+    # (must re-earn a driver row): the count-first CMS cell build
+    # (cms_cells), the shingle-stage parallelism spread
+    # (dedup.spread_low_parallelism — every minhash/jaccard consumer),
+    # the keyed gates (commit_epoch_fused bulk-branch restructure +
+    # sweep-ordering hoist), and the graph ops (edge-parameterized
+    # core split + oracle-builder parameterization); (b) the ENTIRE
+    # owed r10-stale refresh — all 40 names, clearing the rotation
+    # debt: after a green r14 no entry's newest driver row predates
+    # r11. (a)+(b) is exactly 50. stream_semdedup is NOT in (a): its
+    # executed path (commit_epoch_flat brute arm) did not change —
+    # only its module sibling's timeout label did.
+    # (a) code changed in r14
+    "token_freq_cms",           # count-first cms_cells
+    "stream_token_cms",         # count-first cms_cells (merge twin)
+    "stream_dedup_docs",        # fused-commit restructure + shingle spread
+    "stream_novelty_docs",      # fused-commit restructure
+    "stream_semdedup_lsh",      # fused-commit restructure + label fix
+    "knn_pagerank",             # pagerank_from_edges core split
+    "knn_triangles",            # triangles_from_edges core split
+    "dedup_ngram_jaccard",      # shingle-stage spread (PPJoin site)
+    "dedup_minhash_lsh",        # shingle-stage spread
+    "dedup_incremental",        # shingle-stage spread (minhash path)
+    # (b) the complete owed r10-stale refresh (rotation_audit order)
+    "q1_latest_tick",
+    "q5_daily_ohlcv",
+    "q8_token_stats",
+    "trailing_activity_range",
+    "event_type_unpivot",
+    "event_type_pivot",
+    "union_nationkeys",
+    "forecast_revenue",
+    "customer_order_distribution",
+    "large_orders",
+    "disjunctive_revenue",
+    "supplier_late_blame",
+    "idle_rich_customers",
+    "important_brands",
+    "dominant_part_suppliers",
+    "dedup_clusters",
+    "dedup_clusters_minhash",
+    "dedup_survivors",
+    "kmeans_refine",
+    "kmeans_assign",
+    "ann_lsh_topk_amplified",
+    "ann_topk_quantized",
+    "text_tokenize_regex",
+    "text_quality",
+    "text_lang_stats",
+    "event_transitions",
+    "decontaminate_ngrams",
+    "decontaminate_hashed",
+    "decontaminate_fingerprint",
+    "chunk_documents",
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "dedup_embedding_fast",
+    "knn_graph",
+    "knn_graph_ivf",
+    "distinct_tokens_approx",
+    "distinct_users_theta",
+    "distinct_users_hll",
+    "decode_ticks_enriched",
+    "decode_ticks",
+    # exactly 50 entries above — the driver gate stops there. With
+    # the r10 cohort fully re-earned this round, the r15 rotation
+    # debt is the r11 cohort (40 names — run tools/rotation_audit.py
+    # for the exact latest-green-per-name table) plus whatever r15
+    # changes.
 ]
 
 
