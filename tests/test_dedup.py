@@ -341,3 +341,24 @@ def test_incremental_matches_full_lsh_projection(spark, sf_dir):
         assert row.dup_of_existing == (min(exist) if exist else None), n
         assert row.dup_of_batch == (min(batch) if batch else None), n
         assert row.keep == (not exist and not batch), n
+
+
+def test_spread_low_parallelism_conditional(spark):
+    """The r14 scan-parallelism spread: a frame with fewer partitions
+    than cores is hash-repartitioned up to defaultParallelism; an
+    already-parallel frame passes through UNTOUCHED (the 100 TB case
+    must never pay a gratuitous re-shuffle)."""
+    from angelone_clickhouse_spark.operators.dedup import (
+        spread_low_parallelism,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1).withColumnRenamed("id", "k")
+    spread = spread_low_parallelism(narrow, "k")
+    assert spread.rdd.getNumPartitions() == target
+    # content preserved exactly
+    assert sorted(r.k for r in spread.collect()) == list(range(1000))
+    wide = spark.range(1000).repartition(target + 7, "id")
+    same = spread_low_parallelism(wide, "id")
+    # >= target partitions -> identity (no plan change at all)
+    assert same is wide

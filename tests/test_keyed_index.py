@@ -457,3 +457,53 @@ def test_commit_epoch_fused_two_sinks_one_job(spark, tmp_path):
         .count()
         == 2
     )
+
+
+def test_commit_epoch_fused_bulk_shuffles_only_keyed_branch(
+    spark, tmp_path
+):
+    """The r14 bulk-branch restructure: in bulk mode only the KEYED
+    branch repartitions on pk; the flat branch keeps its natural
+    partitioning (the first cut repartitioned the whole union, which
+    shuffled the flat side the old two-job path never shuffled and
+    measured slower than two jobs). Asserted at the plan level on the
+    staged frame shape, and end-to-end on the landed data."""
+    from angelone_clickhouse_spark.streaming.keyed_index import (
+        PART_COL,
+        commit_epoch_fused,
+        pk_of,
+        read_keyed,
+    )
+
+    flat = (
+        spark.range(0, 10_000)
+        .selectExpr("id as doc_id", "id % 2 = 0 as keep")
+        .repartition(4)
+        .localCheckpoint(eager=True)
+    )
+    keyed = (
+        spark.range(0, 10_000)
+        .selectExpr("id as doc_id", "xxhash64(id) as h")
+        .withColumn(PART_COL, pk_of(F.col("h")))
+        .localCheckpoint(eager=True)
+    )
+    flat_dir, keyed_dir = str(tmp_path / "flat"), str(tmp_path / "keyed")
+    commit_epoch_fused(flat, flat_dir, keyed, keyed_dir, 0, bulk=True)
+    got_flat = spark.read.schema("doc_id long, keep boolean").parquet(
+        flat_dir
+    )
+    assert got_flat.count() == 10_000
+    # flat side landed with its NATURAL partitioning: one staged file
+    # per checkpoint partition, not one per shuffle output
+    assert len([f for f in os.listdir(flat_dir) if f.startswith("e0-")]) == 4
+    got_keyed = read_keyed(spark, keyed_dir, "doc_id long, h long")
+    assert got_keyed.count() == 10_000
+    # keyed side landed hive-partitioned with epoch-prefixed files
+    pdirs = [
+        d for d in os.listdir(keyed_dir) if d.startswith(f"{PART_COL}=")
+    ]
+    assert pdirs and all(
+        f.startswith("e0-")
+        for d in pdirs
+        for f in os.listdir(os.path.join(keyed_dir, d))
+    )
