@@ -1248,21 +1248,30 @@ def _minhash_oracle_sql() -> str:
         f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
         for i in range(N_MINHASH)
     )
+    # sig / bands / cand are MATERIALIZED: sig alone is referenced 10x
+    # (8 band UNION branches + both verify sides). DuckDB materializes
+    # multi-referenced CTEs by default in a plain query — which is why
+    # this oracle completes standalone at sf1.0 — but nested inside
+    # dedup_clusters_minhash's WITH RECURSIVE wrapper the planner
+    # re-inlined them and the repeated 16-permutation md5 aggregation
+    # spilled past the box's free disk (observed twice at sf1.0,
+    # PARITY ledger). Explicit MATERIALIZED pins the efficient plan in
+    # every consumer — the r12 device from the stream oracles.
     return f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
   FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
 ),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id,
          {sig_cols}
   FROM sh GROUP BY doc_id
 ),
-bands AS (
+bands AS MATERIALIZED (
 {band_selects}
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -1287,7 +1296,7 @@ def _incremental_oracle_sql() -> str:
     per-new-doc min aggregation and keep verdict."""
     lsh = _minhash_oracle_sql()
     # reuse the shared construction: everything up to the `cand` CTE
-    prefix = lsh[: lsh.index("cand AS (")]
+    prefix = lsh[: lsh.index("cand AS MATERIALIZED (")]
     matches = " + ".join(
         f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
         for i in range(N_MINHASH)

@@ -483,7 +483,7 @@ def _stream_oracle_sql() -> str:
     )
 
     lsh = _minhash_oracle_sql()
-    prefix = lsh[: lsh.index("cand AS (")]
+    prefix = lsh[: lsh.index("cand AS MATERIALIZED (")]
     matches = " + ".join(
         f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
         for i in range(N_MINHASH)
