@@ -99,8 +99,11 @@ _PRIORITY = [
     # exactly 50 entries above — the driver gate stops there. With
     # the r10 cohort fully re-earned this round, the r15 rotation
     # debt is the r11 cohort (40 names — run tools/rotation_audit.py
-    # for the exact latest-green-per-name table) plus whatever r15
-    # changes.
+    # for the exact latest-green-per-name table), PLUS two r14
+    # changed-code entries the full window could not absorb:
+    # text_fingerprint and doc_containment (the barrier-spread perf
+    # fix; both re-verified green at sf0.01 AND sf0.1 this round —
+    # see the r14 commit log), plus whatever r15 changes.
 ]
 
 

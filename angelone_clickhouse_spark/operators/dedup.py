@@ -53,7 +53,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def spread_low_parallelism(df: DataFrame, key: str) -> DataFrame:
+def spread_low_parallelism(
+    df: DataFrame, key: str, barrier: bool = False
+) -> DataFrame:
     """Hash-repartition ``df`` on ``key`` up to the session's core
     count IFF the incoming plan has fewer partitions than cores.
 
@@ -66,10 +68,23 @@ def spread_low_parallelism(df: DataFrame, key: str) -> DataFrame:
     unsplittable files fanning out to thousands of cores. Conditional
     on the measured partition count, so an already-parallel scan
     (the 100 TB case) is never re-shuffled; hashing on the
-    grouping key keeps the downstream groupBy aligned."""
+    grouping key keeps the downstream groupBy aligned.
+
+    ``barrier=True`` additionally ``localCheckpoint``s the
+    repartitioned (still-narrow) frame. Needed whenever the expensive
+    downstream expression feeds a row FILTER: Catalyst pushes
+    deterministic filters below the Exchange by SUBSTITUTING the
+    projection into the predicate, so the whole md5/transform chain
+    re-runs pre-shuffle on the unspread partition — observed on
+    text_fingerprint's ``size(hs) >= window`` filter, where the
+    pushed copy pinned the op to one core despite the repartition
+    (3.8 s; 0.4 s with the barrier). At cluster scale the barrier
+    is the staged/persisted narrow table the filter then reads."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
+        df = df.repartition(target, key)
+        if barrier:
+            df = df.localCheckpoint(eager=True)
     return df
 
 

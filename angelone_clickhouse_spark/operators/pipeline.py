@@ -428,8 +428,13 @@ def _winnow_fingerprints(
     """doc_id -> exploded distinct winnowing fingerprints (the md5-hex
     window minima of operators/text.py:text_fingerprint, re-used as a
     JOIN KEY instead of a count)."""
+    from angelone_clickhouse_spark.operators.dedup import (
+        spread_low_parallelism,
+    )
     from angelone_clickhouse_spark.operators.text import FP_WINDOW
 
+    # map-side md5+rolling-min stage: spread a below-cores scan first
+    docs = spread_low_parallelism(docs, "doc_id", barrier=True)
     hashed = docs.select(
         "doc_id", F.split("text", " ").alias("w")
     ).select(

@@ -186,7 +186,18 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole op DuckDB-oracle-checkable (xxhash64 exists only in Spark).
     Short docs (<3 words) yield no shingles — the guard prevents a
     descending sequence() fabricating bogus shingles."""
-    docs = load_table(spark, sf_dir, "documents")
+    from angelone_clickhouse_spark.operators.dedup import (
+        spread_low_parallelism,
+    )
+
+    # the per-doc md5+rolling-min stage is map-side CPU: spread a
+    # below-cores scan first (single-row-group fixture files scan as
+    # ONE partition — see dedup.spread_low_parallelism)
+    docs = spread_low_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        barrier=True,
+    )
     # split ONCE into a materialized column: a split() inside the
     # transform lambda re-tokenizes the document per shingle index
     # (O(words^2) — measured ~2x query cost at sf0.1)
@@ -568,6 +579,13 @@ CONTAIN_TAU = 0.5  # fraction of src fingerprints found in dst
 def _fp_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, fp array, n_fp) winnowing fingerprint sets for a
     (doc_id, text) frame; docs with no fingerprints are absent."""
+    from angelone_clickhouse_spark.operators.dedup import (
+        spread_low_parallelism,
+    )
+
+    # same map-side-CPU spread as text_fingerprint (the fingerprint
+    # build is the dominant stage of the containment family)
+    docs = spread_low_parallelism(docs, "doc_id", barrier=True)
     hashed = docs.select(
         "doc_id", F.split("text", " ").alias("w")
     ).select(
