@@ -362,3 +362,32 @@ def test_spread_low_parallelism_conditional(spark):
     same = spread_low_parallelism(wide, "id")
     # >= target partitions -> identity (no plan change at all)
     assert same is wide
+
+
+def test_spread_barrier_defeats_filter_pushdown(spark):
+    """barrier=True must CUT the plan at the repartition so a
+    downstream filter over an expensive projection cannot be pushed
+    (substituted) below the Exchange back onto the unspread scan —
+    the text_fingerprint pathology: the plan showed the whole md5
+    transform inside a Filter UNDER the Exchange."""
+    from angelone_clickhouse_spark.operators.dedup import (
+        spread_low_parallelism,
+    )
+
+    narrow = spark.range(500).coalesce(1).selectExpr(
+        "id as doc_id", "repeat('w ', 20) as text"
+    )
+    sp = spread_low_parallelism(narrow, "doc_id", barrier=True)
+    hashed = sp.selectExpr(
+        "doc_id",
+        "transform(split(text, ' '), x -> md5(x)) as hs",
+    ).filter(F.size("hs") >= 3)
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    # the checkpoint cut means the executed plan reads an RDD scan,
+    # never the original file/range source — so nothing can be pushed
+    # below the spread
+    assert "Exchange" not in plan and "Range" not in plan, plan
+    assert hashed.rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    assert hashed.count() == 500
