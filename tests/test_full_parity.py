@@ -16,3 +16,16 @@ def test_every_registered_query_matches_its_oracle(spark):
 
     failures = cp.run_parity(spark, SF_SMOKE, quiet=False)
     assert failures == []
+
+
+def test_graph_parity_shared_edge_fixture(spark):
+    """The sf1.0 shared-edge-fixture arm (tools/graph_parity.py,
+    VERDICT r13 #5) at smoke scale: Spark materializes the blocked
+    kNN edge list once and BOTH engines compute the PageRank /
+    triangle math from the same parquet fixture — the value check
+    that covers the graph ops at scales where their exact-kNN
+    registry oracles are intractable. Must match at sf0.001 exactly
+    like the registry-oracle path does."""
+    from tools.graph_parity import run_graph_parity
+
+    assert run_graph_parity(spark, SF_SMOKE) == []

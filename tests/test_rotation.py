@@ -39,3 +39,32 @@ def test_rotation_audit_runs_and_covers_registry():
     rows, green, newest, qs = audit()
     assert len(rows) == len(qs)
     assert newest >= 12
+
+
+def test_rewrite_coverage_tolerates_last_section(tmp_path):
+    """ADVICE r13: rewrite_coverage must not raise when 'Registry
+    status' is the LAST section of COVERAGE.md (the old text.index
+    call raised ValueError with no following '## ' header); and it
+    must keep replacing only the section when one follows."""
+    from tools.rotation_audit import rewrite_coverage
+
+    rows = [(1, "q_a", "r13", "yes"), (2, "q_b", "r10", "")]
+    qs = {"q_a": None, "q_b": None}
+    # case 1: a following section survives the rewrite
+    p1 = tmp_path / "cov_mid.md"
+    p1.write_text(
+        "# COVERAGE\n\nintro\n\n## Registry status\n\nold table\n"
+        "\n## Next section\n\nkeep me\n"
+    )
+    assert rewrite_coverage(rows, None, 13, qs, path=str(p1)) == 0
+    out1 = p1.read_text()
+    assert "## Next section" in out1 and "keep me" in out1
+    assert "`q_a` | r13 | yes" in out1 and "old table" not in out1
+    # case 2: 'Registry status' as the final section must not raise
+    p2 = tmp_path / "cov_last.md"
+    p2.write_text(
+        "# COVERAGE\n\nintro\n\n## Registry status\n\nold table\n"
+    )
+    assert rewrite_coverage(rows, None, 13, qs, path=str(p2)) == 0
+    out2 = p2.read_text()
+    assert "`q_b` | r10 | no" in out2 and "old table" not in out2
