@@ -32,78 +32,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # their value-parity guarantee via tests/test_full_parity.py at
 # sf0.001 and tools/check_parity.py runs at larger SFs.
 _PRIORITY = [
-    # r14 window = (a) ops whose executed code changed this round
-    # (must re-earn a driver row): the count-first CMS cell build
-    # (cms_cells), the shingle-stage parallelism spread
-    # (dedup.spread_low_parallelism — every minhash/jaccard consumer),
-    # the keyed gates (commit_epoch_fused bulk-branch restructure +
-    # sweep-ordering hoist), and the graph ops (edge-parameterized
-    # core split + oracle-builder parameterization); (b) the ENTIRE
-    # owed r10-stale refresh — all 40 names, clearing the rotation
-    # debt: after a green r14 no entry's newest driver row predates
-    # r11. (a)+(b) is exactly 50. stream_semdedup is NOT in (a): its
-    # executed path (commit_epoch_flat brute arm) did not change —
-    # only its module sibling's timeout label did.
-    # (a) code changed in r14
-    "token_freq_cms",           # count-first cms_cells
-    "stream_token_cms",         # count-first cms_cells (merge twin)
-    "stream_dedup_docs",        # fused-commit restructure + shingle spread
-    "stream_novelty_docs",      # fused-commit restructure
-    "stream_semdedup_lsh",      # fused-commit restructure + label fix
-    "knn_pagerank",             # pagerank_from_edges core split
-    "knn_triangles",            # triangles_from_edges core split
-    "dedup_ngram_jaccard",      # shingle-stage spread (PPJoin site)
-    "dedup_minhash_lsh",        # shingle-stage spread
-    "dedup_incremental",        # shingle-stage spread (minhash path)
-    # (b) the complete owed r10-stale refresh (rotation_audit order)
-    "q1_latest_tick",
-    "q5_daily_ohlcv",
-    "q8_token_stats",
-    "trailing_activity_range",
-    "event_type_unpivot",
-    "event_type_pivot",
-    "union_nationkeys",
-    "forecast_revenue",
-    "customer_order_distribution",
-    "large_orders",
-    "disjunctive_revenue",
-    "supplier_late_blame",
-    "idle_rich_customers",
-    "important_brands",
-    "dominant_part_suppliers",
-    "dedup_clusters",
-    "dedup_clusters_minhash",
-    "dedup_survivors",
-    "kmeans_refine",
-    "kmeans_assign",
-    "ann_lsh_topk_amplified",
-    "ann_topk_quantized",
-    "text_tokenize_regex",
-    "text_quality",
-    "text_lang_stats",
-    "event_transitions",
-    "decontaminate_ngrams",
-    "decontaminate_hashed",
-    "decontaminate_fingerprint",
-    "chunk_documents",
-    "doc_unigram_logprob",
-    "doc_bigram_logprob",
-    "dedup_embedding_fast",
-    "knn_graph",
-    "knn_graph_ivf",
-    "distinct_tokens_approx",
-    "distinct_users_theta",
-    "distinct_users_hll",
-    "decode_ticks_enriched",
-    "decode_ticks",
-    # exactly 50 entries above — the driver gate stops there. With
-    # the r10 cohort fully re-earned this round, the r15 rotation
-    # debt is the r11 cohort (40 names — run tools/rotation_audit.py
-    # for the exact latest-green-per-name table), PLUS two r14
-    # changed-code entries the full window could not absorb:
-    # text_fingerprint and doc_containment (the barrier-spread perf
-    # fix; both re-verified green at sf0.01 AND sf0.1 this round —
-    # see the r14 commit log), plus whatever r15 changes.
+    # r15 window = (a) ops whose executed code changed this round:
+    # the deterministic content-derived salt in salted_group_sum
+    # (ADVICE r14 — both registry consumers), the new leakage-safe
+    # clustered split (VERDICT r15 #5), the fused sig+bands epoch
+    # checkpoint in the keyed doc gate (VERDICT r15 #6), and every
+    # consumer of the _band_keys -> _band_array refactor that
+    # backs the fusion; (b) the complete owed r11-stale refresh —
+    # all 40 names (which already include the two r14 out-of-window
+    # changed entries text_fingerprint and doc_containment); (c) two
+    # get-ahead slots from the r12 cohort. (a)+(b)+(c) = exactly 50.
+    # (a) code changed in r15
+    "salted_user_stats",        # content-derived salt (ADVICE r14)
+    "skewed_hot_user_stats",    # content-derived salt (ADVICE r14)
+    "dataset_split_clustered",  # NEW: leakage-safe split per cluster
+    "stream_dedup_docs",        # fused sig+bands epoch checkpoint
+    "dedup_minhash_lsh",        # _band_keys -> _band_array refactor
+    "dedup_incremental",        # _band_keys -> _band_array refactor
+    "dedup_clusters_minhash",   # consumes dedup_minhash_lsh pairs
+    "dedup_survivors",          # consumes dedup_minhash_lsh pairs
+    # (b) the complete owed r11-stale refresh (rotation_audit order)
+    "ship_latency_classes",
+    "small_qty_revenue",
+    "min_cost_suppliers",
+    "local_supplier_volume",
+    "market_share",
+    "top_supplier_revenue",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_recall_audit",
+    "ann_topk_cosine",
+    "ann_lsh_topk",
+    "doc_containment",
+    "text_fingerprint",
+    "fuzzy_prefix_pairs",
+    "event_type_funnel",
+    "event_sliding_windows",
+    "frame_sample",
+    "pipeline_e2e",
+    "doc_repetition",
+    "dataset_split",
+    "corpus_top_tokens",
+    "cap_per_source",
+    "span_dedup_corpus",
+    "source_overlap_matrix",
+    "span_dedup_rewrite",
+    "bpe_merge_pairs",
+    "bpe_train",
+    "bpe_encode",
+    "vocab_oov_rate",
+    "vocab_coverage_curve",
+    "asof_price_lookup",
+    "max_drawdown",
+    "rolling_volatility",
+    "ann_topk_fast",
+    "distinct_tokens",
+    "top_tokens_sketch",
+    "price_quantiles_kll",
+    "epoch_cap_events",
+    "daily_bars_rollup",
+    # (c) get-ahead: the two oldest r12-cohort names (registry order)
+    "customer_order_ranks",
+    "customer_balance_quartiles",
+    # exactly 50 entries above — the driver gate stops there. After a
+    # green r15 no entry's newest driver row predates r12; the r16
+    # rotation debt is the remaining r12 cohort (39 names — run
+    # tools/rotation_audit.py for the exact table) plus whatever r16
+    # changes.
 ]
 
 

@@ -456,35 +456,43 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_array():
+    """array<struct<band,band_key>> over signature columns h0..hN —
+    the banding md5s as ONE un-exploded column expression, so a
+    caller can compute it INSIDE a checkpointed frame (the streaming
+    gate fuses it into the signature checkpoint: one eager job
+    materializes minhash AND band md5s; every downstream consumer of
+    the banded view pays only the explode) while :func:`_band_keys`
+    keeps the exploded relational shape."""
+    rows_per_band = N_MINHASH // N_BANDS
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{bi * rows_per_band + r}").cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for bi in range(N_BANDS)
+        ]
+    )
+
+
 def _band_keys(sig: DataFrame) -> DataFrame:
     """(doc_id, band, band_key) — N_BANDS banded keys per signature
     row; band_key = md5 of the band's signature values. Shared by
     :func:`dedup_minhash_lsh` (full self-join) and
     :func:`dedup_incremental` (new-batch-vs-index join)."""
-    rows_per_band = N_MINHASH // N_BANDS
     return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(
-                                        f"h{bi * rows_per_band + r}"
-                                    ).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for bi in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", F.explode(_band_array()).alias("bk")
     ).select("doc_id", "bk.band", "bk.band_key")
 
 
@@ -933,6 +941,78 @@ def dedup_survivors(
     )
 
 
+def split_by_cluster(docs: DataFrame, components: DataFrame) -> DataFrame:
+    """Core of :func:`dataset_split_clustered`: train/val/test
+    assignment hashed on the near-dup CLUSTER id, so every member of
+    a cluster of mutual near-duplicates lands in the SAME split.
+    ``docs`` needs a ``doc_id`` column; ``components`` is a
+    ``(doc_id, cluster_id)`` frame (docs absent from it are singleton
+    clusters of themselves). The bucket hash is the same
+    engine-portable md5 device as ``curation.dataset_split`` — only
+    the hash INPUT changes (cluster_id, salted 'dsc:' so the two
+    splits are independent)."""
+    from angelone_clickhouse_spark.operators.curation import (
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    full = docs.select("doc_id").join(
+        components.select("doc_id", "cluster_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('dsc:', cast(cluster_id as"
+        " string))), 1, 15), 16, 10) as bigint) % 100"
+    )
+    return full.select(
+        "doc_id", "cluster_id", bucket.alias("bucket")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        "bucket",
+        F.when(F.col("bucket") < TRAIN_PCT, "train")
+        .when(F.col("bucket") < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def dataset_split_clustered(
+    spark: SparkSession,
+    sf_dir: str,
+    components: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment is hashed per
+    near-dup CLUSTER (MinHash-LSH connected components — the 100 TB
+    pair-generation path), not per document, so no near-duplicate
+    pair can straddle the train/eval boundary. That straddle is the
+    eval-contamination mode a per-doc hash split
+    (``curation.dataset_split``) cannot prevent: two 99%-identical
+    documents hash independently and land in train and test ~2×
+    train_frac·test_frac of the time, silently inflating eval scores.
+
+    Scale shape: the cluster pass is the already-bounded LSH
+    band-bucket components; the split itself adds ONE left join of
+    the corpus against the clustered-doc set (no broadcast hint on
+    purpose — clustered docs are usually ≪ corpus and AQE converts
+    at runtime, but a heavily duplicated crawl can cluster half its
+    docs, where a forced broadcast would be the scale bug) and zero
+    further shuffles — the hash/bucket/split is projection-only,
+    exactly like the per-doc split. ``components`` accepts a precomputed
+    :func:`minhash_components` frame so a pipeline pays the LSH pass
+    once across this, :func:`dedup_clusters_minhash` and
+    :func:`dedup_survivors`."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = (
+        components
+        if components is not None
+        else minhash_components(spark, sf_dir, checkpoint_dir)
+    )
+    return split_by_cluster(docs, comp)
+
+
 # --- SimHash ----------------------------------------------------------------
 SIMHASH_BITS = 60  # 15 hex chars of md5: cross-engine-identical word hash
 SIMHASH_CHUNKS = 4  # 4 x 15-bit bands
@@ -1088,6 +1168,7 @@ QUERIES = {
     "dedup_clusters_minhash": dedup_clusters_minhash,
     "dedup_survivors": dedup_survivors,
     "dedup_incremental": dedup_incremental,
+    "dataset_split_clustered": dataset_split_clustered,
 }
 
 def ngram_jaccard_oracle_sql(bound: int = DEEP_GROUP_BOUND) -> str:
@@ -1408,6 +1489,53 @@ SELECT doc_id, cluster_id,
        rn = 1 AS is_survivor
 FROM ranked
 """
+
+def _split_clustered_oracle_sql() -> str:
+    """DuckDB twin of :func:`dataset_split_clustered`: the recursive
+    transitive closure over the MinHash-LSH pair oracle (same comp
+    CTE as dedup_clusters_minhash), singleton-coalesced over the full
+    corpus, then the portable md5 bucket hashed on cluster_id."""
+    from angelone_clickhouse_spark.operators.curation import (
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash_lsh"]})
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+fullset AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substring(md5('dsc:' || CAST(cluster_id AS VARCHAR)),
+                            1, 15))::BIGINT % 100 AS bucket
+  FROM fullset
+)
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+ORACLES["dataset_split_clustered"] = _split_clustered_oracle_sql()
 
 ORACLES["dedup_clusters_minhash"] = f"""
 WITH RECURSIVE pairs AS (

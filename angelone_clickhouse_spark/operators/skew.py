@@ -34,8 +34,17 @@ def salted_group_sum(
     re-merge is inferred from the aggregate's name prefix:
     sum_*/count_* merge with sum, min_* with min, max_* with max.
     """
+    # The salt must be a DETERMINISTIC function of the row (ADVICE
+    # r14, mirroring the udaf_user_stats fix): feeding
+    # monotonically_increasing_id() into the (key, _salt) shuffle
+    # means a stage retry can re-salt recomputed rows relative to
+    # already-fetched map output — the classic double-count/drop
+    # hazard. Hashing the full row content reproduces identical salts
+    # on any recompute while still spreading a hot key whose rows
+    # differ in their other columns.
     salted = df.withColumn(
-        "_salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % n_salts)
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
     )
     partial = salted.groupBy(key, "_salt").agg(
         *[c.alias(name) for name, c in aggs.items()]

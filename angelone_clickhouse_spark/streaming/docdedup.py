@@ -328,7 +328,6 @@ def make_docdedup_epoch_writer(
     keyed store."""
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
-        from angelone_clickhouse_spark.operators.dedup import _band_keys
         from angelone_clickhouse_spark.streaming.keyed_index import (
             collect_pks,
             commit_epoch_fused,
@@ -351,11 +350,23 @@ def make_docdedup_epoch_writer(
             )
 
             expire_epochs_keyed(index_dir, epoch_id - retention_epochs)
-        sig = minhash_signatures(batch).localCheckpoint(eager=True)
-        # one banding pass per epoch: the checkpointed banded frame
-        # feeds the partition-set collect, the collision probe AND
-        # the keyed commit (it used to be recomputed by all three)
-        bn = _band_keys(sig).localCheckpoint(eager=True)
+        # ONE eager checkpoint job per epoch materializes minhash AND
+        # the banding md5s together (VERDICT r14 #6: the old shape
+        # ran two serial checkpoint jobs — sig, then bn over sig).
+        # The banded view is an explode over the in-memory parent, so
+        # the partition-set collect, the collision probe and the
+        # keyed commit still pay the expensive md5s exactly once.
+        from angelone_clickhouse_spark.operators.dedup import _band_array
+
+        sig_b = (
+            minhash_signatures(batch)
+            .withColumn("_bands", _band_array())
+            .localCheckpoint(eager=True)
+        )
+        sig = sig_b.drop("_bands")
+        bn = sig_b.select(
+            "doc_id", F.explode("_bands").alias("bk")
+        ).select("doc_id", "bk.band", "bk.band_key")
         pks = collect_pks(bn, pk_of_band())
         stored = read_keyed(spark, index_dir, KEYED_SIG_SCHEMA, pks=pks)
         verdicts, kept_sig = dedup_epoch_keyed(batch, sig, stored, bn=bn)

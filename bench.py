@@ -98,8 +98,31 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
+    # Interleaved canary sampling (VERDICT r14 #8): the r14 round
+    # showed start/end-only canaries under-sample a run whose load
+    # drifts mid-way (loadavg 3 -> 5 with the edge canaries flat), so
+    # every sample now carries a wall-clock offset and the 1-min
+    # loadavg at sample time, and extra samples are taken every
+    # CANARY_EVERY queries WITHIN each pass — a mid-run spike becomes
+    # attributable to the query group it overlapped.
+    bench_start = time.time()
+    canary_samples: list[dict] = []
+
+    def _canary_sample() -> float:
+        s = _canary()
+        canary_samples.append(
+            {
+                "at_s": round(time.time() - bench_start, 1),
+                "secs": s,
+                "load1": round(os.getloadavg()[0], 2),
+            }
+        )
+        return s
+
+    CANARY_EVERY = 40  # queries between mid-pass samples
+
     _canary()  # untimed: pays plan compilation once
-    canary_runs = [_canary()]
+    canary_runs = [_canary_sample()]
 
     run_arrays: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
@@ -107,7 +130,12 @@ def main() -> None:
     registry = list(entrymod.queries().items())
     # interleaved passes: every query once per pass (see module doc)
     for _pass in range(RUNS):
-        for name, fn in registry:
+        for qi, (name, fn) in enumerate(registry):
+            if qi and qi % CANARY_EVERY == 0:
+                # mid-pass box sample; not part of canary_median's
+                # per-pass cadence contract, but same fixed work —
+                # include it (more points, better median)
+                canary_runs.append(_canary_sample())
             if name in failures:
                 continue
             t0 = time.time()
@@ -119,7 +147,7 @@ def main() -> None:
                 )
             except Exception as e:  # noqa: BLE001 — record, keep benching
                 failures[name] = f"{type(e).__name__}: {e}"
-        canary_runs.append(_canary())  # one canary point per pass
+        canary_runs.append(_canary_sample())  # one point per pass end
     # a query is either timed (all runs succeeded) or failed — never
     # both, so the summary total and n_failures stay disjoint
     for name in failures:
@@ -402,10 +430,15 @@ def main() -> None:
         # two-job path on a ~|events|-row epoch (VERDICT r13 #6)
         "keyed_commit_secs": keyed_commit,
         # noise canary (see _canary above): fixed constant-work query,
-        # 1 warm point + 1 per pass. Compare canary_median across
-        # rounds FIRST — if it moved, the round's deltas are weather.
+        # 1 warm point + 1 per CANARY_EVERY queries + 1 per pass.
+        # Compare canary_median across rounds FIRST — if it moved,
+        # the round's deltas are weather.
         "canary_run_secs": canary_runs,
         "canary_median": canary_median,
+        # every canary point with its wall-clock offset + 1-min
+        # loadavg at sample time (VERDICT r14 #8): mid-run load
+        # spikes are attributable to the query group they overlapped
+        "canary_samples": canary_samples,
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         # queries whose interleaved runs spread > VARIANCE_RATIO: their

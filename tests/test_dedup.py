@@ -391,3 +391,83 @@ def test_spread_barrier_defeats_filter_pushdown(spark):
         spark.sparkContext.defaultParallelism
     )
     assert hashed.count() == 500
+
+
+def test_clustered_split_no_lsh_pair_straddles(spark, sf_dir):
+    """The whole point of dataset_split_clustered: no MinHash-LSH
+    near-dup pair may straddle the train/val/test boundary. Checked
+    against the live LSH pair set at fixture scale (the fixture
+    plants real near-duplicates, so the pair set is non-empty)."""
+    from angelone_clickhouse_spark.operators.dedup import (
+        dataset_split_clustered,
+        dedup_minhash_lsh,
+    )
+
+    splits = dataset_split_clustered(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    assert pairs.count() > 0
+    joined = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "doc_a",
+        ).join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "doc_b",
+        )
+    )
+    assert joined.filter("split_a <> split_b").count() == 0
+
+
+def test_split_by_cluster_planted_pair_cannot_straddle(spark):
+    """A planted near-dup pair chosen so the PER-DOC hash split
+    provably separates it (doc 2 -> train bucket 53, doc 23 -> test
+    bucket 90 under the 'ds:' md5 device) must land in ONE split
+    under the clustered assignment — the exact leakage mode the
+    per-doc split cannot prevent."""
+    import hashlib
+
+    from angelone_clickhouse_spark.operators.curation import (
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+    from angelone_clickhouse_spark.operators.dedup import split_by_cluster
+
+    def doc_bucket(i: int) -> int:
+        return (
+            int(hashlib.md5(f"ds:{i}".encode()).hexdigest()[:15], 16) % 100
+        )
+
+    # re-assert the planted choice instead of trusting the comment
+    assert doc_bucket(2) < TRAIN_PCT and doc_bucket(23) >= TRAIN_PCT + VAL_PCT
+
+    docs = spark.createDataFrame(
+        [(2, "a b c d e f g h"), (23, "a b c d e f g X"), (7, "lone doc")],
+        "doc_id long, text string",
+    )
+    comp = spark.createDataFrame(
+        [(2, 2), (23, 2)], "doc_id long, cluster_id long"
+    )
+    out = {
+        r.doc_id: r for r in split_by_cluster(docs, comp).collect()
+    }
+    assert out[2].split == out[23].split  # the pair cannot straddle
+    assert out[2].cluster_id == out[23].cluster_id == 2
+    # the singleton coalesces to its own id and still gets a split
+    assert out[7].cluster_id == 7 and out[7].split in {
+        "train", "val", "test"
+    }
+    # determinism: same inputs, same assignment, bit for bit
+    again = {
+        r.doc_id: r for r in split_by_cluster(docs, comp).collect()
+    }
+    assert {k: (v.bucket, v.split) for k, v in out.items()} == {
+        k: (v.bucket, v.split) for k, v in again.items()
+    }

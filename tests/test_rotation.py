@@ -68,3 +68,14 @@ def test_rewrite_coverage_tolerates_last_section(tmp_path):
     assert rewrite_coverage(rows, None, 13, qs, path=str(p2)) == 0
     out2 = p2.read_text()
     assert "`q_b` | r10 | no" in out2 and "old table" not in out2
+    # case 3 (ADVICE r14): final section AND no trailing newline —
+    # the old len(text)-1 fallback mis-sliced the tail; nothing from
+    # the old table may leak after the regenerated one
+    p3 = tmp_path / "cov_last_no_nl.md"
+    p3.write_text(
+        "# COVERAGE\n\nintro\n\n## Registry status\n\nold table"
+    )
+    assert rewrite_coverage(rows, None, 13, qs, path=str(p3)) == 0
+    out3 = p3.read_text()
+    assert "`q_a` | r13 | yes" in out3 and "old table" not in out3
+    assert out3.rstrip("\n").endswith("| no |") and out3.endswith("\n")

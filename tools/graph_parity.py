@@ -60,9 +60,17 @@ def run_graph_parity(spark, sf_dir: str) -> list[str]:
     print(f"edge fixture built by blocked kNN in {time.time()-t0:.1f}s "
           f"-> {fixture}")
 
-    edges = spark.read.schema("src_id long, neighbor_id long").parquet(
-        fixture
-    )
+    # No forced schema (ADVICE r14): both engines must consume the
+    # fixture's written types verbatim, so an id-type drift in
+    # knn_graph surfaces as an explicit assertion here instead of a
+    # confusing value-diff downstream.
+    edges = spark.read.parquet(fixture)
+    expected = {"src_id": "bigint", "neighbor_id": "bigint"}
+    actual = dict(edges.dtypes)
+    if actual != expected:
+        raise AssertionError(
+            f"edge fixture schema drifted: {actual} != {expected}"
+        )
     nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
     edges_sql = (
         f"SELECT src_id, neighbor_id "

@@ -89,6 +89,19 @@ def run_names(names: list[str]) -> None:
     from angelone_clickhouse_spark.session import get_spark
     from tools.check_parity import run_parity
 
+    # ADVICE r14: run_parity(only={name}) silently skips names the
+    # registry doesn't know, so a typo'd name would ledger as a green
+    # row backed by zero runs. Fail fast instead.
+    import __spark_entry__ as entrymod
+
+    registry = set(entrymod.queries())
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        raise SystemExit(
+            f"parity_report: names not in __spark_entry__.queries(): "
+            f"{unknown}"
+        )
+
     spark = get_spark()
     ledger = _load()
     for name in names:
