@@ -35,10 +35,10 @@ _PRIORITY = [
     # r15 window = (a) ops whose executed code changed this round:
     # the deterministic content-derived salt in salted_group_sum
     # (ADVICE r14 — both registry consumers), the new leakage-safe
-    # clustered split (VERDICT r15 #5), the fused sig+bands epoch
-    # checkpoint in the keyed doc gate (VERDICT r15 #6), and every
-    # consumer of the _band_keys -> _band_array refactor that
-    # backs the fusion; (b) the complete owed r11-stale refresh —
+    # clustered split (VERDICT r15 #5), the keyed doc gate (the
+    # VERDICT r15 #6 checkpoint fusion was tried, measured 2.5x
+    # slower, and reverted — see ROUND15.md), and every consumer of
+    # the _band_keys -> _band_array refactor; (b) the complete owed r11-stale refresh —
     # all 40 names (which already include the two r14 out-of-window
     # changed entries text_fingerprint and doc_containment); (c) two
     # get-ahead slots from the r12 cohort. (a)+(b)+(c) = exactly 50.
@@ -46,7 +46,7 @@ _PRIORITY = [
     "salted_user_stats",        # content-derived salt (ADVICE r14)
     "skewed_hot_user_stats",    # content-derived salt (ADVICE r14)
     "dataset_split_clustered",  # NEW: leakage-safe split per cluster
-    "stream_dedup_docs",        # fused sig+bands epoch checkpoint
+    "stream_dedup_docs",        # fusion tried+reverted (measured)
     "dedup_minhash_lsh",        # _band_keys -> _band_array refactor
     "dedup_incremental",        # _band_keys -> _band_array refactor
     "dedup_clusters_minhash",   # consumes dedup_minhash_lsh pairs

@@ -1237,6 +1237,16 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label"
     )
     g = knn_graph(spark, sf_dir)
+    return purity_from_edges(g, labels)
+
+
+def purity_from_edges(g: DataFrame, labels: DataFrame) -> DataFrame:
+    """Edge-parameterized core of :func:`knn_label_purity` (same
+    split as ``pagerank_from_edges`` / ``triangles_from_edges``): the
+    sf1.0 shared-edge-fixture arm (tools/graph_parity.py) feeds both
+    engines the same materialized edge list, so the purity rollup is
+    value-checkable at scales where the exact-kNN oracle is
+    intractable."""
     src_l = labels.select(
         F.col("vec_id").alias("src_id"), F.col("label").alias("src_label")
     )
@@ -1847,8 +1857,16 @@ LEFT JOIN deg d ON d.v = n.vec_id
 LEFT JOIN tri t ON t.v = n.vec_id
 """
 
-_KNN_PURITY_ORACLE_SQL = f"""
-WITH knn AS ({_KNN_ORACLE_SQL}),
+def _knn_purity_oracle_sql(edges_sql: str | None = None) -> str:
+    """DuckDB spelling of :func:`knn_label_purity`; ``edges_sql``
+    swaps the edge source exactly as in
+    :func:`_knn_pagerank_oracle_sql`."""
+    if edges_sql is None:
+        edges_sql = (
+            f"SELECT src_id, neighbor_id FROM ({_KNN_ORACLE_SQL}) k"
+        )
+    return f"""
+WITH knn AS ({edges_sql}),
 l AS (SELECT vec_id, label FROM embeddings)
 SELECT k.src_id,
        sl.label,
@@ -1877,7 +1895,7 @@ def _shared_oracles() -> dict[str, str]:
         "knn_graph": _KNN_ORACLE_SQL,
         "knn_pagerank": _knn_pagerank_oracle_sql(),
         "knn_triangles": _knn_triangles_oracle_sql(),
-        "knn_label_purity": _KNN_PURITY_ORACLE_SQL,
+        "knn_label_purity": _knn_purity_oracle_sql(),
         "knn_graph_ann": _knn_ann_oracle_sql(
             KNN_ANN_FLIPS, KNN_ANN_TABLES
         ),

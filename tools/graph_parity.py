@@ -1,9 +1,10 @@
 """Shared-edge-fixture value parity for the kNN graph analytics.
 
-VERDICT r13 #5: `knn_pagerank` / `knn_triangles` were the last two
-registry entries whose 10x (sf1.0) coverage was bench-only, because
-their DuckDB oracles embed the exact-kNN oracle — an O(n²) cross join
-re-scoring ~4x10^8 64-dim pairs at sf1.0, intractable for the checker.
+VERDICT r13 #5: `knn_pagerank` / `knn_triangles` (and, since r15,
+`knn_label_purity`) are the registry entries whose 10x (sf1.0)
+coverage was bench-only, because their DuckDB oracles embed the
+exact-kNN oracle — an O(n²) cross join re-scoring ~4x10^8 64-dim
+pairs at sf1.0, intractable for the checker.
 But the kNN edge CONTRACT is already value-certified (knn_graph is
 oracle-green at the driver gate and at sf0.1); what these two ops OWN
 is the graph math on top. This harness value-checks exactly that part
@@ -41,9 +42,11 @@ def run_graph_parity(spark, sf_dir: str) -> list[str]:
     """Returns the failing query names ([] = all matched)."""
     from angelone_clickhouse_spark.operators.embedding_fast import (
         _knn_pagerank_oracle_sql,
+        _knn_purity_oracle_sql,
         _knn_triangles_oracle_sql,
         knn_graph,
         pagerank_from_edges,
+        purity_from_edges,
         triangles_from_edges,
     )
     from angelone_clickhouse_spark.sources.tables import load_table
@@ -94,6 +97,15 @@ def run_graph_parity(spark, sf_dir: str) -> list[str]:
         "knn_triangles": (
             lambda: triangles_from_edges(edges, nodes),
             _knn_triangles_oracle_sql(edges_sql=edges_sql),
+        ),
+        "knn_label_purity": (
+            lambda: purity_from_edges(
+                edges,
+                load_table(spark, sf_dir, "embeddings").select(
+                    "vec_id", "label"
+                ),
+            ),
+            _knn_purity_oracle_sql(edges_sql=edges_sql),
         ),
     }
     failures = []

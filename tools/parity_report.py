@@ -64,8 +64,11 @@ SF1_NAMES = [
     # curation / sketches / layout
     "dsir_weights", "decontaminate_bloom", "token_freq_cms",
     "stream_token_cms", "zorder_layout", "zorder_prune_stats",
+    # volume-sensitive newcomers (VERDICT r14 #7): the e2e funnel,
+    # the time-interval join, and the r15 cluster-keyed split
+    "pipeline_e2e", "tick_interval_join", "dataset_split_clustered",
 ]
-GRAPH_NAMES = ["knn_pagerank", "knn_triangles"]
+GRAPH_NAMES = ["knn_pagerank", "knn_triangles", "knn_label_purity"]
 
 
 def _load() -> dict:
