@@ -92,9 +92,10 @@ _PRIORITY = [
     "price_quantiles_kll",
     "epoch_cap_events",
     "daily_bars_rollup",
-    # (c) get-ahead: the two oldest r12-cohort names (registry order)
+    # (a continued) second new r15 op
+    "split_leakage_audit",      # NEW: straddle-rate audit of both splits
+    # (c) get-ahead: the oldest r12-cohort name (registry order)
     "customer_order_ranks",
-    "customer_balance_quartiles",
     # exactly 50 entries above — the driver gate stops there. After a
     # green r15 no entry's newest driver row predates r12; the r16
     # rotation debt is the remaining r12 cohort (39 names — run

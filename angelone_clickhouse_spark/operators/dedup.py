@@ -978,6 +978,97 @@ def split_by_cluster(docs: DataFrame, components: DataFrame) -> DataFrame:
     )
 
 
+def split_leakage_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    components: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Eval-contamination audit: for each split scheme — per-doc hash
+    (``curation.dataset_split``) vs per-cluster hash
+    (:func:`dataset_split_clustered`) — how many near-dup pairs
+    (MinHash-LSH, the production pair set) STRADDLE two different
+    splits. One row per scheme with pair counts and the straddle rate
+    in exact milli units; the clustered row measuring 0 is the
+    enforced invariant (both endpoints of any pair share a connected
+    component by construction), the per-doc row is the leakage a
+    pipeline ships if it hashes doc ids — the number this audit
+    exists to put in the run report.
+
+    Scale shape: the pair set is the already-bounded LSH output; the
+    audit adds two joins of pairs against narrow (doc_id, split)
+    projections and a 2-group aggregate — no new corpus-wide work."""
+    from angelone_clickhouse_spark.operators.curation import (
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    # ONE LSH pass: the pair set is checkpointed by the components
+    # pass anyway (connected_components localCheckpoints its edge
+    # input), so both the straddle join and the clustering consume
+    # the same materialized pairs instead of re-running
+    # shingle->minhash->band twice.
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    )
+
+    def _split_when(bucket):
+        return (
+            F.when(bucket < TRAIN_PCT, "train")
+            .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+            .otherwise("test")
+        )
+
+    doc_bucket = F.expr(
+        "cast(conv(substring(md5(concat('ds:', cast(doc_id as"
+        " string))), 1, 15), 16, 10) as bigint) % 100"
+    )
+    per_doc = docs.select(
+        "doc_id", _split_when(doc_bucket).alias("split")
+    )
+    clustered = split_by_cluster(docs, comp).select("doc_id", "split")
+
+    def _straddles(splits: DataFrame, scheme: str) -> DataFrame:
+        j = pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "doc_a",
+        ).join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "doc_b",
+        )
+        return j.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("split_a") != F.col("split_b")).cast("long")
+            ).alias("n_straddle"),
+        ).select(
+            F.lit(scheme).alias("scheme"),
+            "n_pairs",
+            "n_straddle",
+            F.expr("(1000 * n_straddle) div n_pairs").alias(
+                "straddle_milli"
+            ),
+        )
+
+    return _straddles(per_doc, "per_doc").unionByName(
+        _straddles(clustered, "per_cluster")
+    )
+
+
 def dataset_split_clustered(
     spark: SparkSession,
     sf_dir: str,
@@ -1169,6 +1260,7 @@ QUERIES = {
     "dedup_survivors": dedup_survivors,
     "dedup_incremental": dedup_incremental,
     "dataset_split_clustered": dataset_split_clustered,
+    "split_leakage_audit": split_leakage_audit,
 }
 
 def ngram_jaccard_oracle_sql(bound: int = DEEP_GROUP_BOUND) -> str:
@@ -1536,6 +1628,79 @@ FROM b
 
 
 ORACLES["dataset_split_clustered"] = _split_clustered_oracle_sql()
+
+
+def _split_leakage_oracle_sql() -> str:
+    """DuckDB twin of :func:`split_leakage_audit`: the LSH pair
+    oracle + the components closure, both split assignments replayed
+    inline, then the two one-row straddle aggregates."""
+    from angelone_clickhouse_spark.operators.curation import (
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    case = (
+        f"CASE WHEN b < {TRAIN_PCT} THEN 'train' "
+        f"WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END AS split"
+    )
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLES["dedup_minhash_lsh"]})
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+fullset AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+sp_doc AS (
+  SELECT doc_id, {case} FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5('ds:' || CAST(doc_id AS VARCHAR)),
+                              1, 15))::BIGINT % 100 AS b
+    FROM documents)
+),
+sp_cl AS (
+  SELECT doc_id, {case} FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5('dsc:' || CAST(cluster_id AS VARCHAR)),
+                              1, 15))::BIGINT % 100 AS b
+    FROM fullset)
+),
+aud AS (
+  SELECT 'per_doc' AS scheme, count(*) AS n_pairs,
+         sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS n_straddle
+  FROM pairs p
+  JOIN sp_doc a ON a.doc_id = p.doc_a
+  JOIN sp_doc b ON b.doc_id = p.doc_b
+  UNION ALL
+  SELECT 'per_cluster' AS scheme, count(*) AS n_pairs,
+         sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS n_straddle
+  FROM pairs p
+  JOIN sp_cl a ON a.doc_id = p.doc_a
+  JOIN sp_cl b ON b.doc_id = p.doc_b
+)
+SELECT scheme,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_straddle AS BIGINT) AS n_straddle,
+       CAST((1000 * n_straddle) // n_pairs AS BIGINT) AS straddle_milli
+FROM aud
+"""
+
+
+ORACLES["split_leakage_audit"] = _split_leakage_oracle_sql()
 
 ORACLES["dedup_clusters_minhash"] = f"""
 WITH RECURSIVE pairs AS (

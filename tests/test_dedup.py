@@ -471,3 +471,26 @@ def test_split_by_cluster_planted_pair_cannot_straddle(spark):
     assert {k: (v.bucket, v.split) for k, v in out.items()} == {
         k: (v.bucket, v.split) for k, v in again.items()
     }
+
+
+def test_split_leakage_audit_invariant_and_planted(spark, sf_dir):
+    """The audit's two contracted facts: the per-cluster row measures
+    ZERO straddles (invariant by construction — both endpoints of any
+    LSH pair share a component), and both rows count the same pair
+    set. The per-doc row is data-dependent; at fixture scale it may
+    or may not catch a straddling pair, so the test asserts the
+    CONTRACT (0 <= n_straddle <= n_pairs) rather than a value — the
+    value is pinned cross-engine by the driver oracle."""
+    from angelone_clickhouse_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        split_leakage_audit,
+    )
+
+    rows = {r.scheme: r for r in split_leakage_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"per_doc", "per_cluster"}
+    n_pairs = dedup_minhash_lsh(spark, sf_dir).count()
+    assert rows["per_doc"].n_pairs == n_pairs
+    assert rows["per_cluster"].n_pairs == n_pairs
+    assert rows["per_cluster"].n_straddle == 0
+    assert rows["per_cluster"].straddle_milli == 0
+    assert 0 <= rows["per_doc"].n_straddle <= n_pairs

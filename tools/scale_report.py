@@ -60,6 +60,10 @@ def main() -> int:
         "check (VERDICT r5 #2). Same code, same session config. sf1.0 =",
         "`tools/make_sf1.py` (10x fact replication of sf0.1, FK-consistent,",
         "32 files per fact so row-group parallelism matches a real table).",
+        "BOTH inputs are builder runs; per the r15 convention",
+        "(ROUND15.md) the driver's BENCH_r{N}.json stays the artifact",
+        "of record for sf0.1 totals — this file's job is the RATIO",
+        "between the two SFs measured on one box in one session.",
         f"sf0.1 numbers are {a.get('bench_runs', 3)}-run medians"
         f" (bench_full.json); sf1.0 numbers are"
         f" {b.get('bench_runs', 1)}-run medians (bench_sf1_full.json).",
