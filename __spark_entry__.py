@@ -92,10 +92,9 @@ _PRIORITY = [
     "price_quantiles_kll",
     "epoch_cap_events",
     "daily_bars_rollup",
-    # (a continued) second new r15 op
+    # (a continued) second and third new r15 ops
     "split_leakage_audit",      # NEW: straddle-rate audit of both splits
-    # (c) get-ahead: the oldest r12-cohort name (registry order)
-    "customer_order_ranks",
+    "pack_sequences",           # NEW: two-level prefix-sum packing
     # exactly 50 entries above — the driver gate stops there. After a
     # green r15 no entry's newest driver row predates r12; the r16
     # rotation debt is the remaining r12 cohort (39 names — run

@@ -161,6 +161,82 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512  # tokens per packed training sequence
+PACK_BUCKET = 100  # doc_ids per prefix-sum bucket (see scale note)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus's tokens in
+    doc_id order and chop the stream into PACK_BUDGET-token training
+    sequences. Each document gets its global token offset, the
+    sequence it starts in, its position inside that sequence, and
+    whether it straddles a sequence boundary (real pipelines let docs
+    straddle — the chop truncates across windows; this op computes
+    the exact layout a writer would materialize).
+
+    Scale shape — the whole point of this op: the naive spelling is
+    ``sum(n_tokens) OVER (ORDER BY doc_id)``, a GLOBAL window that
+    funnels the corpus through ONE task — the 100 TB scale killer.
+    The global prefix sum here is two-level instead:
+
+    1. per-bucket token totals (bucket = doc_id div PACK_BUCKET): one
+       map-side-combined shuffle whose key cardinality is
+       |docs|/PACK_BUCKET;
+    2. each bucket's cumulative BASE via a window over the tiny
+       bucket-totals table (|docs|/PACK_BUCKET rows — the one
+       single-partition step, deliberately over data ~PACK_BUCKET×
+       smaller than the corpus), broadcast back;
+    3. the within-bucket running sum via a window PARTITIONED BY
+       bucket (bounded partitions), so no corpus-wide stage is ever
+       single-task.
+
+    offset = bucket_base + within_bucket_cumsum - n_tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias(
+            "n_tokens"
+        ),
+        F.expr(f"doc_id div {PACK_BUCKET}").alias("bucket"),
+    )
+    btot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    wbase = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btok").over(wbase), F.lit(0)).alias("base"),
+    )
+    wrun = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = t.withColumn("cum", F.sum("n_tokens").over(wrun))
+    return (
+        within.join(F.broadcast(base), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("base") + F.col("cum") - F.col("n_tokens")).alias(
+                "offset"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "offset",
+            F.expr(f"offset div {PACK_BUDGET}").alias("seq_id"),
+            F.expr(f"offset % {PACK_BUDGET}").alias("pos_in_seq"),
+            F.expr(
+                f"(offset + n_tokens - 1) div {PACK_BUDGET} >"
+                f" offset div {PACK_BUDGET}"
+            ).alias("crosses_boundary"),
+        )
+    )
+
+
 def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-K vocabulary: token frequency and document frequency
     over the whole corpus (word-count with map-side combine; the top-k
@@ -572,6 +648,7 @@ def doc_bigram_logprob(
 QUERIES = {
     "doc_repetition": doc_repetition,
     "dataset_split": dataset_split,
+    "pack_sequences": pack_sequences,
     "corpus_top_tokens": corpus_top_tokens,
     "doc_length_histogram": doc_length_histogram,
     "doc_unigram_logprob": doc_unigram_logprob,
@@ -685,6 +762,27 @@ SELECT doc_id, lang, bucket,
             WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
             ELSE 'test' END AS split
 FROM b
+""",
+    "pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS "offset"
+  FROM t
+)
+SELECT doc_id, n_tokens, "offset",
+       "offset" // {PACK_BUDGET} AS seq_id,
+       "offset" % {PACK_BUDGET} AS pos_in_seq,
+       ("offset" + n_tokens - 1) // {PACK_BUDGET}
+         > "offset" // {PACK_BUDGET} AS crosses_boundary
+FROM o
 """,
     "corpus_top_tokens": f"""
 WITH toks AS (

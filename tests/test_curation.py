@@ -174,3 +174,53 @@ def test_doc_length_histogram_matches_python_reference(spark, sf_dir):
             r.tokens_share_milli == 1000 * n_toks[r.bucket] // tot_toks
         )
     assert sum(r.n_docs for r in rows) == tot_docs
+
+
+def test_pack_sequences_two_level_equals_naive_global_window(spark, sf_dir):
+    """The two-level prefix sum (bucket totals + within-bucket window)
+    must equal the naive single-partition global cumulative sum it
+    exists to avoid, and the packing invariants must hold: offsets
+    strictly increase in doc_id order, consecutive offsets differ by
+    exactly the previous doc's token count, and crosses_boundary is
+    true iff the doc's token span covers more than one PACK_BUDGET
+    window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from angelone_clickhouse_spark.operators.curation import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+    from angelone_clickhouse_spark.sources.tables import load_table
+
+    got = {r.doc_id: r for r in pack_sequences(spark, sf_dir).collect()}
+
+    docs = load_table(spark, sf_dir, "documents")
+    naive = docs.select(
+        "doc_id",
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("n"),
+    ).select(
+        "doc_id",
+        "n",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    for r in naive.collect():
+        g = got[r.doc_id]
+        assert g.offset == r.offset and g.n_tokens == r.n
+        assert g.seq_id == r.offset // PACK_BUDGET
+        assert g.pos_in_seq == r.offset % PACK_BUDGET
+        assert g.crosses_boundary == (
+            (r.offset + r.n - 1) // PACK_BUDGET > r.offset // PACK_BUDGET
+        )
+    # the stream is gapless: offsets sorted by doc_id tile exactly
+    ordered = sorted(got.values(), key=lambda g: g.doc_id)
+    for a, b in zip(ordered, ordered[1:]):
+        assert b.offset == a.offset + a.n_tokens
+    assert ordered[0].offset == 0

@@ -67,7 +67,7 @@ SF1_NAMES = [
     # volume-sensitive newcomers (VERDICT r14 #7): the e2e funnel,
     # the time-interval join, and the r15 cluster-keyed split
     "pipeline_e2e", "tick_interval_join", "dataset_split_clustered",
-    "split_leakage_audit",
+    "split_leakage_audit", "pack_sequences",
 ]
 GRAPH_NAMES = ["knn_pagerank", "knn_triangles", "knn_label_purity"]
 
