@@ -161,18 +161,28 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PACK_BUDGET = 512  # tokens per packed training sequence
+# shared with pipeline.sequence_pack (the per-source variant) so the
+# two packing spellings can never drift to different budgets
+from angelone_clickhouse_spark.operators.pipeline import PACK_BUDGET
+
 PACK_BUCKET = 100  # doc_ids per prefix-sum bucket (see scale note)
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-style sequence packing: concatenate the corpus's tokens in
-    doc_id order and chop the stream into PACK_BUDGET-token training
-    sequences. Each document gets its global token offset, the
-    sequence it starts in, its position inside that sequence, and
-    whether it straddles a sequence boundary (real pipelines let docs
-    straddle — the chop truncates across windows; this op computes
-    the exact layout a writer would materialize).
+    """GPT-style sequence packing over the GLOBAL token stream:
+    concatenate the corpus's tokens in doc_id order and chop the
+    stream into PACK_BUDGET-token training sequences. Each document
+    gets its global token offset, the sequence it starts in, its
+    position inside that sequence, and whether it straddles a
+    sequence boundary (real pipelines let docs straddle — the chop
+    truncates across windows; this op computes the exact layout a
+    writer would materialize).
+
+    Complement to ``pipeline.sequence_pack``, which packs WITHIN each
+    source (window partitioned by source — fine while every source is
+    modest, but one giant source pins its whole window to one task).
+    This op packs the global stream and stays parallel regardless of
+    the key distribution, via the two-level prefix sum below.
 
     Scale shape — the whole point of this op: the naive spelling is
     ``sum(n_tokens) OVER (ORDER BY doc_id)``, a GLOBAL window that

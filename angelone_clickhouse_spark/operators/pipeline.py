@@ -302,7 +302,10 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq_id = (tokens before this doc within its source) div budget,
     computed with an exclusive-preceding window sum; offset is the
     position of the doc's first token inside that sequence. Windows
-    partition by source, so no global sort.
+    partition by source, so no global sort — but one giant source
+    still pins its window to one task; ``curation.pack_sequences``
+    is the global-stream spelling whose two-level prefix sum stays
+    parallel under any key distribution.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
