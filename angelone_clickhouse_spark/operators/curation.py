@@ -201,7 +201,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
        single-task.
 
     offset = bucket_base + within_bucket_cumsum - n_tokens."""
-    docs = load_table(spark, sf_dir, "documents")
+    return pack_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+def pack_from_docs(docs: DataFrame) -> DataFrame:
+    """Frame-in core of :func:`pack_sequences` (docs needs ``doc_id``
+    and ``text``): split out so tests can drive it with adversarial
+    synthetic corpora — sparse doc_ids, empty buckets, boundary-exact
+    token counts — where the fixture is too tame."""
     t = docs.select(
         "doc_id",
         F.expr("cast(size(split(text, ' ')) as bigint)").alias(

@@ -224,3 +224,51 @@ def test_pack_sequences_two_level_equals_naive_global_window(spark, sf_dir):
     for a, b in zip(ordered, ordered[1:]):
         assert b.offset == a.offset + a.n_tokens
     assert ordered[0].offset == 0
+
+
+def test_pack_from_docs_adversarial_shapes(spark):
+    """The two-level prefix sum under the shapes the fixture can't
+    produce: sparse doc_ids (empty prefix-sum buckets between
+    populated ones), a doc exactly filling a sequence, a doc spanning
+    3+ sequences, and single-token docs at bucket boundaries. Oracle:
+    plain Python cumsum over the doc_id-sorted list."""
+    import random
+
+    from angelone_clickhouse_spark.operators.curation import (
+        PACK_BUDGET,
+        PACK_BUCKET,
+        pack_from_docs,
+    )
+
+    rng = random.Random(1518)
+    ids = sorted(
+        rng.sample(range(0, PACK_BUCKET * 40), 60)
+        + [PACK_BUCKET * 50, PACK_BUCKET * 50 + 1]  # far empty gap
+    )
+    n_tok = {}
+    for i, d in enumerate(ids):
+        if i == 3:
+            n_tok[d] = PACK_BUDGET  # exactly one full sequence
+        elif i == 5:
+            n_tok[d] = 3 * PACK_BUDGET + 7  # spans 4 sequences
+        elif d % PACK_BUCKET in (0, PACK_BUCKET - 1):
+            n_tok[d] = 1  # single token at a bucket edge
+        else:
+            n_tok[d] = rng.randint(1, 900)
+    docs = spark.createDataFrame(
+        [(d, " ".join(["w"] * n_tok[d])) for d in ids],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pack_from_docs(docs).collect()}
+    off = 0
+    for d in ids:
+        g = got[d]
+        assert g.n_tokens == n_tok[d], d
+        assert g.offset == off, (d, g.offset, off)
+        assert g.seq_id == off // PACK_BUDGET
+        assert g.pos_in_seq == off % PACK_BUDGET
+        assert g.crosses_boundary == (
+            (off + n_tok[d] - 1) // PACK_BUDGET > off // PACK_BUDGET
+        ), d
+        off += n_tok[d]
+    assert len(got) == len(ids)
