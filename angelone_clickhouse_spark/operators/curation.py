@@ -189,32 +189,42 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnels the corpus through ONE task — the 100 TB scale killer.
     The global prefix sum here is two-level instead:
 
-    1. per-bucket token totals (bucket = doc_id div PACK_BUCKET): one
-       map-side-combined shuffle whose key cardinality is
-       |docs|/PACK_BUCKET;
-    2. each bucket's cumulative BASE via a window over the tiny
-       bucket-totals table (|docs|/PACK_BUCKET rows — the one
-       single-partition step, deliberately over data ~PACK_BUCKET×
-       smaller than the corpus), broadcast back;
+    1. per-bucket token totals (bucket = doc_id div bucket_width):
+       one map-side-combined shuffle whose key cardinality is
+       |docs|/bucket_width;
+    2. each bucket's cumulative BASE via a window over the small
+       bucket-totals table (|docs|/bucket_width rows — the one
+       single-partition step), broadcast back;
     3. the within-bucket running sum via a window PARTITIONED BY
-       bucket (bounded partitions), so no corpus-wide stage is ever
-       single-task.
+       bucket (≤ bucket_width docs per partition), so no corpus-wide
+       stage is ever single-task.
 
-    offset = bucket_base + within_bucket_cumsum - n_tokens."""
+    offset = bucket_base + within_bucket_cumsum - n_tokens.
+
+    Sizing ``bucket_width`` at 100 TB: the two pressure points are
+    the step-2 single-partition window (|docs|/width rows) and the
+    step-3 per-bucket window partitions (width rows each); width =
+    sqrt(|docs|)-ish balances them — 10^10 docs at width 10^5 means a
+    10^5-row bucket table (trivial on one task) and 10^5-doc window
+    partitions (a few MB each). The fixture default keeps multiple
+    buckets populated at sf0.001."""
     return pack_from_docs(load_table(spark, sf_dir, "documents"))
 
 
-def pack_from_docs(docs: DataFrame) -> DataFrame:
+def pack_from_docs(
+    docs: DataFrame, bucket_width: int = PACK_BUCKET
+) -> DataFrame:
     """Frame-in core of :func:`pack_sequences` (docs needs ``doc_id``
     and ``text``): split out so tests can drive it with adversarial
     synthetic corpora — sparse doc_ids, empty buckets, boundary-exact
-    token counts — where the fixture is too tame."""
+    token counts — where the fixture is too tame. ``bucket_width``
+    is the prefix-sum bucket size (see the sizing note above)."""
     t = docs.select(
         "doc_id",
         F.expr("cast(size(split(text, ' ')) as bigint)").alias(
             "n_tokens"
         ),
-        F.expr(f"doc_id div {PACK_BUCKET}").alias("bucket"),
+        F.expr(f"doc_id div {bucket_width}").alias("bucket"),
     )
     btot = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
     wbase = (

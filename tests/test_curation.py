@@ -272,3 +272,19 @@ def test_pack_from_docs_adversarial_shapes(spark):
         ), d
         off += n_tok[d]
     assert len(got) == len(ids)
+
+
+def test_pack_from_docs_invariant_to_bucket_width(spark):
+    """The bucket width is a pure execution knob: any width must
+    yield bit-identical packing (the 100 TB sizing note in
+    pack_sequences' docstring only works if this holds)."""
+    from angelone_clickhouse_spark.operators.curation import pack_from_docs
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(["w"] * (7 * d % 97 + 1))) for d in range(0, 900, 7)],
+        "doc_id long, text string",
+    )
+    ref = sorted(map(tuple, pack_from_docs(docs, 1).collect()))
+    for width in (13, 100, 10_000):
+        got = sorted(map(tuple, pack_from_docs(docs, width).collect()))
+        assert got == ref, width
