@@ -35,10 +35,15 @@ _PRIORITY = [
     # r15 window = (a) ops whose executed code changed this round:
     # the deterministic content-derived salt in salted_group_sum
     # (ADVICE r14 — both registry consumers), the new leakage-safe
-    # clustered split (VERDICT r15 #5), the keyed doc gate (the
-    # VERDICT r15 #6 checkpoint fusion was tried, measured 2.5x
-    # slower, and reverted — see ROUND15.md), and every consumer of
-    # the _band_keys -> _band_array refactor; (b) the complete owed r11-stale refresh —
+    # clustered split + leakage audit + sequence packing, the keyed
+    # doc gate (the VERDICT-r14-next#6 checkpoint fusion was tried,
+    # measured 2.5x slower warm — 33.2 vs 13.3 s — and reverted, see
+    # ROUND15.md §3), the purity core split (purity_from_edges), and
+    # the direct consumers of the _band_keys -> _band_array refactor
+    # (dedup_survivors is the one transitive consumer left out at
+    # the 50 cap: its own survivor logic is unchanged and its pair+
+    # components core is exactly the one dedup_clusters_minhash
+    # re-earns in this window); (b) the complete owed r11-stale refresh —
     # all 40 names (which already include the two r14 out-of-window
     # changed entries text_fingerprint and doc_containment); (c) two
     # get-ahead slots from the r12 cohort. (a)+(b)+(c) = exactly 50.
@@ -47,10 +52,10 @@ _PRIORITY = [
     "skewed_hot_user_stats",    # content-derived salt (ADVICE r14)
     "dataset_split_clustered",  # NEW: leakage-safe split per cluster
     "stream_dedup_docs",        # fusion tried+reverted (measured)
+    "knn_label_purity",         # core split into purity_from_edges
     "dedup_minhash_lsh",        # _band_keys -> _band_array refactor
     "dedup_incremental",        # _band_keys -> _band_array refactor
     "dedup_clusters_minhash",   # consumes dedup_minhash_lsh pairs
-    "dedup_survivors",          # consumes dedup_minhash_lsh pairs
     # (b) the complete owed r11-stale refresh (rotation_audit order)
     "ship_latency_classes",
     "small_qty_revenue",
@@ -97,9 +102,10 @@ _PRIORITY = [
     "pack_sequences",           # NEW: two-level prefix-sum packing
     # exactly 50 entries above — the driver gate stops there. After a
     # green r15 no entry's newest driver row predates r12; the r16
-    # rotation debt is the remaining r12 cohort (39 names — run
-    # tools/rotation_audit.py for the exact table) plus whatever r16
-    # changes.
+    # rotation debt is the FULL r12 cohort (41 names — no get-ahead
+    # slots survived r15's new ops; run tools/rotation_audit.py for
+    # the exact table) plus dedup_survivors (transitive r15 change,
+    # see above) plus whatever r16 changes.
 ]
 
 

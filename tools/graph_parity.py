@@ -6,15 +6,16 @@ coverage was bench-only, because their DuckDB oracles embed the
 exact-kNN oracle — an O(n²) cross join re-scoring ~4x10^8 64-dim
 pairs at sf1.0, intractable for the checker.
 But the kNN edge CONTRACT is already value-certified (knn_graph is
-oracle-green at the driver gate and at sf0.1); what these two ops OWN
-is the graph math on top. This harness value-checks exactly that part
-at any scale:
+oracle-green at the driver gate and at sf0.1); what these ops OWN is
+the graph math / label rollup on top. This harness value-checks
+exactly that part at any scale:
 
 1. Spark builds the edge list ONCE via the registry's own blocked
    `knn_graph` path and writes it as a parquet fixture.
 2. BOTH engines compute the graph math from that same fixture —
-   Spark through `pagerank_from_edges` / `triangles_from_edges` (the
-   exact frames the registry entries execute), DuckDB through the
+   Spark through `pagerank_from_edges` / `triangles_from_edges` /
+   `purity_from_edges` (the exact frames the registry entries
+   execute), DuckDB through the
    registry oracles with the edge CTE swapped to
    `read_parquet(fixture)`.
 3. Results compare under the driver-gate replica (row count, sorted

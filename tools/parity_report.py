@@ -10,9 +10,10 @@ the CORRECTNESS union:
   names (default: the full curated sf1.0 set below) and records each
   outcome in the ledger `tools/parity_sf1.0.json` with the run date.
 - `--run-graph` executes the shared-edge-fixture arm
-  (tools/graph_parity) for knn_pagerank / knn_triangles — the two ops
-  whose registry oracles embed the sf1.0-intractable exact-kNN cross
-  join — and records them with method "shared edge fixture".
+  (tools/graph_parity) for knn_pagerank / knn_triangles /
+  knn_label_purity — the ops whose registry oracles embed the
+  sf1.0-intractable exact-kNN cross join — and records them with
+  method "shared edge fixture".
 - Every invocation ends by regenerating PARITY_sf1.0.md wholesale
   from the ledger; headers carry run dates, never round claims.
 
@@ -40,9 +41,10 @@ SF1_DIR = os.path.join(ROOT, ".scaledata", "sf1.0")
 # The curated sf1.0 value-parity set: every volume-sensitive family
 # whose oracle is sf1.0-tractable (dedup pairs/clusters, the ANN
 # graph+index family, streaming replays, window/time-series ops, the
-# BPE/vocab family, sketches, layout). knn_pagerank / knn_triangles
-# are NOT here — their registry oracles embed the O(n²) exact-kNN
-# cross join; they run through the --run-graph shared-fixture arm.
+# BPE/vocab family, sketches, layout). knn_pagerank / knn_triangles /
+# knn_label_purity are NOT here — their registry oracles embed the
+# O(n²) exact-kNN cross join; they run through the --run-graph
+# shared-fixture arm.
 SF1_NAMES = [
     # exact / fuzzy / embedding dedup
     "dedup_exact", "dedup_minhash_lsh", "dedup_clusters_minhash",
@@ -161,8 +163,8 @@ def emit(ledger: dict | None = None) -> None:
         "gains 9",
         "exact replicas, so the dedup family does 10x REAL work).",
         "",
-        "`knn_pagerank` / `knn_triangles` run through the SHARED EDGE "
-        "FIXTURE",
+        "`knn_pagerank` / `knn_triangles` / `knn_label_purity` run "
+        "through the SHARED EDGE FIXTURE",
         "arm (`tools/graph_parity.py`): their registry oracles embed "
         "the",
         "exact-kNN oracle — an O(n²) cross join re-scoring ~4x10^8 "
