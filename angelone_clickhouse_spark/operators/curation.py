@@ -135,6 +135,33 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_bucket(salt: str, col_expr: str):
+    """THE split-bucket device, defined once (ADVICE r15): a 0-99
+    bucket from the first 15 hex chars of ``md5('<salt>' || value)``
+    parsed as a 60-bit integer, mod 100 — engine-portable (DuckDB
+    spells the identical arithmetic), reproducible across executors
+    and reruns, no RNG seed coordination. Every split scheme and the
+    leakage audit MUST build its bucket through this helper so the
+    audit can never silently measure a hash no longer shipped:
+    ``dataset_split`` uses ('ds:', doc_id),
+    ``dedup.split_by_cluster`` uses ('dsc:', cluster_id),
+    ``dedup.split_leakage_audit`` replays both."""
+    return F.expr(
+        f"cast(conv(substring(md5(concat('{salt}', cast({col_expr} as"
+        " string))), 1, 15), 16, 10) as bigint) % 100"
+    )
+
+
+def split_when(bucket):
+    """Bucket -> split label, the single spelling of the 80/10/10
+    boundaries (companion of :func:`split_bucket`)."""
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by a stable content-free
     hash of doc_id (same md5-bucket device as
@@ -142,10 +169,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors, and reruns; no RNG seed coordination).
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.expr(
-        "cast(conv(substring(md5(concat('ds:', cast(doc_id as string))),"
-        " 1, 15), 16, 10) as bigint) % 100"
-    )
+    bucket = split_bucket("ds:", "doc_id")
     return docs.select(
         "doc_id",
         "lang",
@@ -154,10 +178,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "bucket",
-        F.when(F.col("bucket") < TRAIN_PCT, "train")
-        .when(F.col("bucket") < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test")
-        .alias("split"),
+        split_when(F.col("bucket")).alias("split"),
     )
 
 

@@ -954,8 +954,8 @@ def split_by_cluster(docs: DataFrame, components: DataFrame) -> DataFrame:
     the hash INPUT changes (cluster_id, salted 'dsc:' so the two
     splits are independent)."""
     from angelone_clickhouse_spark.operators.curation import (
-        TRAIN_PCT,
-        VAL_PCT,
+        split_bucket,
+        split_when,
     )
 
     full = docs.select("doc_id").join(
@@ -963,20 +963,14 @@ def split_by_cluster(docs: DataFrame, components: DataFrame) -> DataFrame:
     ).select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
-    bucket = F.expr(
-        "cast(conv(substring(md5(concat('dsc:', cast(cluster_id as"
-        " string))), 1, 15), 16, 10) as bigint) % 100"
-    )
+    bucket = split_bucket("dsc:", "cluster_id")
     return full.select(
         "doc_id", "cluster_id", bucket.alias("bucket")
     ).select(
         "doc_id",
         "cluster_id",
         "bucket",
-        F.when(F.col("bucket") < TRAIN_PCT, "train")
-        .when(F.col("bucket") < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test")
-        .alias("split"),
+        split_when(F.col("bucket")).alias("split"),
     )
 
 
@@ -1001,8 +995,8 @@ def split_leakage_audit(
     audit adds two joins of pairs against narrow (doc_id, split)
     projections and a 2-group aggregate — no new corpus-wide work."""
     from angelone_clickhouse_spark.operators.curation import (
-        TRAIN_PCT,
-        VAL_PCT,
+        split_bucket,
+        split_when,
     )
 
     # ONE LSH pass: the pair set is checkpointed by the components
@@ -1022,19 +1016,12 @@ def split_leakage_audit(
         else connected_components(pairs, checkpoint_dir=checkpoint_dir)
     )
 
-    def _split_when(bucket):
-        return (
-            F.when(bucket < TRAIN_PCT, "train")
-            .when(bucket < TRAIN_PCT + VAL_PCT, "val")
-            .otherwise("test")
-        )
-
-    doc_bucket = F.expr(
-        "cast(conv(substring(md5(concat('ds:', cast(doc_id as"
-        " string))), 1, 15), 16, 10) as bigint) % 100"
-    )
+    # the per-doc scheme is replayed through the SAME shared bucket
+    # helper dataset_split ships (ADVICE r15): an inline re-spelling
+    # here would silently keep measuring a hash/salt that
+    # dataset_split no longer uses if the device ever changed
     per_doc = docs.select(
-        "doc_id", _split_when(doc_bucket).alias("split")
+        "doc_id", split_when(split_bucket("ds:", "doc_id")).alias("split")
     )
     clustered = split_by_cluster(docs, comp).select("doc_id", "split")
 
@@ -1054,16 +1041,24 @@ def split_leakage_audit(
         )
         return j.agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(
-                (F.col("split_a") != F.col("split_b")).cast("long")
+            # coalesce: sum over zero rows is null in both engines;
+            # an empty-pair corpus should report 0, not null
+            F.coalesce(
+                F.sum(
+                    (F.col("split_a") != F.col("split_b")).cast("long")
+                ),
+                F.lit(0),
             ).alias("n_straddle"),
         ).select(
             F.lit(scheme).alias("scheme"),
             "n_pairs",
             "n_straddle",
-            F.expr("(1000 * n_straddle) div n_pairs").alias(
-                "straddle_milli"
-            ),
+            # greatest(n_pairs, 1): on an empty pair set Spark's
+            # non-ANSI `div` returns null while DuckDB's `//` raises —
+            # the guard makes both engines report 0 (ADVICE r15)
+            F.expr(
+                "(1000 * n_straddle) div greatest(n_pairs, 1)"
+            ).alias("straddle_milli"),
         )
 
     return _straddles(per_doc, "per_doc").unionByName(
@@ -1683,13 +1678,15 @@ sp_cl AS (
 ),
 aud AS (
   SELECT 'per_doc' AS scheme, count(*) AS n_pairs,
-         sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS n_straddle
+         COALESCE(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END),
+                  0) AS n_straddle
   FROM pairs p
   JOIN sp_doc a ON a.doc_id = p.doc_a
   JOIN sp_doc b ON b.doc_id = p.doc_b
   UNION ALL
   SELECT 'per_cluster' AS scheme, count(*) AS n_pairs,
-         sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS n_straddle
+         COALESCE(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END),
+                  0) AS n_straddle
   FROM pairs p
   JOIN sp_cl a ON a.doc_id = p.doc_a
   JOIN sp_cl b ON b.doc_id = p.doc_b
@@ -1697,7 +1694,10 @@ aud AS (
 SELECT scheme,
        CAST(n_pairs AS BIGINT) AS n_pairs,
        CAST(n_straddle AS BIGINT) AS n_straddle,
-       CAST((1000 * n_straddle) // n_pairs AS BIGINT) AS straddle_milli
+       -- greatest(): empty pair set must report 0, matching the
+       -- Spark side's guarded non-ANSI `div` (ADVICE r15)
+       CAST((1000 * n_straddle) // greatest(n_pairs, 1) AS BIGINT)
+         AS straddle_milli
 FROM aud
 """
 

@@ -1228,11 +1228,12 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding doesn't separate the labels — the go/no-go signal
     before trusting SemDeDup-style semantic pruning on it.
 
-    Scale notes: one broadcast of the (vec_id, label) projection onto
-    the kNN edge list (labels are a narrow column of the corpus — at
-    100 TB this is the same join keyed twice, both sides shuffling on
-    vec_id if too big to broadcast), then a per-source rollup. All
-    the O(n²) work lives in :func:`knn_graph` above."""
+    Scale notes: the (vec_id, label) projection joins the kNN edge
+    list twice, UNHINTED — labels are one narrow row per corpus
+    vector, so AQE broadcasts the projection while it fits and falls
+    back to shuffling both sides on vec_id beyond that (a forced hint
+    would OOM at 100 TB; see :func:`purity_from_edges`). All the
+    O(n²) work lives in :func:`knn_graph` above."""
     labels = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label"
     )
@@ -1246,7 +1247,16 @@ def purity_from_edges(g: DataFrame, labels: DataFrame) -> DataFrame:
     sf1.0 shared-edge-fixture arm (tools/graph_parity.py) feeds both
     engines the same materialized edge list, so the purity rollup is
     value-checkable at scales where the exact-kNN oracle is
-    intractable."""
+    intractable.
+
+    Deliberately NO broadcast hint on the label joins: ``labels`` is
+    one row per corpus vector (SF-proportional), and a forced
+    ``F.broadcast`` would make Spark attempt the broadcast regardless
+    of size — at 10^9+ vectors a multi-GB label table OOMs the driver.
+    Left unhinted, AQE broadcasts it automatically at any scale where
+    it fits under ``autoBroadcastJoinThreshold`` and degrades to a
+    shuffled hash/sort-merge join on vec_id beyond that (the same rule
+    ``dataset_split_clustered`` documents for its cluster-id join)."""
     src_l = labels.select(
         F.col("vec_id").alias("src_id"), F.col("label").alias("src_label")
     )
@@ -1255,8 +1265,8 @@ def purity_from_edges(g: DataFrame, labels: DataFrame) -> DataFrame:
         F.col("label").alias("nbr_label"),
     )
     return (
-        g.join(F.broadcast(src_l), "src_id")
-        .join(F.broadcast(nbr_l), "neighbor_id")
+        g.join(src_l, "src_id")
+        .join(nbr_l, "neighbor_id")
         .groupBy("src_id", "src_label")
         .agg(
             F.count(F.lit(1)).alias("n_neighbors"),

@@ -15,16 +15,67 @@ shuffle on ``key`` for a shuffle on ``(key, salt)`` + a tiny merge of
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, ArrayType, MapType, StructType
 
 from angelone_clickhouse_spark.sources.tables import load_table
+
+
+def _contains_map(dt: DataType) -> bool:
+    """True if ``dt`` contains a MapType anywhere — xxhash64/hash
+    reject maps (non-deterministic iteration order), including maps
+    nested inside arrays or structs."""
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _content_salt(
+    df: DataFrame,
+    n_salts: int,
+    identity: Optional[Sequence[Column]] = None,
+) -> Column:
+    """Deterministic per-row salt in ``[0, n_salts)``.
+
+    The salt must be a DETERMINISTIC function of the row (ADVICE r13/
+    r14): feeding monotonically_increasing_id() into the (key, _salt)
+    shuffle means a stage retry can re-salt recomputed rows relative
+    to already-fetched map output — the classic double-count/drop
+    hazard. Hashing row content reproduces identical salts on any
+    recompute while spreading a hot key whose rows differ in their
+    other columns.
+
+    LIMITATION (ADVICE r15): rows that are byte-identical — the
+    exact-duplicate skew common in dedup-heavy corpora — collapse to
+    ONE salt, silently disabling the spread. Where the source provides
+    a stable pre-shuffle identity, pass it as ``identity`` to mix into
+    the hash: e.g. for a parquet scan,
+    ``[F.col("_metadata.file_path"), F.col("_metadata.row_index")]``
+    (stable across task retries because file + row position survive
+    recompute). Map-typed columns are excluded from the hash —
+    xxhash64 fails analysis on them."""
+    hashable = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if not _contains_map(f.dataType)
+    ]
+    if identity:
+        hashable = list(identity) + hashable
+    return F.pmod(F.xxhash64(*hashable), F.lit(n_salts))
 
 
 def salted_group_sum(
     df: DataFrame,
     key: str,
     n_salts: int = 16,
+    identity: Optional[Sequence[Column]] = None,
     **aggs: Column,
 ) -> DataFrame:
     """Two-phase aggregation on a (possibly skewed) key.
@@ -33,19 +84,12 @@ def salted_group_sum(
     algebraic (re-aggregable with sum/min/max over partials). Supported
     re-merge is inferred from the aggregate's name prefix:
     sum_*/count_* merge with sum, min_* with min, max_* with max.
+
+    ``identity``: optional stable pre-shuffle identity columns mixed
+    into the content salt so byte-identical duplicate rows still
+    spread across salts (see :func:`_content_salt`).
     """
-    # The salt must be a DETERMINISTIC function of the row (ADVICE
-    # r14, mirroring the udaf_user_stats fix): feeding
-    # monotonically_increasing_id() into the (key, _salt) shuffle
-    # means a stage retry can re-salt recomputed rows relative to
-    # already-fetched map output — the classic double-count/drop
-    # hazard. Hashing the full row content reproduces identical salts
-    # on any recompute while still spreading a hot key whose rows
-    # differ in their other columns.
-    salted = df.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
-    )
+    salted = df.withColumn("_salt", _content_salt(df, n_salts, identity))
     partial = salted.groupBy(key, "_salt").agg(
         *[c.alias(name) for name, c in aggs.items()]
     )
@@ -106,16 +150,11 @@ def udaf_user_stats(
         return with_c.groupBy("user_id").agg(
             sum_cents("cents").alias("sum_value_cents")
         )
-    # the salt must be a DETERMINISTIC function of the input row
-    # (ADVICE r13): the old xxhash64(monotonically_increasing_id())
-    # fed a nondeterministic expression into a shuffle, so a stage
-    # retry could re-salt recomputed rows relative to already-fetched
-    # map output — the classic nondeterministic-repartition
-    # double-count/drop hazard. Hashing the full row content instead
-    # keeps the exact same spread for the hot key (its rows differ in
-    # event_id / value / amplification index) while any recompute
-    # reproduces identical salts bit-for-bit.
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in ev.columns]), F.lit(n_salts))
+    # deterministic content salt (see _content_salt for the retry
+    # hazard and the byte-identical-duplicates limitation); the hot
+    # key here spreads fine because its rows differ in event_id /
+    # value / amplification index
+    salt = _content_salt(ev, n_salts)
     salted_df = ev.select(
         "user_id", cents.alias("cents"), salt.alias("_salt")
     )
