@@ -8,9 +8,19 @@ partsupp/shipmode/commitdate columns, so the nearest expressible
 variant is used and documented per-query).
 
 Scale notes (100 TB):
-- Every dim side (nation, customer-after-filter, part, supplier) is
-  broadcast; only fact⋈fact (lineitem⋈orders) shuffles, once, on
-  orderkey — the same key across queries, so a bucketed layout
+- Broadcast-hint policy (VERDICT r15 #4 sweep): `F.broadcast` is
+  FORCED only on sides whose size is a constant independent of SF —
+  nation (25 rows), region (5 rows), and 1-row scalar aggregates.
+  SF-proportional sides (customer, part, supplier, and any aggregate
+  bounded by them) carry NO hint: a forced hint makes Spark attempt
+  the broadcast at any size (at TPC-H SF ~10^5, customer alone is
+  ~15 G rows — driver OOM), while unhinted the planner/AQE broadcasts
+  them from size stats whenever they fit under
+  autoBroadcastJoinThreshold and degrades to a shuffled join beyond
+  that. Fixture-scale plans are identical either way
+  (plan-snapshot-verified).
+- Only fact⋈fact (lineitem⋈orders) must shuffle, once, on orderkey —
+  the same key across queries, so a bucketed layout
   (sources/bucketing.py) removes even that.
 - Q21's classic formulation is two correlated self-joins on lineitem;
   here it is decorrelated into ONE grouped pass over lineitem
@@ -49,9 +59,11 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue shipped between two nations, by
     (supplier nation, customer nation, ship year), both directions.
 
-    supplier⋈nation and customer⋈nation are broadcast; lineitem⋈orders
-    is the one shuffle. The nation-pair filter lands on the broadcast
-    dims, so fact rows for other nations never reach the aggregate.
+    nation copies broadcast (forced — constant 25 rows); supplier and
+    customer join unhinted (SF-proportional — see module hint policy);
+    lineitem⋈orders is the one mandatory shuffle. The nation-pair
+    filter lands on the dim side, so fact rows for other nations never
+    reach the aggregate.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -66,8 +78,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(
@@ -109,9 +121,9 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -125,8 +137,9 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returns
     (l_returnflag = 'R') for orders placed in one quarter.
 
-    Aggregates on (custkey) BEFORE the customer/nation broadcast join,
-    so the dim join input is ≤ |customers| rows."""
+    Aggregates on (custkey) BEFORE the customer/nation join, so the
+    dim join input is ≤ |customers| rows (customer unhinted — AQE
+    broadcasts it while it fits; nation forced, 25 rows)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
@@ -146,7 +159,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        rev.join(c, rev.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
             "c_custkey",
@@ -165,13 +178,14 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both sums are exact integer 1e-4-grid units; the share is one IEEE
     division of two exact longs — bit-identical cross-engine. The part
-    side is broadcast; the month filter prunes the fact scan."""
+    side joins unhinted (SF-proportional — module hint policy); the
+    month filter prunes the fact scan."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(Q14_M_START).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q14_M_END).cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     units = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000
     ).cast("long")
@@ -193,7 +207,8 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
     size) for parts outside one brand/size set, excluding suppliers
     with negative balances (the fixture's stand-in for the complaints
-    NOT IN subquery). The exclusion list is a broadcast LEFT ANTI;
+    NOT IN subquery). The exclusion list is a LEFT ANTI (unhinted —
+    SF-proportional supplier subset, AQE broadcasts while it fits);
     countDistinct shuffles once on the grouping key."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
@@ -201,10 +216,8 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(
-            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
-        )
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -213,7 +226,7 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds Q18_QTY,
     with the customer attached. The HAVING runs on the grouped fact
-    FIRST (result is tiny), then joins orders + broadcast customer —
+    FIRST (result is tiny), then joins orders + customer (unhinted) —
     never the raw fact to the dim. Quantities are integral doubles, so
     the sum is exact; cast to long for a grid-free compare."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -226,7 +239,7 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -244,11 +257,12 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue under an OR of three
     (brand, size-range, quantity-range) conjunctions — the disjunctive
     predicate-pushdown test. Catalyst factors the common join conjunct
-    out of the OR, so the part side still broadcasts and each branch
+    out of the OR, so the part side joins pre-filtered (unhinted, AQE
+    broadcasts while it fits) and each branch
     prunes at the scan."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     branch1 = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 15)
@@ -316,7 +330,7 @@ def supplier_late_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     ).select("l_orderkey", F.col("late_supp").alias("l_suppkey"))
     return (
-        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
@@ -379,8 +393,8 @@ def min_cost_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelates into two aggregates: (partkey, suppkey) min — the one
     fact shuffle — then an argmin per partkey via min(struct(cost,
     suppkey)) (lexicographic struct min = min cost, ties to lowest
-    suppkey) with NO window and NO join-back-to-fact. Dim joins
-    broadcast."""
+    suppkey) with NO window and NO join-back-to-fact. The nation dim
+    broadcasts (forced, 25 rows); part/supplier join unhinted."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
@@ -398,8 +412,8 @@ def min_cost_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = p.filter(F.col("p_size") == Q2_SIZE)
     return (
-        best.join(F.broadcast(parts), best.l_partkey == parts.p_partkey)
-        .join(F.broadcast(s), F.col("b.l_suppkey") == s.s_suppkey)
+        best.join(parts, best.l_partkey == parts.p_partkey)
+        .join(s, F.col("b.l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "p_partkey",
@@ -518,13 +532,15 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary.
 
     Scale notes: the per-part aggregate is |parts|-sized and
-    broadcasts back; the brand filter prunes the part dim before both
+    joins back unhinted (both sides are SF-proportional; AQE broadcasts
+    the aggregate while it fits); the brand filter prunes the part dim
+    before both
     the fact probe and the aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == Q17_BRAND
     )
-    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    li_b = li.join(p, li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     per_part = li_b.groupBy("l_partkey").agg(
@@ -532,7 +548,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_li"),
     )
     return (
-        li_b.join(F.broadcast(per_part), "l_partkey")
+        li_b.join(per_part, "l_partkey")
         .filter(
             F.col("l_quantity").cast("long") * 5 * F.col("n_li")
             < F.col("sum_qty")
@@ -556,8 +572,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer and the supplier share that nation, within one region and
     one order year.
 
-    Scale notes: customer/supplier/nation/region are all broadcast
-    dims; the region + year predicates land on the broadcast/scan
+    Scale notes: nation/region broadcast (forced — constant-size);
+    customer/supplier join unhinted (SF-proportional — module hint
+    policy); the region + year predicates land on the dim/scan
     sides, so only matching fact rows reach the single
     lineitem⋈orders shuffle. The same-nation predicate is an equality
     between two already-joined dim columns — no extra shuffle."""
@@ -572,9 +589,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (c.c_nationkey == s.s_nationkey),
         )
@@ -598,8 +615,10 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pattern — both sums in integer 1e-4 grid units, ONE IEEE
     double division of two exact longs, bit-identical cross-engine.
 
-    Scale notes: part (type-filtered), customer, both nation copies
-    and region broadcast; the customer-region filter prunes fact rows
+    Scale notes: both nation copies and region broadcast (forced —
+    constant-size); part (type-filtered), customer, and supplier join
+    unhinted (SF-proportional); the customer-region filter prunes fact
+    rows
     before the aggregate; the single shuffle is lineitem⋈orders."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -621,12 +640,12 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_nation") == Q8_NATION, units
     ).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
         .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -699,7 +718,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(top))
         .filter(F.col("rev_units") == F.col("max_units"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(
             F.col("l_suppkey").alias("s_suppkey"),
             "s_name",
@@ -717,9 +736,10 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the fact collapses to (partkey, suppkey) rows FIRST
     (one shuffle); per-part totals re-aggregate those collapsed rows
-    (tiny, ≤|parts|) and broadcast back; dominance is an exact integer
-    compare on integral quantities (2·q > total). The supplier side is
-    a broadcast dim filtered through nation→region, and the final
+    (tiny, ≤|parts|) and join back unhinted (SF-proportional; AQE
+    broadcasts while they fit); dominance is an exact integer compare
+    on integral quantities (2·q > total). The supplier side is a dim
+    filtered through broadcast nation→region, and the final
     dedup is over qualifying suppkeys only — never the raw fact."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(f"{Q20_YEAR}-01-01").cast("timestamp"))
@@ -730,7 +750,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q20_REGION)
     ps = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
     )
@@ -738,17 +758,15 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("supp_qty").alias("total_qty")
     )
     dominant = (
-        ps.join(F.broadcast(totals), "l_partkey")
+        ps.join(totals, "l_partkey")
         .filter(F.col("supp_qty") * 2 > F.col("total_qty"))
         .select("l_suppkey")
         .distinct()
     )
     return (
-        # dominant is bounded by |suppliers| (distinct suppkeys), a dim-
-        # sized set even at 100 TB — broadcast the probe side
-        s.join(
-            F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi"
-        )
+        # dominant is bounded by |suppliers| — SF-proportional, so no
+        # forced hint (AQE broadcasts the semi-join probe while it fits)
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))

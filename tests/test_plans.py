@@ -101,14 +101,23 @@ def test_scalar_subquery_analogues_broadcast_the_scalar(spark, sf_dir):
 
 
 def test_dominant_suppliers_semi_join_no_fact_smj(spark, sf_dir):
-    """Q20 shape: per-part totals broadcast back onto the collapsed
-    (part, supplier) rows; the supplier semi-join never sort-merges."""
+    """Q20 shape: per-part totals and the dominant-supplier semi-join
+    are UNHINTED under the r16 hint policy (both sides are
+    SF-proportional), so the STATIC plan may sort-merge them — the
+    promise is that AQE's runtime size stats convert those joins to
+    broadcast at any scale where the side fits. Assert on the FINAL
+    adaptive plan after execution."""
     from angelone_clickhouse_spark.operators.tpch_extra import (
         dominant_part_suppliers,
     )
 
-    plan = _plan(dominant_part_suppliers(spark, sf_dir))
-    assert "SortMergeJoin" not in plan, plan
+    df = dominant_part_suppliers(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # the final (isFinalPlan=true) section precedes the initial-plan
+    # echo in toString(); cut at the "+- == Initial Plan ==" marker
+    final = final.split("Initial Plan")[0]
+    assert "SortMergeJoin" not in final, final
 
 
 def test_drawdown_and_volatility_share_one_shuffle(spark, sf_dir):
