@@ -297,6 +297,118 @@ def pack_from_docs(
     )
 
 
+def pack_sequences_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sequences table for the trainer — the writer rung
+    above :func:`pack_sequences` (VERDICT r15 #6): one row per packed
+    training sequence with the actual token stream and the document
+    boundary mask, i.e. what a pipeline writes to parquet and feeds
+    the dataloader. ``pack_sequences`` computes the LAYOUT (per-doc
+    offsets); this op materializes the CONTENT:
+
+    - ``seq_id``        — which PACK_BUDGET-token window
+    - ``n_seq_tokens``  — tokens in this sequence (= PACK_BUDGET for
+      every sequence but the last)
+    - ``n_docs``        — documents STARTING in this sequence
+    - ``doc_starts``    — comma-joined in-sequence positions where a
+      new document begins (the attention-reset / loss-mask input;
+      carry-over tails from a previous sequence are NOT starts)
+    - ``packed_text``   — the space-joined token stream
+
+    Docs straddle boundaries (the chop truncates across windows), so
+    a document contributes one FRAGMENT to every sequence it touches:
+    doc at offset o with n tokens spans seq o div B .. (o+n-1) div B,
+    and its slice for sequence s is tokens
+    [max(o, sB) - o, min(o+n, (s+1)B) - o) placed at position
+    max(o, sB) - sB.
+
+    Scale shape: the explode emits 1 + floor(n/B)-ish fragments per
+    doc (bounded fan-out, ~|corpus_tokens|/B extra rows); the ONE
+    shuffle is the groupBy(seq_id) that assembles sequences — data
+    movement inherent to packing — and per-group state is bounded by
+    PACK_BUDGET tokens, so no group can overrun an executor no matter
+    the corpus size. Everything stays in JVM expressions (slice /
+    sort_array / aggregate over collected structs); no Python UDF.
+
+    Oracle: DuckDB replays the naive global-window cumsum +
+    generate_series fragmentation + ordered string_agg — two
+    independent algorithms (two-level prefix sum vs global window)
+    must produce byte-identical sequences."""
+    return pack_write_from_docs(
+        load_table(spark, sf_dir, "documents"), bucket_width=None
+    )
+
+
+def pack_write_from_docs(
+    docs: DataFrame, bucket_width: int | None = None
+) -> DataFrame:
+    """Frame-in core of :func:`pack_sequences_write` (docs needs
+    ``doc_id`` and ``text``) — parameterized so tests drive it with
+    adversarial corpora and assert bit-equality across bucket widths
+    (the layout invariance must survive materialization)."""
+    B = PACK_BUDGET
+    layout = pack_from_docs(docs, bucket_width=bucket_width)
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    frags = (
+        layout.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "offset",
+            "n_tokens",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.expr(f"offset div {B}"),
+                    F.expr(f"(offset + n_tokens - 1) div {B}"),
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "seq_id",
+            # in-sequence position of this fragment
+            F.expr(f"greatest(offset, seq_id * {B}) - seq_id * {B}").alias(
+                "pos"
+            ),
+            # the doc STARTS here only in its first sequence
+            F.expr(f"seq_id = offset div {B}").alias("is_start"),
+            # token slice: 1-based start, bounded length
+            F.expr(
+                f"slice(toks, cast(greatest(offset, seq_id * {B}) - offset"
+                f" + 1 as int),"
+                f" cast(least(offset + n_tokens, (seq_id + 1) * {B})"
+                f" - greatest(offset, seq_id * {B}) as int))"
+            ).alias("frag"),
+        )
+    )
+    # ONE shuffle: every per-sequence column assembles in the same
+    # groupBy(seq_id) aggregate. collect_list drops the nulls the
+    # when() leaves for non-start fragments, so the starts list needs
+    # no second pass.
+    return frags.groupBy("seq_id").agg(
+        F.sum(F.size("frag").cast("bigint")).alias("n_seq_tokens"),
+        F.sum(F.col("is_start").cast("bigint")).alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("is_start"), F.col("pos")))
+                ),
+                lambda p: p.cast("string"),
+            ),
+            ",",
+        ).alias("doc_starts"),
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("frag")))
+                    ),
+                    lambda x: x["frag"],
+                )
+            ),
+            " ",
+        ).alias("packed_text"),
+    )
+
+
 def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-K vocabulary: token frequency and document frequency
     over the whole corpus (word-count with map-side combine; the top-k
@@ -709,6 +821,7 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "dataset_split": dataset_split,
     "pack_sequences": pack_sequences,
+    "pack_sequences_write": pack_sequences_write,
     "corpus_top_tokens": corpus_top_tokens,
     "doc_length_histogram": doc_length_histogram,
     "doc_unigram_logprob": doc_unigram_logprob,
@@ -843,6 +956,53 @@ SELECT doc_id, n_tokens, "offset",
        ("offset" + n_tokens - 1) // {PACK_BUDGET}
          > "offset" // {PACK_BUDGET} AS crosses_boundary
 FROM o
+""",
+    # the writer oracle replays the NAIVE algorithm end-to-end: global
+    # window cumsum, generate_series fragmentation, ordered string_agg
+    # assembly — byte-identical packed_text is the cross-algorithm
+    # proof (Spark runs the two-level prefix sum + slice/collect path)
+    "pack_sequences_write": f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, toks, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS o
+  FROM t
+),
+frag AS (
+  SELECT s.seq AS seq_id,
+         greatest(o.o, s.seq * {PACK_BUDGET})
+           - s.seq * {PACK_BUDGET} AS pos,
+         (s.seq = o.o // {PACK_BUDGET}) AS is_start,
+         o.toks[
+           CAST(greatest(o.o, s.seq * {PACK_BUDGET}) - o.o + 1 AS BIGINT)
+           : CAST(least(o.o + o.n_tokens, (s.seq + 1) * {PACK_BUDGET})
+                  - o.o AS BIGINT)
+         ] AS frag
+  FROM o
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(
+      o.o // {PACK_BUDGET},
+      (o.o + o.n_tokens - 1) // {PACK_BUDGET}
+    )) AS seq
+  ) s
+)
+SELECT seq_id,
+       CAST(sum(len(frag)) AS BIGINT) AS n_seq_tokens,
+       CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       coalesce(string_agg(
+         CASE WHEN is_start THEN CAST(pos AS VARCHAR) END,
+         ',' ORDER BY pos), '') AS doc_starts,
+       string_agg(array_to_string(frag, ' '), ' ' ORDER BY pos)
+         AS packed_text
+FROM frag
+GROUP BY seq_id
 """,
     "corpus_top_tokens": f"""
 WITH toks AS (

@@ -288,3 +288,137 @@ def test_pack_from_docs_invariant_to_bucket_width(spark):
     for width in (13, 100, 10_000):
         got = sorted(map(tuple, pack_from_docs(docs, width).collect()))
         assert got == ref, width
+
+
+def _writer_corpus(spark):
+    """Synthetic corpus with globally-unique tokens (reconstruction
+    errors can't cancel), sparse ids, a multi-sequence doc, and an
+    exact-fill doc."""
+    from angelone_clickhouse_spark.operators.curation import PACK_BUDGET
+
+    sizes = {}
+    ids = [0, 3, 7, 50, 51, 199, 205, 900, 9001]
+    for i, d in enumerate(ids):
+        if i == 2:
+            sizes[d] = PACK_BUDGET            # exact fill
+        elif i == 4:
+            sizes[d] = 3 * PACK_BUDGET + 5    # spans 4+ sequences
+        else:
+            sizes[d] = (d * 37) % 700 + 1
+    rows = [
+        (d, " ".join(f"d{d}t{i}" for i in range(sizes[d]))) for d in ids
+    ]
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        ids,
+        sizes,
+    )
+
+
+def test_pack_write_reconstructs_global_stream(spark):
+    """Concatenating packed_text over seq_id order must be bit-equal
+    to concatenating the documents in doc_id order — sequences tile
+    the global token stream gaplessly, straddling docs included."""
+    from angelone_clickhouse_spark.operators.curation import (
+        PACK_BUDGET,
+        pack_write_from_docs,
+    )
+
+    docs, ids, sizes = _writer_corpus(spark)
+    out = sorted(
+        pack_write_from_docs(docs).collect(), key=lambda r: r.seq_id
+    )
+    total = sum(sizes.values())
+    # contiguous seq ids, exact budget everywhere but the tail
+    assert [r.seq_id for r in out] == list(range(len(out)))
+    assert len(out) == (total + PACK_BUDGET - 1) // PACK_BUDGET
+    for r in out[:-1]:
+        assert r.n_seq_tokens == PACK_BUDGET, r.seq_id
+    assert out[-1].n_seq_tokens == total - PACK_BUDGET * (len(out) - 1)
+    rebuilt = " ".join(r.packed_text for r in out)
+    expected = " ".join(
+        " ".join(f"d{d}t{i}" for i in range(sizes[d])) for d in ids
+    )
+    assert rebuilt == expected
+
+
+def test_pack_write_masks_match_layout(spark):
+    """doc_starts is the trainer's attention-reset mask: every doc's
+    (seq_id, pos_in_seq) from the pack_sequences LAYOUT must appear as
+    a start in exactly that sequence of the WRITER output, carry-over
+    tails must not, and per-seq n_docs must count exactly the starts."""
+    from angelone_clickhouse_spark.operators.curation import (
+        pack_from_docs,
+        pack_write_from_docs,
+    )
+
+    docs, ids, sizes = _writer_corpus(spark)
+    layout = pack_from_docs(docs).collect()
+    out = {r.seq_id: r for r in pack_write_from_docs(docs).collect()}
+    starts = {
+        s: [int(p) for p in r.doc_starts.split(",")] if r.doc_starts else []
+        for s, r in out.items()
+    }
+    # every layout row is a start at its position; count matches
+    expected = {}
+    for r in layout:
+        expected.setdefault(r.seq_id, []).append(r.pos_in_seq)
+    for s, r in out.items():
+        assert starts[s] == sorted(expected.get(s, [])), s
+        assert r.n_docs == len(expected.get(s, [])), s
+    assert sum(len(v) for v in starts.values()) == len(ids)
+    # the 4-sequence doc forces carry-over-only sequences: masks empty
+    assert any(v == [] for v in starts.values())
+
+
+def test_pack_write_invariant_to_bucket_width(spark):
+    """The writer must inherit the layout's width invariance — the
+    materialized sequences are bit-identical for any prefix-sum
+    bucket width."""
+    from angelone_clickhouse_spark.operators.curation import (
+        pack_write_from_docs,
+    )
+
+    docs, _, _ = _writer_corpus(spark)
+    ref = sorted(map(tuple, pack_write_from_docs(docs, 1).collect()))
+    for width in (13, 100, 10_000):
+        got = sorted(
+            map(tuple, pack_write_from_docs(docs, width).collect())
+        )
+        assert got == ref, width
+
+
+def test_pack_write_composes_with_clustered_split(spark):
+    """Leakage-safe training data: pack each side of the clustered
+    split separately and assert the two packed streams partition the
+    corpus — every doc's tokens appear in exactly one side's stream
+    (the split_leakage_audit invariant carried through
+    materialization)."""
+    from angelone_clickhouse_spark.operators.curation import (
+        pack_write_from_docs,
+    )
+    from angelone_clickhouse_spark.operators.dedup import split_by_cluster
+
+    docs, ids, sizes = _writer_corpus(spark)
+    # two synthetic near-dup clusters + singletons
+    comp = spark.createDataFrame(
+        [(0, 0), (3, 0), (50, 50), (51, 50)],
+        "doc_id long, cluster_id long",
+    )
+    split = {
+        r.doc_id: r.split for r in split_by_cluster(docs, comp).collect()
+    }
+    # cluster members share a split by construction
+    assert split[0] == split[3] and split[50] == split[51]
+    streams = {}
+    for side in sorted(set(split.values())):
+        side_ids = [d for d in ids if split[d] == side]
+        side_docs = docs.filter(F.col("doc_id").isin(side_ids))
+        rows = sorted(
+            pack_write_from_docs(side_docs).collect(),
+            key=lambda r: r.seq_id,
+        )
+        streams[side] = " ".join(r.packed_text for r in rows)
+    for d in ids:
+        holder = [s for s, txt in streams.items() if f"d{d}t0 " in txt + " "]
+        assert holder == [split[d]], d
