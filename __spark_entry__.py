@@ -32,80 +32,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # their value-parity guarantee via tests/test_full_parity.py at
 # sf0.001 and tools/check_parity.py runs at larger SFs.
 _PRIORITY = [
-    # r15 window = (a) ops whose executed code changed this round:
-    # the deterministic content-derived salt in salted_group_sum
-    # (ADVICE r14 — both registry consumers), the new leakage-safe
-    # clustered split + leakage audit + sequence packing, the keyed
-    # doc gate (the VERDICT-r14-next#6 checkpoint fusion was tried,
-    # measured 2.5x slower warm — 33.2 vs 13.3 s — and reverted, see
-    # ROUND15.md §3), the purity core split (purity_from_edges), and
-    # the direct consumers of the _band_keys -> _band_array refactor
-    # (dedup_survivors is the one transitive consumer left out at
-    # the 50 cap: its own survivor logic is unchanged and its pair+
-    # components core is exactly the one dedup_clusters_minhash
-    # re-earns in this window); (b) the complete owed r11-stale refresh —
-    # all 40 names (which already include the two r14 out-of-window
-    # changed entries text_fingerprint and doc_containment); (c) two
-    # get-ahead slots from the r12 cohort. (a)+(b)+(c) = exactly 50.
-    # (a) code changed in r15
-    "salted_user_stats",        # content-derived salt (ADVICE r14)
-    "skewed_hot_user_stats",    # content-derived salt (ADVICE r14)
-    "dataset_split_clustered",  # NEW: leakage-safe split per cluster
-    "stream_dedup_docs",        # fusion tried+reverted (measured)
-    "knn_label_purity",         # core split into purity_from_edges
-    "dedup_minhash_lsh",        # _band_keys -> _band_array refactor
-    "dedup_incremental",        # _band_keys -> _band_array refactor
-    "dedup_clusters_minhash",   # consumes dedup_minhash_lsh pairs
-    # (b) the complete owed r11-stale refresh (rotation_audit order)
-    "ship_latency_classes",
-    "small_qty_revenue",
-    "min_cost_suppliers",
-    "local_supplier_volume",
-    "market_share",
-    "top_supplier_revenue",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding",
-    "ann_recall_audit",
-    "ann_topk_cosine",
-    "ann_lsh_topk",
-    "doc_containment",
-    "text_fingerprint",
-    "fuzzy_prefix_pairs",
-    "event_type_funnel",
-    "event_sliding_windows",
-    "frame_sample",
-    "pipeline_e2e",
-    "doc_repetition",
-    "dataset_split",
-    "corpus_top_tokens",
-    "cap_per_source",
-    "span_dedup_corpus",
-    "source_overlap_matrix",
-    "span_dedup_rewrite",
-    "bpe_merge_pairs",
-    "bpe_train",
-    "bpe_encode",
-    "vocab_oov_rate",
-    "vocab_coverage_curve",
-    "asof_price_lookup",
-    "max_drawdown",
-    "rolling_volatility",
-    "ann_topk_fast",
-    "distinct_tokens",
-    "top_tokens_sketch",
-    "price_quantiles_kll",
-    "epoch_cap_events",
-    "daily_bars_rollup",
-    # (a continued) second and third new r15 ops
-    "split_leakage_audit",      # NEW: straddle-rate audit of both splits
-    "pack_sequences",           # NEW: two-level prefix-sum packing
-    # exactly 50 entries above — the driver gate stops there. After a
-    # green r15 no entry's newest driver row predates r12; the r16
-    # rotation debt is the FULL r12 cohort (41 names — no get-ahead
-    # slots survived r15's new ops; run tools/rotation_audit.py for
-    # the exact table) plus dedup_survivors (transitive r15 change,
-    # see above) plus whatever r16 changes.
+    # r16 window = (a) 8 changed/new/owed entries + (b) the complete
+    # 39-name r12-stale cohort (tools/rotation_audit.py order) + (c) 3
+    # representatives of the tpch_extra broadcast-hint sweep. 8+39+3 =
+    # exactly 50. The hint sweep touched 14 queries; all 14 were
+    # re-verified against their DuckDB oracles at sf0.01 this round and
+    # the sweep is plan-level only (VERDICT r15 #4's Done criterion is
+    # the plan-snapshot diff, which is committed); the 11 not in-window
+    # keep the full-registry sf0.001 differential and join the r17
+    # rotation naturally.
+    # (a) code changed in r16, plus the owed dedup_survivors row
+    "knn_label_purity",         # forced corpus-side broadcasts removed (VERDICT r15 #1)
+    "salted_user_stats",        # _content_salt extraction (ADVICE r15)
+    "skewed_hot_user_stats",    # _content_salt extraction (ADVICE r15)
+    "dataset_split",            # shared split_bucket device (ADVICE r15)
+    "dataset_split_clustered",  # split_by_cluster -> shared device
+    "split_leakage_audit",      # empty-pair guard + shared device
+    "pack_sequences_write",     # NEW: materialized sequences table
+    "dedup_survivors",          # owed r15 rotation debt (VERDICT r15 #3)
+    # (b) the complete r12-stale cohort (39 names)
+    "customer_order_ranks",
+    "customer_balance_quartiles",
+    "semdedup",
+    "ann_topk_pq",
+    "text_langid",
+    "weekly_retention",
+    "json_extract_events",
+    "value_dispersion",
+    "multimodal_meta",
+    "multimodal_features",
+    "audio_features",
+    "decontaminate_bloom",
+    "sample_stratified",
+    "quality_quantile_gate",
+    "sequence_pack",
+    "pii_redact",
+    "dsir_weights",
+    "resample_ffill",
+    "vwap_daily",
+    "ewma_price",
+    "twap_hourly",
+    "price_histogram",
+    "price_outliers",
+    "knn_graph_ann",
+    "knn_graph_ann_bucketed",
+    "knn_graph_ann_incremental",
+    "ann_topk_bucketed",
+    "ann_index_stats",
+    "ann_topk_filtered",
+    "knn_graph_ann_amplified",
+    "knn_ann_recall",
+    "scalar_functions",
+    "map_functions",
+    "price_percentiles",
+    "sql_grouping_sets",
+    "minute_bars",
+    "hourly_bars_rollup",
+    "ingest_load_shed",
+    "tick_interval_join",
+    # (c) hint-sweep representatives (the two whose static plans
+    # changed + the widest sweep)
+    "small_qty_revenue",        # hint sweep: static plan changed (AQE-converted)
+    "dominant_part_suppliers",  # hint sweep: static plan changed (AQE-converted)
+    "market_share",             # hint sweep: most hints dropped of any query
+    # exactly 50 entries above — the driver gate stops there.
 ]
 
 
