@@ -33,14 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # sf0.001 and tools/check_parity.py runs at larger SFs.
 _PRIORITY = [
     # r16 window = (a) 8 changed/new/owed entries + (b) the complete
-    # 39-name r12-stale cohort (tools/rotation_audit.py order) + (c) 3
-    # representatives of the tpch_extra broadcast-hint sweep. 8+39+3 =
-    # exactly 50. The hint sweep touched 14 queries; all 14 were
-    # re-verified against their DuckDB oracles at sf0.01 this round and
-    # the sweep is plan-level only (VERDICT r15 #4's Done criterion is
-    # the plan-snapshot diff, which is committed); the 11 not in-window
-    # keep the full-registry sf0.001 differential and join the r17
-    # rotation naturally.
+    # 39-name r12-stale cohort (tools/rotation_audit.py order) + (c)
+    # the 3 r16-new ops. 8+39+3 = exactly 50. The broadcast-hint sweep
+    # touched 14 tpch_extra queries but takes no slots: it is
+    # plan-level only, all 14 were re-verified against their DuckDB
+    # oracles at sf0.01 this round, the plan-snapshot diff is
+    # committed (VERDICT r15 #4's Done criterion), and they keep the
+    # full-registry sf0.001 differential until the r17 rotation
+    # reaches them.
     # (a) code changed in r16, plus the owed dedup_survivors row
     "knn_label_purity",         # forced corpus-side broadcasts removed (VERDICT r15 #1)
     "salted_user_stats",        # _content_salt extraction (ADVICE r15)
@@ -90,11 +90,13 @@ _PRIORITY = [
     "hourly_bars_rollup",
     "ingest_load_shed",
     "tick_interval_join",
-    # (c) hint-sweep representatives (the two whose static plans
-    # changed + the widest sweep)
-    "small_qty_revenue",        # hint sweep: static plan changed (AQE-converted)
-    "dominant_part_suppliers",  # hint sweep: static plan changed (AQE-converted)
-    "market_share",             # hint sweep: most hints dropped of any query
+    # (c) the three r16-new ops (first driver rows; the hint-sweep
+    # queries need no window slot — VERDICT r15 #4's Done criterion is
+    # the committed plan-snapshot diff, and all 14 were oracle-verified
+    # at sf0.01 this round)
+    "pack_sequences_incremental",   # NEW: append-batch packing
+    "repeated_substring_spans",     # NEW: ExactSubstr accounting
+    "repeated_substring_rewrite",   # NEW: ExactSubstr rewrite
     # exactly 50 entries above — the driver gate stops there.
 ]
 

@@ -409,6 +409,72 @@ def pack_write_from_docs(
     )
 
 
+PACK_INCR_BASE = 400  # fixture split: doc_id < this = already-packed corpus
+
+
+def pack_sequences_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-batch packing — the incremental rung of the packing
+    ladder (mirrors ``dedup_incremental``'s batch-vs-corpus shape):
+    lay out a NEW batch of documents at the end of an already-packed
+    corpus without re-scanning the corpus stream. In production the
+    packed corpus's total token count lives in its manifest; here it
+    is recomputed from the fixture with ONE narrow scalar aggregate
+    (never a window over the corpus), and the two-level prefix sum
+    runs over the BATCH only — per-ingest-day cost is O(|batch|),
+    independent of corpus size, which is the entire point at 100 TB.
+
+    Fixture convention: docs with ``doc_id < PACK_INCR_BASE`` are the
+    existing corpus, the rest are the appended batch (append packing
+    presumes batch ids sort after the corpus — true for ingest-ordered
+    ids).
+
+    Oracle: DuckDB computes the naive global-window cumsum over ALL
+    documents and filters to the batch — the incremental
+    aggregate+shift spelling must agree with the from-scratch global
+    layout row for row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_append_from_docs(
+        docs.filter(F.col("doc_id") >= PACK_INCR_BASE),
+        docs.filter(F.col("doc_id") < PACK_INCR_BASE),
+    )
+
+
+def pack_append_from_docs(
+    batch: DataFrame, corpus: DataFrame, bucket_width: int | None = None
+) -> DataFrame:
+    """Frame-in core of :func:`pack_sequences_incremental`: the
+    corpus contributes exactly one number (its token total — the
+    broadcast of a 1-row scalar aggregate is constant-size at any SF,
+    per the forced-hint policy); the batch is laid out by the same
+    two-level prefix sum as :func:`pack_from_docs` and shifted."""
+    base = corpus.select(
+        F.coalesce(
+            F.sum(F.expr("cast(size(split(text, ' ')) as bigint)")),
+            F.lit(0).cast("bigint"),
+        ).alias("t0")
+    )
+    layout = pack_from_docs(batch, bucket_width=bucket_width)
+    return (
+        layout.crossJoin(F.broadcast(base))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("offset") + F.col("t0")).alias("offset"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "offset",
+            F.expr(f"offset div {PACK_BUDGET}").alias("seq_id"),
+            F.expr(f"offset % {PACK_BUDGET}").alias("pos_in_seq"),
+            F.expr(
+                f"(offset + n_tokens - 1) div {PACK_BUDGET} >"
+                f" offset div {PACK_BUDGET}"
+            ).alias("crosses_boundary"),
+        )
+    )
+
+
 def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-K vocabulary: token frequency and document frequency
     over the whole corpus (word-count with map-side combine; the top-k
@@ -767,6 +833,197 @@ def span_dedup_rewrite(
     )
 
 
+SEED_W = 10  # repeated-substring seed width (tokens)
+REP_MIN_OCC = 2  # a seed occurring this often anywhere is "repeated"
+
+
+def _repeated_seeds(
+    docs: DataFrame, checkpoint_dir: str | None
+) -> DataFrame:
+    """(doc_id, n_tokens, pos) for every position whose SEED_W-token
+    window occurs >= REP_MIN_OCC times corpus-wide (counting ALL
+    occurrences — within-document self-repetition included, as
+    ExactSubstr dedups both). Shared seed stage of
+    :func:`repeated_substring_spans` / :func:`repeated_substring_rewrite`.
+
+    The join keys on gram CONTENT, not a hash: a 60-bit hash key would
+    shave shuffle bytes but admits birthday collisions at 10^10+ grams
+    (false "repeated" marks); exactness wins, and the gram payload is
+    SEED_W words — bounded."""
+    idx = ", ".join(f"w[i+{k}]" for k in range(SEED_W))
+    g = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size(w) >= {SEED_W} THEN"
+            f"  transform(sequence(0, size(w) - {SEED_W}),"
+            f"            i -> struct(cast(i as bigint) AS pos,"
+            f"                        concat_ws(' ', {idx}) AS gram))"
+            f" ELSE CAST(array() AS"
+            f"   ARRAY<STRUCT<pos: BIGINT, gram: STRING>>) END"
+        ).alias("gs"),
+    )
+    # materialize before explode — Generate re-evaluates its child
+    # expression per OUTPUT row (see pipeline._word_ngrams)
+    g = materialize(g, checkpoint_dir)
+    grams = g.select(
+        "doc_id", "n_tokens", F.explode("gs").alias("s")
+    ).select(
+        "doc_id", "n_tokens", F.col("s.pos").alias("pos"),
+        F.col("s.gram").alias("gram"),
+    )
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= REP_MIN_OCC)
+        .select("gram")
+    )
+    return grams.join(rep, "gram", "left_semi").select(
+        "doc_id", "n_tokens", "pos"
+    )
+
+
+def _seed_islands(seeds: DataFrame) -> DataFrame:
+    """Merge overlapping/adjacent seed intervals [pos, pos+SEED_W)
+    into maximal repeated spans per document (gaps-and-islands over
+    the per-doc running max of interval ends; the window partitions
+    by doc_id, so state is bounded by doc length, never corpus
+    size). Returns (doc_id, n_tokens, span_start, span_end)."""
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = seeds.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + F.lit(SEED_W)).over(w_prev),
+                F.lit(-1).cast("bigint"),
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    return flagged.groupBy("doc_id", "island").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(SEED_W)).alias("span_end"),
+    )
+
+
+def repeated_substring_spans(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """ExactSubstr-style repeated-substring accounting (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"
+    — the seed-and-merge spelling of their suffix-array pass): a
+    token position is inside a repeated region iff some SEED_W-token
+    window covering... precisely, iff it lies in the interval union
+    of repeated SEED_W-gram seeds; overlapping/adjacent seeds merge
+    into MAXIMAL spans. Differs from :func:`span_dedup_corpus` (C4
+    line-dedup: fixed non-overlapping spans, distinct-doc counts) in
+    exactly the way ExactSubstr differs from C4: overlapping windows
+    catch repetitions at any alignment, and within-doc self-repetition
+    counts.
+
+    One row per document: how many maximal repeated spans it
+    contains, how many of its tokens they cover, and the covered
+    fraction in exact milli units — the accounting a pipeline reports
+    before committing to the rewrite.
+
+    Scale notes (100 TB): seed construction is map-side (transform
+    over the doc's own words); the ONE corpus-wide shuffle keys on
+    gram content with map-side combine (word-count shape — boilerplate
+    grams are the skew keys and AQE skew splitting applies; the count
+    side is one row per distinct gram). The semi-join back shuffles on
+    the same key. Island merge windows partition by doc_id (bounded by
+    doc length). No corpus-wide window, no driver state. This is the
+    honest distributed alternative to a suffix array: identical span
+    output for regions >= SEED_W, at the cost of SEED_W-bounded
+    resolution below it."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _seed_islands(_repeated_seeds(docs, checkpoint_dir))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rep_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("rep_tokens"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("n_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_rep_spans", F.lit(0).cast("bigint")).alias(
+            "n_rep_spans"
+        ),
+        F.coalesce("rep_tokens", F.lit(0).cast("bigint")).alias(
+            "rep_tokens"
+        ),
+        F.expr(
+            "(1000 * coalesce(rep_tokens, 0)) div greatest(n_tokens, 1)"
+        ).alias("rep_milli"),
+    )
+
+
+def repeated_substring_rewrite(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """The rewrite half of :func:`repeated_substring_spans`: emit each
+    document's text with every maximal repeated span stripped — the
+    aggressive every-occurrence variant (keeping one canonical copy
+    per duplicate cluster needs a global occurrence order; pipelines
+    that want it run this op's span table through a keep-first pass
+    first). Documents fully covered by repeated spans drop to empty
+    text but keep their row (n_kept_tokens = 0), so the op composes
+    with downstream length gates.
+
+    The strip stays in whole-stage codegen: spans collect per doc
+    (bounded by n_tokens/SEED_W entries), join back to the doc row,
+    and a higher-order filter drops covered positions — no extra
+    shuffle beyond the span table's own, no Python UDF. The DuckDB
+    oracle strips RELATIONALLY (explode span ranges, anti-join token
+    positions, ordered string_agg), so parity is again a
+    cross-algorithm proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _seed_islands(_repeated_seeds(docs, checkpoint_dir))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    base = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "filter(transform(sequence(0, size(w) - 1),"
+                "                 i -> cast(i as bigint)),"
+                "       p -> sp IS NULL OR NOT exists(sp,"
+                "            s -> p >= s.span_start AND p < s.span_end))"
+            ).alias("kept_pos"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kept_pos").cast("bigint").alias("n_kept_tokens"),
+            F.concat_ws(
+                " ",
+                F.expr("transform(kept_pos, p -> w[cast(p as int)])"),
+            ).alias("clean_text"),
+        )
+    )
+
+
 def doc_bigram_logprob(
     spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -822,6 +1079,9 @@ QUERIES = {
     "dataset_split": dataset_split,
     "pack_sequences": pack_sequences,
     "pack_sequences_write": pack_sequences_write,
+    "pack_sequences_incremental": pack_sequences_incremental,
+    "repeated_substring_spans": repeated_substring_spans,
+    "repeated_substring_rewrite": repeated_substring_rewrite,
     "corpus_top_tokens": corpus_top_tokens,
     "doc_length_histogram": doc_length_histogram,
     "doc_unigram_logprob": doc_unigram_logprob,
@@ -956,6 +1216,31 @@ SELECT doc_id, n_tokens, "offset",
        ("offset" + n_tokens - 1) // {PACK_BUDGET}
          > "offset" // {PACK_BUDGET} AS crosses_boundary
 FROM o
+""",
+    # the incremental oracle replays the FROM-SCRATCH global layout
+    # (naive window cumsum over ALL docs) and filters to the batch —
+    # the aggregate+shift spelling must agree row for row
+    "pack_sequences_incremental": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS "offset"
+  FROM t
+)
+SELECT doc_id, n_tokens, "offset",
+       "offset" // {PACK_BUDGET} AS seq_id,
+       "offset" % {PACK_BUDGET} AS pos_in_seq,
+       ("offset" + n_tokens - 1) // {PACK_BUDGET}
+         > "offset" // {PACK_BUDGET} AS crosses_boundary
+FROM o
+WHERE doc_id >= {PACK_INCR_BASE}
 """,
     # the writer oracle replays the NAIVE algorithm end-to-end: global
     # window cumsum, generate_series fragmentation, ordered string_agg
@@ -1114,3 +1399,97 @@ FROM kept
 GROUP BY doc_id
 """,
 }
+
+# Repeated-substring oracles: same seed->merge algorithm spelled
+# relationally in DuckDB (lateral generate_series + window islands);
+# the rewrite oracle strips covered positions by anti-semantics
+# (LEFT JOIN ... IS NULL) instead of Spark's higher-order filter —
+# cross-algorithm parity on the strip itself.
+_REP_SEED_SQL = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(s.i - 1 AS BIGINT) AS pos,
+         array_to_string(w[s.i : s.i + {SEED_W} - 1], ' ') AS gram
+  FROM w
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w) - {SEED_W} + 1)) AS i
+  ) s
+),
+rep AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= {REP_MIN_OCC}
+),
+seeds AS (
+  SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN rep USING (gram)
+),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos > coalesce(max(pos + {SEED_W}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM seeds
+),
+isl2 AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(new_island) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS span_start,
+         max(pos) + {SEED_W} AS span_end
+  FROM isl2 GROUP BY doc_id, island
+)
+"""
+
+ORACLES["repeated_substring_spans"] = f"""
+WITH {_REP_SEED_SQL},
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rep_spans,
+         CAST(sum(span_end - span_start) AS BIGINT) AS rep_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_rep_spans, 0) AS BIGINT) AS n_rep_spans,
+       CAST(coalesce(p.rep_tokens, 0) AS BIGINT) AS rep_tokens,
+       CAST((1000 * coalesce(p.rep_tokens, 0)) // greatest(
+         CAST(len(string_split(d.text, ' ')) AS BIGINT), 1
+       ) AS BIGINT) AS rep_milli
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+ORACLES["repeated_substring_rewrite"] = f"""
+WITH {_REP_SEED_SQL},
+cov AS (
+  SELECT spans.doc_id, CAST(c.p AS BIGINT) AS p
+  FROM spans
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(span_start, span_end - 1)) AS p
+  ) c
+),
+pos AS (
+  SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS p, w[i.i] AS tok
+  FROM w
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS i
+  ) i
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+  WHERE cov.p IS NULL
+),
+kagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+       coalesce(k.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN kagg k USING (doc_id)
+"""

@@ -422,3 +422,144 @@ def test_pack_write_composes_with_clustered_split(spark):
     for d in ids:
         holder = [s for s, txt in streams.items() if f"d{d}t0 " in txt + " "]
         assert holder == [split[d]], d
+
+
+def test_repeated_substring_spans_planted(spark):
+    """Planted shapes: a 15-token run shared by two docs at different
+    alignments (overlapping seeds must merge into ONE maximal span
+    each), within-doc self-repetition (ExactSubstr counts it), and a
+    unique doc (zero spans)."""
+    from angelone_clickhouse_spark.operators.curation import (
+        SEED_W,
+        _repeated_seeds,
+        _seed_islands,
+    )
+
+    shared = [f"s{i}" for i in range(15)]          # 15-token shared run
+    a = [f"a{i}" for i in range(5)] + shared + [f"a{i}" for i in range(5, 12)]
+    b = [f"b{i}" for i in range(9)] + shared + ["b_end"]
+    rep = [f"r{i}" for i in range(SEED_W)]
+    c = rep + ["c_mid1", "c_mid2"] + rep            # self-repetition
+    d = [f"d{i}" for i in range(30)]                # unique
+    docs = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(c)),
+         (3, " ".join(d))],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in _seed_islands(_repeated_seeds(docs, None)).collect()
+    }
+    # doc 0: shared run occupies positions 5..20 -> one span exactly
+    assert (0, 5, 20) in spans
+    # doc 1: positions 9..24
+    assert (1, 9, 24) in spans
+    # doc 2: both copies of rep are covered (0..SEED_W and the tail);
+    # the middle filler is NOT covered
+    assert (2, 0, SEED_W) in spans
+    assert (2, SEED_W + 2, 2 * SEED_W + 2) in spans
+    # doc 3: nothing
+    assert not any(s[0] == 3 for s in spans)
+    assert len(spans) == 4
+
+
+def test_repeated_substring_rewrite_strips_exact_region(spark):
+    """The rewrite drops exactly the covered tokens, keeps order, and
+    a fully-duplicated doc drops to empty text but keeps its row."""
+    from angelone_clickhouse_spark.operators.curation import (
+        repeated_substring_rewrite,
+    )
+    from angelone_clickhouse_spark.operators import curation as cmod
+
+    shared = [f"s{i}" for i in range(12)]
+    a = ["a_pre"] + shared + ["a_post1", "a_post2"]
+    b = shared                                      # fully covered
+    c = [f"c{i}" for i in range(20)]                # untouched
+    docs = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(c))],
+        "doc_id long, text string",
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(cmod, "load_table", lambda s, d, t: docs):
+        out = {r.doc_id: r for r in
+               repeated_substring_rewrite(spark, "ignored").collect()}
+    assert out[0].clean_text == "a_pre a_post1 a_post2"
+    assert out[0].n_kept_tokens == 3 and out[0].n_tokens == 15
+    assert out[1].clean_text == "" and out[1].n_kept_tokens == 0
+    assert out[2].clean_text == " ".join(c)
+    assert out[2].n_kept_tokens == 20
+
+
+def test_repeated_substring_python_reference(spark):
+    """Randomized cross-check against a brute-force Python oracle:
+    mark every position covered by a repeated SEED_W-gram interval,
+    compare per-doc covered counts."""
+    import random
+
+    from angelone_clickhouse_spark.operators.curation import (
+        SEED_W,
+        repeated_substring_spans,
+    )
+    from angelone_clickhouse_spark.operators import curation as cmod
+    import unittest.mock as mock
+
+    rng = random.Random(1608)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {}
+    for d in range(30):
+        n = rng.randint(SEED_W - 3, 60)
+        texts[d] = [rng.choice(vocab) for _ in range(n)]
+    # plant guaranteed repeats
+    texts[3][5:5 + SEED_W + 4] = [f"p{i}" for i in range(SEED_W + 4)]
+    texts[7][0:SEED_W + 4] = [f"p{i}" for i in range(SEED_W + 4)]
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in texts.items()],
+        "doc_id long, text string",
+    )
+    # python reference
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        for i in range(len(t) - SEED_W + 1):
+            grams[tuple(t[i:i + SEED_W])] += 1
+    expected = {}
+    for d, t in texts.items():
+        covered = set()
+        for i in range(len(t) - SEED_W + 1):
+            if grams[tuple(t[i:i + SEED_W])] >= 2:
+                covered.update(range(i, i + SEED_W))
+        expected[d] = len(covered)
+    with mock.patch.object(cmod, "load_table", lambda s, dd, tt: docs):
+        got = {r.doc_id: r.rep_tokens for r in
+               repeated_substring_spans(spark, "ignored").collect()}
+    assert got == expected
+
+
+def test_pack_append_matches_from_scratch_layout(spark):
+    """The incremental aggregate+shift layout must equal the
+    from-scratch global layout restricted to the batch — for a real
+    corpus prefix and for the empty-corpus edge (t0 = 0)."""
+    from angelone_clickhouse_spark.operators.curation import (
+        pack_append_from_docs,
+        pack_from_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(["w"] * (11 * d % 83 + 1))) for d in range(0, 700, 7)],
+        "doc_id long, text string",
+    )
+    full = {r.doc_id: r for r in pack_from_docs(docs).collect()}
+    for split in (350, 0):
+        corpus = docs.filter(F.col("doc_id") < split)
+        batch = docs.filter(F.col("doc_id") >= split)
+        inc = {r.doc_id: r for r in
+               pack_append_from_docs(batch, corpus).collect()}
+        assert set(inc) == {d for d in full if d >= split}
+        for d, r in inc.items():
+            f = full[d]
+            assert (r.offset, r.seq_id, r.pos_in_seq,
+                    r.crosses_boundary) == (
+                f.offset, f.seq_id, f.pos_in_seq, f.crosses_boundary
+            ), d

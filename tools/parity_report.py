@@ -70,9 +70,11 @@ SF1_NAMES = [
     # the time-interval join, and the r15 cluster-keyed split
     "pipeline_e2e", "tick_interval_join", "dataset_split_clustered",
     "split_leakage_audit", "pack_sequences",
-    # r16 newcomer (round-notes rule: volume-sensitive changed ops
-    # join the ledger the round they change): the sequences writer
-    "pack_sequences_write",
+    # r16 newcomers (round-notes rule: volume-sensitive changed ops
+    # join the ledger the round they change): the sequences writer,
+    # append-batch packing, and the ExactSubstr pair
+    "pack_sequences_write", "pack_sequences_incremental",
+    "repeated_substring_spans", "repeated_substring_rewrite",
 ]
 GRAPH_NAMES = ["knn_pagerank", "knn_triangles", "knn_label_purity"]
 
