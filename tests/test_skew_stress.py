@@ -160,3 +160,52 @@ def test_udaf_user_stats_plain_salted_builtin_agree(spark, skew_dir):
             for r in udaf_user_stats(ev, salted=salted).collect()
         )
         assert got == ref, f"salted={salted}"
+
+
+def test_content_salt_identical_rows_collapse_and_identity_spreads(spark):
+    """ADVICE r15: byte-identical duplicate rows collapse to ONE salt
+    (the documented limitation — content hashing can't tell them
+    apart), and mixing a stable per-row identity restores the spread
+    without breaking determinism."""
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.operators.skew import _content_salt
+
+    df = spark.range(1000).select(
+        F.lit(7).alias("key"), F.lit("same").alias("payload")
+    )
+    collapsed = df.select(
+        _content_salt(df, 16).alias("s")
+    ).select(F.countDistinct("s").alias("n")).collect()[0].n
+    assert collapsed == 1  # the limitation, pinned
+    spread_df = spark.range(1000).select(
+        F.lit(7).alias("key"),
+        F.lit("same").alias("payload"),
+        F.col("id").alias("row_identity"),
+    )
+    spread = spread_df.select(
+        _content_salt(
+            spread_df.select("key", "payload"),
+            16,
+            identity=[F.col("row_identity")],
+        ).alias("s")
+    ).select(F.countDistinct("s").alias("n")).collect()[0].n
+    assert spread == 16
+
+
+def test_content_salt_skips_map_columns(spark):
+    """xxhash64 rejects MapType (including nested); the salt must
+    exclude such columns instead of failing analysis."""
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.operators.skew import _content_salt
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        F.array(F.create_map(F.lit("x"), F.lit(1))).alias("nested"),
+    )
+    out = df.select(_content_salt(df, 8).alias("s")).collect()
+    assert all(0 <= r.s < 8 for r in out)
+    # the hashable id column still spreads rows
+    assert len({r.s for r in out}) > 1
