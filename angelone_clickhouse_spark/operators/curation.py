@@ -840,11 +840,13 @@ REP_MIN_OCC = 2  # a seed occurring this often anywhere is "repeated"
 def _repeated_seeds(
     docs: DataFrame, checkpoint_dir: str | None
 ) -> DataFrame:
-    """(doc_id, n_tokens, pos) for every position whose SEED_W-token
-    window occurs >= REP_MIN_OCC times corpus-wide (counting ALL
+    """(doc_id, pos) for every position whose SEED_W-token window
+    occurs >= REP_MIN_OCC times corpus-wide (counting ALL
     occurrences — within-document self-repetition included, as
     ExactSubstr dedups both). Shared seed stage of
-    :func:`repeated_substring_spans` / :func:`repeated_substring_rewrite`.
+    :func:`repeated_spans_from_docs`. The frame stays NARROW — only
+    the two keys ride the corpus-wide gram shuffle; per-doc metadata
+    is re-derived by the callers from the doc row they already hold.
 
     The join keys on gram CONTENT, not a hash: a 60-bit hash key would
     shave shuffle bytes but admits birthday collisions at 10^10+ grams
@@ -855,7 +857,6 @@ def _repeated_seeds(
         "doc_id", F.split("text", " ").alias("w")
     ).select(
         "doc_id",
-        F.size("w").cast("bigint").alias("n_tokens"),
         F.expr(
             f"CASE WHEN size(w) >= {SEED_W} THEN"
             f"  transform(sequence(0, size(w) - {SEED_W}),"
@@ -868,11 +869,8 @@ def _repeated_seeds(
     # materialize before explode — Generate re-evaluates its child
     # expression per OUTPUT row (see pipeline._word_ngrams)
     g = materialize(g, checkpoint_dir)
-    grams = g.select(
-        "doc_id", "n_tokens", F.explode("gs").alias("s")
-    ).select(
-        "doc_id", "n_tokens", F.col("s.pos").alias("pos"),
-        F.col("s.gram").alias("gram"),
+    grams = g.select("doc_id", F.explode("gs").alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram")
     )
     rep = (
         grams.groupBy("gram")
@@ -880,9 +878,7 @@ def _repeated_seeds(
         .filter(F.col("n_occ") >= REP_MIN_OCC)
         .select("gram")
     )
-    return grams.join(rep, "gram", "left_semi").select(
-        "doc_id", "n_tokens", "pos"
-    )
+    return grams.join(rep, "gram", "left_semi").select("doc_id", "pos")
 
 
 def _seed_islands(seeds: DataFrame) -> DataFrame:
@@ -890,7 +886,7 @@ def _seed_islands(seeds: DataFrame) -> DataFrame:
     into maximal repeated spans per document (gaps-and-islands over
     the per-doc running max of interval ends; the window partitions
     by doc_id, so state is bounded by doc length, never corpus
-    size). Returns (doc_id, n_tokens, span_start, span_end)."""
+    size). Returns (doc_id, span_start, span_end)."""
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -913,10 +909,22 @@ def _seed_islands(seeds: DataFrame) -> DataFrame:
         ).otherwise(F.lit(0)),
     ).withColumn("island", F.sum("new_island").over(w_run))
     return flagged.groupBy("doc_id", "island").agg(
-        F.first("n_tokens").alias("n_tokens"),
         F.min("pos").alias("span_start"),
         (F.max("pos") + F.lit(SEED_W)).alias("span_end"),
     )
+
+
+def repeated_spans_from_docs(
+    docs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Frame-in span table (doc_id, span_start, span_end) — the
+    expensive seed+merge stage shared by
+    :func:`repeated_substring_spans` and
+    :func:`repeated_substring_rewrite`; a pipeline that runs the
+    accounting and then the rewrite feeds this table into
+    :func:`rewrite_from_spans` once instead of paying the corpus-wide
+    gram shuffle twice."""
+    return _seed_islands(_repeated_seeds(docs, checkpoint_dir))
 
 
 def repeated_substring_spans(
@@ -950,7 +958,14 @@ def repeated_substring_spans(
     output for regions >= SEED_W, at the cost of SEED_W-bounded
     resolution below it."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = _seed_islands(_repeated_seeds(docs, checkpoint_dir))
+    return spans_accounting_from_docs(docs, checkpoint_dir)
+
+
+def spans_accounting_from_docs(
+    docs: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Frame-in core of :func:`repeated_substring_spans`."""
+    spans = repeated_spans_from_docs(docs, checkpoint_dir)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_rep_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("rep_tokens"),
@@ -994,7 +1009,15 @@ def repeated_substring_rewrite(
     positions, ordered string_agg), so parity is again a
     cross-algorithm proof."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = _seed_islands(_repeated_seeds(docs, checkpoint_dir))
+    return rewrite_from_spans(
+        docs, repeated_spans_from_docs(docs, checkpoint_dir)
+    )
+
+
+def rewrite_from_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Frame-in core of :func:`repeated_substring_rewrite`, split so a
+    pipeline (or test) can feed one precomputed span table into both
+    halves instead of paying the corpus-wide gram shuffle twice."""
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("sp")
     )

@@ -59,8 +59,15 @@ def _content_salt(
     the hash: e.g. for a parquet scan,
     ``[F.col("_metadata.file_path"), F.col("_metadata.row_index")]``
     (stable across task retries because file + row position survive
-    recompute). Map-typed columns are excluded from the hash —
-    xxhash64 fails analysis on them."""
+    recompute).
+
+    Map-typed columns are EXCLUDED from the hash (xxhash64 fails
+    analysis on them, nested included) — which means rows of a hot
+    key that differ ONLY in map columns also collapse to one salt,
+    same consequence as the byte-identical case above. If map content
+    must drive the spread, project it deterministically first (e.g.
+    ``xxhash64(to_json(array_sort(map_entries(col))))``) or pass that
+    projection as ``identity``."""
     hashable = [
         F.col(f.name)
         for f in df.schema.fields

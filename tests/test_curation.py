@@ -467,9 +467,9 @@ def test_repeated_substring_rewrite_strips_exact_region(spark):
     """The rewrite drops exactly the covered tokens, keeps order, and
     a fully-duplicated doc drops to empty text but keeps its row."""
     from angelone_clickhouse_spark.operators.curation import (
-        repeated_substring_rewrite,
+        repeated_spans_from_docs,
+        rewrite_from_spans,
     )
-    from angelone_clickhouse_spark.operators import curation as cmod
 
     shared = [f"s{i}" for i in range(12)]
     a = ["a_pre"] + shared + ["a_post1", "a_post2"]
@@ -479,11 +479,12 @@ def test_repeated_substring_rewrite_strips_exact_region(spark):
         [(0, " ".join(a)), (1, " ".join(b)), (2, " ".join(c))],
         "doc_id long, text string",
     )
-    import unittest.mock as mock
-
-    with mock.patch.object(cmod, "load_table", lambda s, d, t: docs):
-        out = {r.doc_id: r for r in
-               repeated_substring_rewrite(spark, "ignored").collect()}
+    out = {
+        r.doc_id: r
+        for r in rewrite_from_spans(
+            docs, repeated_spans_from_docs(docs)
+        ).collect()
+    }
     assert out[0].clean_text == "a_pre a_post1 a_post2"
     assert out[0].n_kept_tokens == 3 and out[0].n_tokens == 15
     assert out[1].clean_text == "" and out[1].n_kept_tokens == 0
@@ -499,10 +500,8 @@ def test_repeated_substring_python_reference(spark):
 
     from angelone_clickhouse_spark.operators.curation import (
         SEED_W,
-        repeated_substring_spans,
+        spans_accounting_from_docs,
     )
-    from angelone_clickhouse_spark.operators import curation as cmod
-    import unittest.mock as mock
 
     rng = random.Random(1608)
     vocab = [f"w{i}" for i in range(40)]
@@ -531,9 +530,10 @@ def test_repeated_substring_python_reference(spark):
             if grams[tuple(t[i:i + SEED_W])] >= 2:
                 covered.update(range(i, i + SEED_W))
         expected[d] = len(covered)
-    with mock.patch.object(cmod, "load_table", lambda s, dd, tt: docs):
-        got = {r.doc_id: r.rep_tokens for r in
-               repeated_substring_spans(spark, "ignored").collect()}
+    got = {
+        r.doc_id: r.rep_tokens
+        for r in spans_accounting_from_docs(docs).collect()
+    }
     assert got == expected
 
 
