@@ -364,11 +364,28 @@ def _bpe_step(wt: DataFrame) -> tuple[DataFrame, DataFrame]:
     returns (top1 with columns a/b/n_occ — empty when no pairs
     remain, which empties the chain gracefully — and the rebuilt
     state). Factored out of :func:`bpe_train` so the greedy
-    overlap-parity device is directly testable on adversarial symbol
+    scan-left device is directly testable on adversarial symbol
     chains (tests/test_vocab.py exercises aaaa / abab / aabaa
-    words against the classic scan-left implementation)."""
-    from pyspark.sql.window import Window
+    words against the classic scan-left implementation).
 
+    The rebuild is ONE map-side ``aggregate`` fold per word
+    (optimization r16, guide §2.4/§4.1): the classic greedy
+    left-to-right merge is a linear scan with one symbol of
+    lookbehind, so it folds over ``syms`` with a (rebuilt-prefix,
+    carried-symbol) accumulator — carry the current symbol; when
+    (carry, next) == (a, b) emit the merged pair and clear the carry,
+    else emit the carry and keep scanning. That is exactly the
+    overlap-run parity rule the previous relational spelling
+    computed (inside a run of consecutive matches, every even offset
+    merges — a fold can never re-match the just-merged output
+    because merging clears the carry), pinned by the same
+    adversarial tests. The fold replaces the per-position explode,
+    two window functions, two self-joins and a collect_list regroup
+    — at any scale the rebuild now touches each word-type row ONCE
+    with zero shuffles (the old spelling shuffled the exploded
+    positions table three times per iteration); only the pair-stats
+    aggregate still shuffles, which is irreducible (it is the global
+    argmax). Before/after bench numbers: OPTIMIZATION_r16.md."""
     pairs = (
         wt.select(
             "freq",
@@ -387,64 +404,43 @@ def _bpe_step(wt: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(F.sum("freq").alias("n_occ"))
     )
     top1 = pairs.orderBy(F.desc("n_occ"), F.asc("a"), F.asc("b")).limit(1)
-    ex = (
-        wt.crossJoin(F.broadcast(top1.select("a", "b")))
-        .select(
-            "word",
-            "freq",
-            "a",
-            "b",
-            F.explode(F.expr("sequence(1, size(syms))")).alias("pos"),
+    empty_out = F.expr("CAST(array() AS ARRAY<STRING>)")
+    null_carry = F.lit(None).cast("string")
+
+    def _fold(acc, s):
+        return (
+            F.when(
+                acc["carry"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("carry")),
+            )
+            .when(
+                (acc["carry"] == F.col("a")) & (s == F.col("b")),
+                F.struct(
+                    F.concat(
+                        acc["out"], F.array(F.concat(acc["carry"], s))
+                    ).alias("out"),
+                    null_carry.alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                    s.alias("carry"),
+                )
+            )
+        )
+
+    rebuilt = wt.crossJoin(F.broadcast(top1.select("a", "b"))).select(
+        "word",
+        "freq",
+        F.aggregate(
             F.col("syms"),
-        )
-        .select(
-            "word",
-            "freq",
-            "a",
-            "b",
-            "pos",
-            F.expr("element_at(syms, pos)").alias("sym"),
-            F.expr("try_element_at(syms, pos + 1)").alias("nxt"),
-        )
-    )
-    matches = ex.filter(
-        (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b"))
-    ).select("word", "pos")
-    w_rn = Window.partitionBy("word").orderBy("pos")
-    runs = matches.withColumn(
-        "grp", F.col("pos") - F.row_number().over(w_rn)
-    )
-    w_run = Window.partitionBy("word", "grp")
-    sel = (
-        runs.withColumn("run_start", F.min("pos").over(w_run))
-        .filter((F.col("pos") - F.col("run_start")) % 2 == 0)
-        .select("word", F.col("pos").alias("mpos"))
-    )
-    here = sel.select(
-        "word", F.col("mpos").alias("pos"), F.lit(True).alias("merge_here")
-    )
-    prev = sel.select(
-        "word", (F.col("mpos") + 1).alias("pos"), F.lit(True).alias("covered")
-    )
-    rebuilt = (
-        ex.join(here, ["word", "pos"], "left")
-        .join(prev, ["word", "pos"], "left")
-        .filter(F.col("covered").isNull())
-        .select(
-            "word",
-            "freq",
-            "pos",
-            F.when(F.col("merge_here"), F.concat("sym", "nxt"))
-            .otherwise(F.col("sym"))
-            .alias("nsym"),
-        )
-        .groupBy("word", "freq")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, nsym))),"
-                " s -> s.nsym)"
-            ).alias("syms")
-        )
+            F.struct(empty_out.alias("out"), null_carry.alias("carry")),
+            _fold,
+            lambda acc: F.when(acc["carry"].isNull(), acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["carry"]))
+            ),
+        ).alias("syms"),
     )
     return top1, rebuilt
 
