@@ -710,18 +710,27 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("label"))
         )
-        new_labels = _materialize(new_labels, checkpoint_dir)
         # Convergence probe WITHOUT a join: min-label propagation can
         # only DECREASE a node's label, and the node set is fixed, so
         # sum(label) strictly decreases iff any label changed. The sum
         # is exact (decimal(38,0) — no overflow for any realistic
         # node-count x id range, unlike a bigint sum; no hash-collision
-        # risk, unlike an xor signature), and it is one cheap scan of
-        # the just-checkpointed frame instead of the old-vs-new join
-        # the previous spelling paid every round.
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0].s
+        # risk, unlike an xor signature). r16: the sum rides the
+        # materialization job itself as an observed metric (guide
+        # §1.2/§5 — ONE job per round instead of materialize + a
+        # separate aggregate scan; observed metrics fire on both
+        # localCheckpoint and reliable checkpoint actions).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = _materialize(
+            new_labels.observe(
+                obs,
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            ),
+            checkpoint_dir,
+        )
+        new_sum = obs.get["s"]
         prev_sum = label_sum
         label_sum = new_sum
         labels = new_labels
@@ -776,19 +785,30 @@ def connected_components_star(
         )
         .distinct()
     )
-    e = _materialize(e, checkpoint_dir)
 
-    def _sig(df: DataFrame) -> tuple:
+    def _mat_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
         # bit_xor: order-independent AND overflow-free (a long sum of
         # xxhash64 trips ANSI overflow); the edge list is distinct, so
-        # xor-cancellation of duplicates cannot occur
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (row.n, row.h)
+        # xor-cancellation of duplicates cannot occur. r16: the
+        # signature rides the materialization job as observed metrics
+        # (ONE job per round instead of materialize + a separate
+        # aggregate scan — the same fusion as connected_components'
+        # sum probe).
+        from pyspark.sql import Observation
 
-    prev = _sig(e)
+        obs = Observation()
+        out = _materialize(
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ),
+            checkpoint_dir,
+        )
+        m = obs.get
+        return out, (m["n"], m["h"])
+
+    e, prev = _mat_sig(e)
     for _ in range(max_iter):
         # LARGE-STAR: m(u) = min over closed neighborhood; re-attach
         # strictly larger neighbors to it
@@ -819,8 +839,7 @@ def connected_components_star(
         e = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
-        e = _materialize(e, checkpoint_dir)
-        sig = _sig(e)
+        e, sig = _mat_sig(e)
         if sig == prev:
             break
         prev = sig

@@ -329,7 +329,7 @@ def make_docdedup_epoch_writer(
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
         from angelone_clickhouse_spark.streaming.keyed_index import (
-            collect_pks,
+            checkpoint_with_pks,
             commit_epoch_fused,
             pk_of_band,
             read_keyed,
@@ -368,8 +368,11 @@ def make_docdedup_epoch_writer(
         # and the broadcast side lost its already-materialized
         # shortcut. Two small serial jobs beat one fused job whose
         # output is re-derived three times.
-        bn = _band_keys(sig).localCheckpoint(eager=True)
-        pks = collect_pks(bn, pk_of_band())
+        # r16: the pk-occupancy bitmap rides the bn checkpoint job as
+        # observed metrics (keyed_index.checkpoint_with_pks) — one
+        # driver round-trip per epoch instead of the old checkpoint +
+        # distinct().collect() pair.
+        bn, pks = checkpoint_with_pks(_band_keys(sig), pk_col=pk_of_band())
         stored = read_keyed(spark, index_dir, KEYED_SIG_SCHEMA, pks=pks)
         verdicts, kept_sig = dedup_epoch_keyed(batch, sig, stored, bn=bn)
         # checkpoint: verdicts feeds BOTH fused-union branches (its

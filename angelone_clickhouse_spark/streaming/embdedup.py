@@ -659,7 +659,7 @@ def make_embdedup_lsh_epoch_writer(
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
         from angelone_clickhouse_spark.streaming.keyed_index import (
-            collect_pks,
+            checkpoint_with_pks,
             commit_epoch_fused,
             pk_of,
             read_keyed,
@@ -682,16 +682,16 @@ def make_embdedup_lsh_epoch_writer(
             expire_epochs_keyed(index_dir, epoch_id - retention_epochs)
         # one cell-projection pass per epoch: the checkpointed celled
         # frame feeds the probe-partition collect AND the epoch body
-        # (it used to be computed by both)
-        new_vec = _with_cells(
-            _as_double_vecs(batch), planes, n_tables
-        ).localCheckpoint(eager=True)
-        # bounded: one trigger's probe keys -> <= P_KEYED partition ids
-        pks = collect_pks(
-            new_vec.select(
-                F.explode(_probe_keys(planes, n_flips)).alias("cell_key")
+        # (it used to be computed by both). r16: the pk-occupancy
+        # bitmap rides the checkpoint job as observed metrics (one
+        # boolean per bucket over each row's probe-key array) — one
+        # driver round-trip per epoch instead of checkpoint + the
+        # explode/distinct/collect job.
+        new_vec, pks = checkpoint_with_pks(
+            _with_cells(_as_double_vecs(batch), planes, n_tables),
+            pk_arr=F.transform(
+                _probe_keys(planes, n_flips), lambda k: pk_of(k)
             ),
-            pk_of("cell_key"),
         )
         # pruned scan of the raw replica rows; the unused cells
         # column is projected away (column pruning at the scan)

@@ -122,6 +122,46 @@ def collect_pks(df_with_keys: DataFrame, pk_col: F.Column) -> list[int]:
     ]
 
 
+def checkpoint_with_pks(
+    df: DataFrame,
+    pk_col: F.Column | None = None,
+    pk_arr: F.Column | None = None,
+) -> tuple[DataFrame, list[int]]:
+    """``localCheckpoint(eager=True)`` a bounded probe frame AND
+    collect its partition-bucket occupancy in the SAME Spark job
+    (optimization r16, guide §1.2/§5 — one driver round-trip per
+    epoch instead of two): the bucket set rides the checkpoint's
+    materialization as observed metrics — one boolean ``max`` per
+    bucket, P_KEYED metrics total, so the driver-side payload is
+    bounded by config at ANY batch size — replacing the separate
+    ``distinct().collect()`` job every keyed gate paid per epoch
+    (:func:`collect_pks` stays for non-checkpointing callers).
+
+    Exactly one of ``pk_col`` (one bucket per row) / ``pk_arr``
+    (array of buckets per row) is given. An empty frame yields an
+    empty pks list (metrics aggregate to NULL over zero rows),
+    matching collect_pks on an empty frame. Returns
+    ``(checkpointed_df, pks)``."""
+    from pyspark.sql import Observation
+
+    if (pk_col is None) == (pk_arr is None):
+        raise ValueError("exactly one of pk_col/pk_arr required")
+    obs = Observation()
+    if pk_arr is not None:
+        metrics = [
+            F.max(F.array_contains(pk_arr, F.lit(p))).alias(f"p{p}")
+            for p in range(P_KEYED)
+        ]
+    else:
+        metrics = [
+            F.max(pk_col == F.lit(p)).alias(f"p{p}")
+            for p in range(P_KEYED)
+        ]
+    ck = df.observe(obs, *metrics).localCheckpoint(eager=True)
+    got = obs.get
+    return ck, [p for p in range(P_KEYED) if got[f"p{p}"]]
+
+
 def commit_epoch_fused(
     flat_df: DataFrame,
     flat_dir: str,

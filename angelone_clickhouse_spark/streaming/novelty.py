@@ -158,7 +158,7 @@ def make_novelty_epoch_writer(
         )
         from angelone_clickhouse_spark.streaming.keyed_index import (
             PART_COL,
-            collect_pks,
+            checkpoint_with_pks,
             commit_epoch_fused,
             sweep_epoch_keyed,
         )
@@ -178,9 +178,13 @@ def make_novelty_epoch_writer(
 
             expire_epochs_keyed(index_dir, epoch_id - retention_epochs)
         # one gram pass per epoch: the checkpointed exploded-gram
-        # frame feeds the partition collect AND the epoch body
-        dg = _word_ngrams(batch, NOVELTY_N).localCheckpoint(eager=True)
-        pks = collect_pks(dg.select("gram"), _gram_pk())
+        # frame feeds the partition collect AND the epoch body. r16:
+        # the pk-occupancy bitmap rides the checkpoint job as
+        # observed metrics — one driver round-trip per epoch instead
+        # of the checkpoint + distinct().collect() pair.
+        dg, pks = checkpoint_with_pks(
+            _word_ngrams(batch, NOVELTY_N), pk_col=_gram_pk()
+        )
         index = read_gram_index(spark, index_dir, pks=pks)
         verdicts, new_grams = novelty_epoch(batch, index, dg=dg)
         # no checkpoints needed any more: each frame feeds exactly
