@@ -180,35 +180,55 @@ KNN_CELL_MARGIN = 8
 KNN_SHORTLIST_SCHEMA = "src_id long, neighbor_id long, cos_np double"
 
 
-def _rows_topk(src_ids, src_m, dst_ids, dst_m, s, exclude_self):
-    """Per-row top-``s`` of ``src_m @ dst_m.T`` under the final
-    ranking order (cos DESC, neighbor_id ASC) — one numpy matmul per
-    cell, then a per-row lexsort shortlist."""
+def _topk_arrays(src_ids, src_m, dst_ids, dst_m, s, exclude_self):
+    """Array core of :func:`_rows_topk`: per-row top-``s`` of
+    ``src_m @ dst_m.T`` under the final ranking order (cos DESC,
+    neighbor_id ASC) — one numpy matmul per cell, then ONE vectorized
+    stable argsort for the whole cell. Returns (srcs, nids, sims)
+    arrays, or None when either side (or every shortlist) is empty.
+
+    r16 optimization (guide §4.2 — hand whole batches to vectorized
+    native code): the previous spelling ran a Python loop with one
+    ``np.lexsort`` call PER PROBE ROW. The ranking order is
+    reproduced exactly without the loop: the dst side is pre-sorted
+    by id once per cell, so a STABLE row-wise argsort of ``-cos``
+    breaks cosine ties by ascending neighbor_id — identical output
+    to the per-row ``np.lexsort((dst_ids, -row))``."""
     if len(src_ids) == 0 or len(dst_ids) == 0:
-        return pd.DataFrame(
-            {"src_id": [], "neighbor_id": [], "cos_np": []}
-        ).astype({"src_id": "int64", "neighbor_id": "int64"})
+        return None
+    dord = np.argsort(dst_ids)
+    dst_ids = dst_ids[dord]
+    dst_m = dst_m[dord]
     cos = np.round(src_m @ dst_m.T, 6)
     if exclude_self:
         cos[src_ids[:, None] == dst_ids[None, :]] = -2.0  # sentinel < any cosine
-    srcs, nids, sims = [], [], []
-    for r in range(cos.shape[0]):
-        row = cos[r]
-        idx = np.lexsort((dst_ids, -row))[:s]
-        idx = idx[row[idx] > -1.5]
-        srcs.append(np.full(len(idx), src_ids[r], dtype=np.int64))
-        nids.append(dst_ids[idx])
-        sims.append(row[idx])
-    if not srcs:
-        return pd.DataFrame(
-            {"src_id": [], "neighbor_id": [], "cos_np": []}
-        ).astype({"src_id": "int64", "neighbor_id": "int64"})
+    s_eff = min(s, cos.shape[1])
+    o = np.argsort(-cos, axis=1, kind="stable")[:, :s_eff]
+    top = np.take_along_axis(cos, o, axis=1)
+    keep = top > -1.5
+    n_keep = keep.sum(axis=1)
+    if not n_keep.any():
+        return None
+    return np.repeat(src_ids, n_keep), dst_ids[o[keep]], top[keep]
+
+
+_EMPTY_SHORTLIST = {"src_id": "int64", "neighbor_id": "int64"}
+
+
+def _empty_shortlist_pdf() -> pd.DataFrame:
     return pd.DataFrame(
-        {
-            "src_id": np.concatenate(srcs),
-            "neighbor_id": np.concatenate(nids),
-            "cos_np": np.concatenate(sims),
-        }
+        {"src_id": [], "neighbor_id": [], "cos_np": []}
+    ).astype(_EMPTY_SHORTLIST)
+
+
+def _rows_topk(src_ids, src_m, dst_ids, dst_m, s, exclude_self):
+    """Frame-returning wrapper of :func:`_topk_arrays` (the exact
+    blocked graph's per-cell entry point)."""
+    r = _topk_arrays(src_ids, src_m, dst_ids, dst_m, s, exclude_self)
+    if r is None:
+        return _empty_shortlist_pdf()
+    return pd.DataFrame(
+        {"src_id": r[0], "neighbor_id": r[1], "cos_np": r[2]}
     )
 
 
@@ -401,7 +421,7 @@ def knn_graph_ann_impl(
     hashes if a real corpus has them). Candidate volume is linear in
     n at fixed settings because planes grow with log2(n)."""
     from angelone_clickhouse_spark.operators.similarity import (
-        _bucket,
+        _bucket_cols,
         _vectors,
     )
 
@@ -409,9 +429,7 @@ def knn_graph_ann_impl(
     if n_planes is None:
         n_planes = _adaptive_planes(vecs.count())
     n_flips = min(n_flips, n_planes)
-    b = vecs
-    for t in range(n_tables):
-        b = _bucket(b, n_planes, plane_offset=t * n_planes, out=f"b{t}")
+    b = _bucket_cols(vecs, n_planes, n_tables)
     tb = b.select(
         "vec_id",
         F.col("v").alias("embedding"),
@@ -450,25 +468,96 @@ def knn_graph_ann_impl(
     return _shortlist_rescore_rank(spark, sf_dir, cells, KNN_K)
 
 
+# Distinct coarse cell-group keys per shuffle partition (guide §2.5:
+# many more key values than partitions so the hash spreads evenly).
+COARSE_CELL_FACTOR = 8
+
+
 def _cells_shortlist(
     probe: DataFrame, corpus: DataFrame, keys: list[str]
 ) -> DataFrame:
-    """Shared cell stage of the ANN self-graph family: group probe
-    (side=0) and corpus (side=1) rows — (vec_id, embedding, *keys,
-    side) — by the bucket key and run one numpy matmul per cell,
-    emitting each probe row's per-cell top-(k + margin) under the
-    final ranking order (self matches excluded)."""
-    s = KNN_K + KNN_CELL_MARGIN
+    """Shared cell stage of the ANN self-graph family: probe (side=0)
+    and corpus (side=1) rows — (vec_id, embedding, *keys, side) —
+    grouped by cell key; one numpy matmul per cell emits each probe
+    row's per-cell top-(k + margin) under the final ranking order
+    (self matches excluded).
 
-    def cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        a_ids, a = _unit_rows(pdf[pdf["side"] == 0])
-        b_ids, bm = _unit_rows(pdf[pdf["side"] == 1])
-        return _rows_topk(a_ids, a, b_ids, bm, s, exclude_self=True)
+    r16 optimization (guide §4.2/§4.5 — amortize per-batch overhead):
+    grouping is by a COARSE deterministic key (xxhash64 of the cell
+    key mod ~8x shuffle partitions), one ``applyInPandas`` invocation
+    per coarse group instead of one per cell. The old per-cell
+    grouping paid pandas frame construction + boolean filtering +
+    Arrow framing PER CELL (~5 ms x thousands of tiny LSH cells —
+    the measured dominant cost of the amplified arm's cells stage);
+    now each task converts its rows to numpy ONCE, normalizes ONCE,
+    and slices cells out of the sorted block. Semantics identical:
+    the coarse key is a pure function of the cell key, so every cell
+    lands whole in exactly one group, and cells are processed
+    independently inside it. Shuffle volume unchanged; per-task
+    memory is bounded by shuffle-partition sizing (AQE advisory)
+    instead of cell size — the same contract, since a hot cell
+    already landed in one task under per-cell grouping."""
+    s = KNN_K + KNN_CELL_MARGIN
+    both = probe.unionByName(corpus)
+    try:
+        npart = int(
+            both.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        npart = 32
+    ncoarse = COARSE_CELL_FACTOR * max(npart, 1)
+    ck = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(ncoarse)
+    ).alias("_ck")
+
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return _empty_shortlist_pdf()
+        pdf = pdf.sort_values(
+            [*keys, "side"], kind="mergesort", ignore_index=True
+        )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        side = pdf["side"].to_numpy()
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        change = np.zeros(len(pdf), dtype=bool)
+        change[0] = True
+        for k in keys:
+            kc = pdf[k].to_numpy()
+            change[1:] |= kc[1:] != kc[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        srcs, nids, sims = [], [], []
+        for st, en in zip(starts, ends):
+            split = st + int(
+                np.searchsorted(side[st:en], 1, side="left")
+            )
+            r = _topk_arrays(
+                ids[st:split],
+                m[st:split],
+                ids[split:en],
+                m[split:en],
+                s,
+                exclude_self=True,
+            )
+            if r is not None:
+                srcs.append(r[0])
+                nids.append(r[1])
+                sims.append(r[2])
+        if not srcs:
+            return _empty_shortlist_pdf()
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate(srcs),
+                "neighbor_id": np.concatenate(nids),
+                "cos_np": np.concatenate(sims),
+            }
+        )
 
     return (
-        probe.unionByName(corpus)
-        .groupBy(*keys)
-        .applyInPandas(cell, schema=KNN_SHORTLIST_SCHEMA)
+        both.select("vec_id", "embedding", "side", *keys, ck)
+        .groupBy("_ck")
+        .applyInPandas(part, schema=KNN_SHORTLIST_SCHEMA)
     )
 
 
@@ -656,11 +745,9 @@ def _cell_rows(vecs: DataFrame, n_tables: int, planes: int) -> DataFrame:
     given ``planes`` — the property the incremental builder's append
     path relies on (a delta row's cells never depend on the rest of
     the corpus)."""
-    from angelone_clickhouse_spark.operators.similarity import _bucket
+    from angelone_clickhouse_spark.operators.similarity import _bucket_cols
 
-    b = vecs
-    for t in range(n_tables):
-        b = _bucket(b, planes, plane_offset=t * planes, out=f"b{t}")
+    b = _bucket_cols(vecs, planes, n_tables)
     return b.select(
         "vec_id",
         F.explode(

@@ -22,6 +22,8 @@ randomness to ship.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -149,6 +151,71 @@ def _bucket(
     return vecs.withColumn(out, F.expr(f"CAST(({bits}) AS BIGINT)"))
 
 
+def _bucket_cols(
+    vecs: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    out_prefix: str = "b",
+    v_col: str = "v",
+) -> DataFrame:
+    """All ``n_tables`` tables' bucket ids in ONE vectorized pandas
+    UDF pass (table t uses plane family offset t*n_planes): adds
+    columns ``{out_prefix}0 .. {out_prefix}{n_tables-1}``, output
+    bit-identical to chaining :func:`_bucket` once per table.
+
+    r16 optimization (guide §4.1/§4.2): the expr spelling evaluates
+    an interpreted aggregate/zip_with fold per (row, plane) — higher-
+    order array lambdas have no codegen, so a 10-table amplified
+    setting pays n_tables x n_planes x dim interpreted lambda steps
+    per row (~1.9 s for one projection pass at sf0.1, the largest
+    single cost inside every LSH arm). The UDF computes the SAME
+    arithmetic vectorized across the Arrow batch: per plane, the
+    component accumulation runs in ascending-component order with a
+    separate IEEE double multiply then add per step
+    (``acc = acc + X[:, j] * h[j]`` — two ufuncs, no FMA
+    contraction), which is exactly the expr fold's
+    ``(acc, x) -> acc + x`` over ``zip_with(v, h, (x, h) -> x * h)``
+    sequence — so every bucket bit, every candidate set, and the
+    DuckDB-oracle contract are unchanged (bit-equality vs _bucket
+    asserted over the fixture corpus in tests/test_similarity.py).
+    Scale: one narrow column crosses the Python boundary per pass;
+    the plane matrix is a driver-built closure constant
+    (n_tables*n_planes*dim doubles, KBs)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    H = np.array(
+        [_plane(p) for p in range(n_tables * n_planes)], dtype=np.float64
+    )
+    nt, npl = n_tables, n_planes
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _all_buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(list(vs), dtype=np.float64)
+        out = np.zeros((X.shape[0], nt), dtype=np.int64)
+        for t in range(nt):
+            for p in range(npl):
+                h = H[t * npl + p]
+                acc = np.zeros(X.shape[0])
+                for j in range(X.shape[1]):
+                    acc = acc + X[:, j] * h[j]
+                out[:, t] |= np.where(
+                    acc > 0.0, np.int64(1 << p), np.int64(0)
+                )
+        return pd.Series(list(out))
+
+    tmp = f"_{out_prefix}_all"
+    b = vecs.withColumn(tmp, _all_buckets(F.col(v_col)))
+    return b.select(
+        *vecs.columns,
+        *[
+            F.col(tmp)[t].alias(f"{out_prefix}{t}")
+            for t in range(n_tables)
+        ],
+    )
+
+
 def lsh_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -194,8 +261,7 @@ def lsh_topk(
             f"n_flips={n_flips} out of range [0, n_planes={n_planes}]"
         )
     vecs = _vectors(spark, sf_dir)
-    for t in range(n_tables):
-        vecs = _bucket(vecs, n_planes, plane_offset=t * n_planes, out=f"b{t}")
+    vecs = _bucket_cols(vecs, n_planes, n_tables)
     tb = vecs.select(
         "vec_id",
         "v",

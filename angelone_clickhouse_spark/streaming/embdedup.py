@@ -315,11 +315,9 @@ def _with_cells(vec: DataFrame, planes: int, n_tables: int) -> DataFrame:
     """(vec_id, v) -> + cells array<long>: the vector's own cell key
     per table, cell_key = t * 2^planes + bucket_t (the
     ann_corpus_index encoding)."""
-    from angelone_clickhouse_spark.operators.similarity import _bucket
+    from angelone_clickhouse_spark.operators.similarity import _bucket_cols
 
-    b = vec
-    for t in range(n_tables):
-        b = _bucket(b, planes, plane_offset=t * planes, out=f"_b{t}")
+    b = _bucket_cols(vec, planes, n_tables, out_prefix="_b")
     return b.select(
         *vec.columns,
         F.array(

@@ -194,3 +194,26 @@ def test_pq_plan_is_shuffle_free_until_shortlist(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucket_cols_bit_identical_to_expr_fold(spark, sf_dir):
+    """_bucket_cols (the r16 vectorized pandas-UDF bucketing) must
+    reproduce the expr fold's bucket bits EXACTLY for every corpus
+    vector and every table — the candidate sets, and hence the
+    DuckDB-oracle contract of the whole LSH family, ride on this."""
+    from angelone_clickhouse_spark.operators.similarity import (
+        _bucket,
+        _bucket_cols,
+        _vectors,
+    )
+
+    n_planes, n_tables = 6, 3
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    old = vecs
+    for t in range(n_tables):
+        old = _bucket(old, n_planes, plane_offset=t * n_planes, out=f"b{t}")
+    new = _bucket_cols(vecs, n_planes, n_tables)
+    cols = [f"b{t}" for t in range(n_tables)]
+    old_rows = {r["vec_id"]: tuple(r[c] for c in cols) for r in old.collect()}
+    new_rows = {r["vec_id"]: tuple(r[c] for c in cols) for r in new.collect()}
+    assert old_rows == new_rows
