@@ -232,7 +232,9 @@ def _rows_topk(src_ids, src_m, dst_ids, dst_m, s, exclude_self):
     )
 
 
-def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_graph(
+    spark: SparkSession, sf_dir: str, n_vecs: int | None = None
+) -> DataFrame:
     """Exact corpus self-kNN graph: every vector's ``KNN_K`` nearest
     neighbors by cosine — the structure SemDeDup-style pruning,
     duplicate-graph construction, and diversity sampling consume.
@@ -251,11 +253,15 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-matmul data to (k + margin) rows per vector per cell — the
     candidate stream is linear in n, never quadratic; the final rank
     partitions by src_id over ≤ (k + margin)·n_blocks rows per vector.
-    The corpus is never collected or broadcast."""
+    The corpus is never collected or broadcast. ``n_vecs`` lets a
+    composite caller (knn_ann_recall) thread one corpus count through
+    every arm instead of each arm paying its own count job."""
     from angelone_clickhouse_spark.operators.similarity import _cos, _vectors
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_blocks = max(1, math.ceil(emb.count() / BLOCK_ROWS))
+    if n_vecs is None:
+        n_vecs = emb.count()
+    n_blocks = max(1, math.ceil(n_vecs / BLOCK_ROWS))
     blk = (F.col("vec_id") % n_blocks).cast("int")
     a_rep = emb.select(
         "vec_id",
@@ -1275,12 +1281,27 @@ def knn_ann_recall(
     it; with the cut the O(n²) matmul provably runs once)."""
     from angelone_clickhouse_spark.materialize import materialize
 
+    # one corpus count feeds the exact arm's blocking AND every
+    # LSH arm's adaptive plane count (r16: each arm used to pay its
+    # own count job — 5 extra driver round-trips per run)
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
     exact = materialize(
-        knn_graph(spark, sf_dir).select("src_id", "neighbor_id"),
+        knn_graph(spark, sf_dir, n_vecs=n_vecs).select(
+            "src_id", "neighbor_id"
+        ),
         checkpoint_dir,
     )
     arms: list[tuple[str, DataFrame]] = [
-        (setting, knn_graph_ann_impl(spark, sf_dir, flips, tables, planes))
+        (
+            setting,
+            knn_graph_ann_impl(
+                spark,
+                sf_dir,
+                flips,
+                tables,
+                planes if planes is not None else _adaptive_planes(n_vecs),
+            ),
+        )
         for setting, flips, tables, planes in KNN_ANN_AUDIT_SETTINGS
     ]
     arms.append(("ivf", knn_graph_ivf(spark, sf_dir)))
