@@ -101,11 +101,23 @@ def semdedup_epoch(
     from angelone_clickhouse_spark.operators.similarity import _cos
 
     spark = batch_emb.sparkSession
-    new_vec = _as_double_vecs(batch_emb).localCheckpoint(eager=True)
     # bounded collect: one trigger's worth of vectors — the broadcast
-    # small side (the corpus/index is never collected)
+    # small side (the corpus/index is never collected). r16: ONE
+    # toPandas job replaces the old localCheckpoint + toPandas pair —
+    # the collected batch is re-created as a local relation, so every
+    # downstream reference (the prune's broadcast, the union's new
+    # side, kept_vec's filter) reads driver-local rows with no
+    # recompute and no extra job. Doubles round-trip Arrow exactly,
+    # so the exact re-verify is unaffected.
+    new_pdf = _as_double_vecs(batch_emb).toPandas()
+    # coalesce(1): createDataFrame parallelizes to defaultParallelism
+    # partitions, but the batch is one trigger's worth of rows — the
+    # old single-file stream partitioning — and every consumer is a
+    # bounded union/filter side; 32 near-empty tasks per epoch stage
+    # is pure scheduling overhead.
+    new_vec = spark.createDataFrame(new_pdf, INDEX_SCHEMA).coalesce(1)
     b_ids, bm = _unit_rows(
-        new_vec.select("vec_id", F.col("v").alias("embedding")).toPandas()
+        new_pdf.rename(columns={"v": "embedding"})
     )
     bc = spark.sparkContext.broadcast((b_ids, bm))
     corpus = index_vec.select(
@@ -201,14 +213,20 @@ def make_embdedup_epoch_writer(out_dir: str, index_dir: str):
     commit verdicts then kept vectors."""
 
     def write_epoch(batch: DataFrame, epoch_id: int) -> None:
+        from angelone_clickhouse_spark.streaming.epoch_commit import (
+            commit_epoch_flat2,
+        )
+
         spark = batch.sparkSession
         sweep_prefix(out_dir, f"e{epoch_id}-")
         sweep_prefix(index_dir, f"e{epoch_id}-")
         index_vec = _read_index(spark, index_dir, INDEX_SCHEMA)
         verdicts, kept_vec = semdedup_epoch(batch, index_vec)
+        # checkpoint: verdicts feeds BOTH fused-union branches (its
+        # own rows + the kept_vec filter); the fused committer stages
+        # both sinks in ONE job (r16 — was two commit_epoch_flat jobs)
         verdicts = verdicts.localCheckpoint(eager=True)
-        commit_epoch_flat(verdicts, out_dir, epoch_id)
-        commit_epoch_flat(kept_vec, index_dir, epoch_id)
+        commit_epoch_flat2(verdicts, out_dir, kept_vec, index_dir, epoch_id)
 
     return write_epoch
 

@@ -44,6 +44,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def epoch_prefix(epoch_id: int) -> str:
@@ -105,6 +106,50 @@ def commit_epoch_flat(
                 os.path.join(out_dir, epoch_prefix(epoch_id) + name),
             )
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def commit_epoch_flat2(
+    df_a: DataFrame,
+    dir_a: str,
+    df_b: DataFrame,
+    dir_b: str,
+    epoch_id: int,
+) -> None:
+    """Commit an epoch's TWO flat sinks with ONE staging job (r16 —
+    the flat-gate sibling of keyed_index.commit_epoch_fused, same
+    rationale: at fixture scale the second staging job's fixed cost
+    is most of what the second sink adds). The union takes the
+    superset schema (unionByName(allowMissingColumns)); safe because
+    both datasets are read back with EXPLICIT schemas, so the
+    null-padded foreign columns are never scanned. Retry contract
+    unchanged: both sweeps run before any rename."""
+    _dest = "_dest"
+    staging = os.path.join(dir_a + ".stage", f"epoch-{epoch_id}-fused2")
+    shutil.rmtree(staging, ignore_errors=True)
+    staged = (
+        df_a.withColumn(_dest, F.lit("a"))
+        .unionByName(
+            df_b.withColumn(_dest, F.lit("b")),
+            allowMissingColumns=True,
+        )
+        .coalesce(1)
+    )
+    staged.write.mode("overwrite").partitionBy(_dest).parquet(staging)
+    prefix = epoch_prefix(epoch_id)
+    sweep_prefix(dir_a, prefix)
+    sweep_prefix(dir_b, prefix)
+    for tag, out_dir in (("a", dir_a), ("b", dir_b)):
+        src = os.path.join(staging, f"{_dest}={tag}")
+        os.makedirs(out_dir, exist_ok=True)
+        if os.path.isdir(src):
+            for name in os.listdir(src):
+                if name.startswith("part-"):
+                    os.rename(
+                        os.path.join(src, name),
+                        os.path.join(out_dir, prefix + name),
+                    )
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(dir_a + ".stage", ignore_errors=True)
 
 
 def commit_epoch_partitioned(
