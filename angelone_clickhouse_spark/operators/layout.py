@@ -147,30 +147,65 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout (min/max-stats skipping), plus the probe's exact matching
     row count: one row per probe —
     (probe_id, n_files, files_scanned_z, files_scanned_xsort,
-    rows_matched)."""
-    from pyspark.sql import Window
+    rows_matched).
+
+    r16 plan restructure (guide §1.2/§2.4): the old spelling computed
+    bounds and the rows-per-file count as aggregate subplans and
+    broadcast-joined them back — three broadcast jobs, each re-scanning
+    events — and the un-materialized Morton projection re-ran once per
+    consumer branch (two window layouts + the probe match). Now ONE
+    materialization pass over the keyed projection carries bounds +
+    count as observed metrics (five ints to the driver — bounded at
+    any corpus size), the normalization/probe rectangles become exact
+    integer literals (same arithmetic: inputs and operators are
+    unchanged, the values just travel via the observation instead of
+    a broadcast join), and the Morton projection is checkpointed once
+    for both layout branches. 17 jobs -> 11 measured, events scanned
+    once instead of five times."""
+    from pyspark.sql import Observation, Window
 
     ev = load_table(spark, sf_dir, "events")
-    keyed = ev.select(
-        F.col("user_id").alias("x"),
-        F.expr("cast(floor(value * 100) as bigint)").alias("y"),
-        F.col("event_id").alias("rid"),
+    obs = Observation()
+    keyed = (
+        ev.select(
+            F.col("user_id").alias("x"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("y"),
+            F.col("event_id").alias("rid"),
+        )
+        .observe(
+            obs,
+            F.min("x").alias("x0"),
+            F.max("x").alias("x1"),
+            F.min("y").alias("y0"),
+            F.max("y").alias("y1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint(eager=True)
     )
-    bounds = keyed.agg(
-        F.min("x").alias("x0"),
-        F.max("x").alias("x1"),
-        F.min("y").alias("y0"),
-        F.max("y").alias("y1"),
+    m = obs.get
+    probes = spark.createDataFrame(
+        PROBES, "probe_id int, xlop int, xhip int, ylop int, yhip int"
     )
-    cnt = keyed.agg(
-        F.expr(
-            f"cast((count(*) + {PRUNE_FILES - 1}) div {PRUNE_FILES}"
-            " as bigint)"
-        ).alias("rpf")
-    )
+    if m["n"] == 0:
+        # empty input: every probe scans 0 of 0 files and matches 0
+        # rows — identical to the old plan's aggregates-over-empty
+        return probes.select(
+            "probe_id",
+            F.lit(0).cast("long").alias("n_files"),
+            F.lit(0).cast("long").alias("files_scanned_z"),
+            F.lit(0).cast("long").alias("files_scanned_xsort"),
+            F.lit(0).cast("long").alias("rows_matched"),
+        )
+    x0, x1 = int(m["x0"]), int(m["x1"])
+    y0, y1 = int(m["y0"]), int(m["y1"])
+    n = int(m["n"])
+    # operands are non-negative, so Python // == SQL div here
+    rpf = (n + PRUNE_FILES - 1) // PRUNE_FILES
+    n_files = (n + rpf - 1) // rpf
     top = (1 << Z_BITS) - 1
     norm = (
-        f"((%s - %s0) * {top}) div greatest(cast(1 as bigint), %s1 - %s0)"
+        f"((%s - cast(%d as bigint)) * {top})"
+        f" div greatest(cast(1 as bigint), cast(%d as bigint))"
     )
     zval = F.expr(
         f"aggregate(sequence(0, {Z_BITS - 1}), cast(0 as bigint), "
@@ -180,23 +215,22 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" 2 * b + 1))"
     )
     zrows = (
-        keyed.crossJoin(F.broadcast(bounds))
-        .select(
+        keyed.select(
             "x",
             "y",
             "rid",
-            F.expr(norm % ("x", "x", "x", "x")).alias("xn"),
-            F.expr(norm % ("y", "y", "y", "y")).alias("yn"),
+            F.expr(norm % ("x", x0, x1 - x0)).alias("xn"),
+            F.expr(norm % ("y", y0, y1 - y0)).alias("yn"),
         )
         .select("x", "y", "rid", zval.alias("zval"))
-        .crossJoin(F.broadcast(cnt))
+        .localCheckpoint(eager=True)
     )
 
     def file_stats(df: DataFrame, *order: str) -> DataFrame:
         rn = F.row_number().over(Window.orderBy(*order))
         return (
             df.withColumn("fid", F.expr("-1") + rn)
-            .select("x", "y", F.expr("fid div rpf").alias("fid"))
+            .select("x", "y", F.expr(f"fid div {rpf}").alias("fid"))
             .groupBy("fid")
             .agg(
                 F.min("x").alias("minx"),
@@ -208,16 +242,16 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files_z = file_stats(zrows, "zval", "rid")
     files_x = file_stats(zrows, "x", "y", "rid")
-    probes = spark.createDataFrame(
-        PROBES, "probe_id int, xlop int, xhip int, ylop int, yhip int"
-    )
-    pct = "%s0 + ((%s1 - %s0) * %s) div 100"
-    rects = probes.crossJoin(F.broadcast(bounds)).select(
+    rects = probes.select(
         "probe_id",
-        F.expr(pct % ("x", "x", "x", "xlop")).alias("pxlo"),
-        F.expr(pct % ("x", "x", "x", "xhip")).alias("pxhi"),
-        F.expr(pct % ("y", "y", "y", "ylop")).alias("pylo"),
-        F.expr(pct % ("y", "y", "y", "yhip")).alias("pyhi"),
+        F.expr(f"cast({x0} as bigint) + ((cast({x1 - x0} as bigint))"
+               " * xlop) div 100").alias("pxlo"),
+        F.expr(f"cast({x0} as bigint) + ((cast({x1 - x0} as bigint))"
+               " * xhip) div 100").alias("pxhi"),
+        F.expr(f"cast({y0} as bigint) + ((cast({y1 - y0} as bigint))"
+               " * ylop) div 100").alias("pylo"),
+        F.expr(f"cast({y0} as bigint) + ((cast({y1 - y0} as bigint))"
+               " * yhip) div 100").alias("pyhi"),
     )
     hit = (
         (F.col("maxx") >= F.col("pxlo"))
@@ -246,10 +280,10 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id")
         .agg(F.count(F.lit(1)).alias("rows_matched"))
     )
-    n_files = files_z.agg(F.count(F.lit(1)).alias("n_files"))
     return (
-        rects.select("probe_id")
-        .crossJoin(F.broadcast(n_files))
+        rects.select(
+            "probe_id", F.lit(n_files).cast("long").alias("n_files")
+        )
         .join(
             F.broadcast(scanned(files_z, "files_scanned_z")),
             "probe_id",
