@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angelone_clickhouse_spark.materialize import observed
 from angelone_clickhouse_spark.sources.tables import load_table
 
 Z_BITS = 16  # lattice bits per dimension (zval is 2*Z_BITS wide)
@@ -123,15 +124,21 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unique event_id, making file assignment — not just the stats —
 # bit-deterministic on both engines.
 #
-# Scale notes (100 TB): the layout halves are one global-order
-# row_number each — the registry twin accepts the single-partition
-# window at fixture scale; a real rewrite IS repartitionByRange
-# (distributed range sort), and the probe-vs-file-stats join touches
+# Scale notes (100 TB): the layout halves need one global-order
+# row_number each — spelled as the two-level prefix sum (r17, see
+# zorder_prune_stats docstring), so no corpus-wide single-task window
+# exists; a real rewrite IS repartitionByRange (distributed range
+# sort), and the probe-vs-file-stats join touches
 # PRUNE_FILES × |probes| rows, driver-trivial at any corpus size
 # because file STATS, not data, are joined (that is the whole point
 # of stats-based pruning: the planner reads O(files) metadata).
 
 PRUNE_FILES = 50
+# coarse buckets for the two-level file-id prefix sum (r17): bounded
+# driver payload (2 x PRUNE_BUCKETS observed ints) and ~n/PRUNE_BUCKETS
+# rows per within-bucket window partition; a deployment sizes this
+# ~ sqrt(rows) like pack_sequences' bucket_width
+PRUNE_BUCKETS = 32
 # (probe_id, x_lo_pct, x_hi_pct, y_lo_pct, y_hi_pct): a selective
 # band in x only, in y only, a tight 2-D box, a wider 2-D box
 PROBES = [
@@ -161,7 +168,27 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged, the values just travel via the observation instead of
     a broadcast join), and the Morton projection is checkpointed once
     for both layout branches. 17 jobs -> 11 measured, events scanned
-    once instead of five times."""
+    once instead of five times.
+
+    r17 (guide §2.4/§2.5 — VERDICT r16 #3): the per-layout file-id
+    assignment was ``row_number() OVER (ORDER BY ...)`` with no
+    partitionBy — a SinglePartition Exchange funneling the whole
+    Morton frame through ONE task, twice. Both layouts now use the
+    two-level prefix sum pack_sequences already uses: rows land in a
+    coarse BUCKET that is monotone in the layout's leading sort key
+    (``zval div span`` / range-normalized ``x``), the per-bucket row
+    counts ride the SAME zrows-checkpoint materialization as observed
+    metrics (PRUNE_BUCKETS ints — bounded at any corpus size, no new
+    job), the driver turns them into cumulative bases (a
+    PRUNE_BUCKETS-long array literal), and the global rank is
+    ``base[bucket] + row_number() OVER (PARTITION BY bucket)`` — every
+    window partition holds ~n/PRUNE_BUCKETS rows, so no corpus-wide
+    single-task stage remains. Bit-identical by construction: the
+    bucket is monotone non-decreasing along the layout order, so rows
+    of one bucket are contiguous in the global order and
+    base + within-rank IS the global row_number. A deployment sizes
+    PRUNE_BUCKETS ~ sqrt(rows) (the pack_sequences balance rule);
+    the real rewrite is repartitionByRange, which this mirrors."""
     from pyspark.sql import Observation, Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -182,7 +209,7 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    m = obs.get
+    m = observed(obs, "zorder bounds/count")
     probes = spark.createDataFrame(
         PROBES, "probe_id int, xlop int, xhip int, ylop int, yhip int"
     )
@@ -214,6 +241,11 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" + (shiftright(yn, b) % 2) * shiftleft(cast(1 as bigint),"
         f" 2 * b + 1))"
     )
+    # coarse buckets, one per layout, each monotone in that layout's
+    # leading sort key (zb in zval; xb in x), so a bucket's rows are
+    # contiguous in the layout's global order
+    zspan_b = ((1 << (2 * Z_BITS)) + PRUNE_BUCKETS - 1) // PRUNE_BUCKETS
+    obs2 = Observation()
     zrows = (
         keyed.select(
             "x",
@@ -223,25 +255,87 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(norm % ("y", y0, y1 - y0)).alias("yn"),
         )
         .select("x", "y", "rid", zval.alias("zval"))
+        .select(
+            "x",
+            "y",
+            "rid",
+            "zval",
+            F.expr(f"zval div {zspan_b}").alias("zb"),
+            F.expr(
+                f"((x - cast({x0} as bigint)) * {PRUNE_BUCKETS})"
+                f" div cast({x1 - x0 + 1} as bigint)"
+            ).alias("xb"),
+        )
+        .observe(
+            obs2,
+            *[
+                F.sum((F.col(c) == F.lit(p)).cast("long")).alias(f"{c}{p}")
+                for c in ("zb", "xb")
+                for p in range(PRUNE_BUCKETS)
+            ],
+        )
         .localCheckpoint(eager=True)
     )
+    m2 = observed(obs2, "zorder bucket histogram")
 
-    def file_stats(df: DataFrame, *order: str) -> DataFrame:
-        rn = F.row_number().over(Window.orderBy(*order))
-        return (
-            df.withColumn("fid", F.expr("-1") + rn)
-            .select("x", "y", F.expr(f"fid div {rpf}").alias("fid"))
-            .groupBy("fid")
-            .agg(
-                F.min("x").alias("minx"),
-                F.max("x").alias("maxx"),
-                F.min("y").alias("miny"),
-                F.max("y").alias("maxy"),
-            )
+    def _bases(col: str) -> list[int]:
+        # cumulative per-bucket bases: base[p] = rows in buckets < p
+        out, acc = [], 0
+        for p in range(PRUNE_BUCKETS):
+            out.append(acc)
+            acc += int(m2[f"{col}{p}"] or 0)
+        return out
+
+    # BOTH layouts ride ONE window exchange and ONE stats aggregation:
+    # the frame is tagged (layout, bucket, unified sort key), windowed
+    # by (layout, bucket) — parallel across 2 x PRUNE_BUCKETS
+    # partitions — and aggregated by (layout, fid); the per-layout
+    # cumulative bases are PRUNE_BUCKETS-long array literals indexed
+    # by bucket. Fuses 2 single-partition windows + 2 separate stats
+    # aggregations into one parallel pass each.
+    def _tag(layout: str, bcol: str, k1: str, k2: str, k3) -> DataFrame:
+        return zrows.select(
+            F.lit(layout).alias("layout"),
+            F.col(bcol).alias("b"),
+            F.col(k1).alias("k1"),
+            F.col(k2).alias("k2"),
+            k3.alias("k3"),
+            "x",
+            "y",
         )
 
-    files_z = file_stats(zrows, "zval", "rid")
-    files_x = file_stats(zrows, "x", "y", "rid")
+    tagged = _tag("z", "zb", "zval", "rid", F.lit(0).cast("bigint")).unionByName(
+        _tag("x", "xb", "x", "y", F.col("rid"))
+    )
+    zarr = "array(" + ",".join(
+        f"cast({v} as bigint)" for v in _bases("zb")
+    ) + ")"
+    xarr = "array(" + ",".join(
+        f"cast({v} as bigint)" for v in _bases("xb")
+    ) + ")"
+    rn = F.row_number().over(
+        Window.partitionBy("layout", "b").orderBy("k1", "k2", "k3")
+    )
+    file_stats = (
+        tagged.withColumn("_rn", rn)
+        .select(
+            "layout",
+            "x",
+            "y",
+            F.expr(
+                f"(element_at(CASE WHEN layout = 'z' THEN {zarr}"
+                f" ELSE {xarr} END, cast(b as int) + 1)"
+                f" + _rn - 1) div {rpf}"
+            ).alias("fid"),
+        )
+        .groupBy("layout", "fid")
+        .agg(
+            F.min("x").alias("minx"),
+            F.max("x").alias("maxx"),
+            F.min("y").alias("miny"),
+            F.max("y").alias("maxy"),
+        )
+    )
     rects = probes.select(
         "probe_id",
         F.expr(f"cast({x0} as bigint) + ((cast({x1 - x0} as bigint))"
@@ -260,14 +354,22 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("miny") <= F.col("pyhi"))
     )
 
-    def scanned(files: DataFrame, out: str) -> DataFrame:
-        # file STATS x probe grid: PRUNE_FILES x |PROBES| rows — the
-        # planner-side metadata join, broadcast by construction
-        return (
-            files.join(F.broadcast(rects), hit)
-            .groupBy("probe_id")
-            .agg(F.count(F.lit(1)).alias(out))
+    # file STATS x probe grid: 2 x PRUNE_FILES x |PROBES| rows — the
+    # planner-side metadata join, broadcast by construction; ONE
+    # conditional-count aggregation covers both layouts (r17, fused
+    # from two separate scanned() subplans)
+    scanned = (
+        file_stats.join(F.broadcast(rects), hit)
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.when(F.col("layout") == "z", 1)).alias(
+                "files_scanned_z"
+            ),
+            F.count(F.when(F.col("layout") == "x", 1)).alias(
+                "files_scanned_xsort"
+            ),
         )
+    )
 
     matched = (
         keyed.crossJoin(F.broadcast(rects))
@@ -284,16 +386,7 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rects.select(
             "probe_id", F.lit(n_files).cast("long").alias("n_files")
         )
-        .join(
-            F.broadcast(scanned(files_z, "files_scanned_z")),
-            "probe_id",
-            "left",
-        )
-        .join(
-            F.broadcast(scanned(files_x, "files_scanned_xsort")),
-            "probe_id",
-            "left",
-        )
+        .join(F.broadcast(scanned), "probe_id", "left")
         .join(F.broadcast(matched), "probe_id", "left")
         .select(
             "probe_id",
