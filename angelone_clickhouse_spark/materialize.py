@@ -47,6 +47,36 @@ def _ckpt_dir_matches(current: str | None, requested: str) -> bool:
     return cur == req or cur.startswith(req.rstrip(os.sep) + os.sep)
 
 
+OBS_TIMEOUT_S = 120.0
+
+
+def observed(obs, what: str = "observation", timeout_s: float = OBS_TIMEOUT_S) -> dict:
+    """Bounded-wait read of an ``Observation``'s metrics (ADVICE r16):
+    ``Observation.get`` blocks FOREVER if the observed action's
+    metrics never arrive — the engine's observed-metric fusion relies
+    on ``localCheckpoint``/``collect`` firing QueryExecutionListener
+    events, which is an implementation detail of Spark's withAction
+    path, not a documented contract. Every engine call site reads
+    through this helper so that a Spark behavior change fails LOUDLY
+    (RuntimeError after ``timeout_s``) instead of deadlocking the
+    epoch/round loop. Call sites read only after the observed action
+    has completed (eager checkpoint / collect), so the first poll
+    normally succeeds immediately; the JVM-side ``getRowOrEmpty``
+    waits <=100 ms per poll."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while True:
+        if obs._jo.getRowOrEmpty().isDefined():
+            return obs.get  # metrics present: non-blocking now
+        if time.monotonic() >= deadline:
+            raise RuntimeError(
+                f"{what}: observed metrics did not arrive within "
+                f"{timeout_s}s; the observed action's listener event "
+                "never fired (Spark withAction behavior change?)"
+            )
+
+
 def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Cut lineage: eager ``localCheckpoint`` by default, RELIABLE
     ``checkpoint`` into ``checkpoint_dir`` when given (see module

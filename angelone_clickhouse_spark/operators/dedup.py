@@ -664,6 +664,7 @@ def _incremental_verdicts(
 # reliable checkpoint when a checkpoint_dir is threaded through — the
 # shared helper all materializing operators use (materialize.py)
 from angelone_clickhouse_spark.materialize import materialize as _materialize
+from angelone_clickhouse_spark.materialize import observed
 
 
 def connected_components(
@@ -730,7 +731,7 @@ def connected_components(
             ),
             checkpoint_dir,
         )
-        new_sum = obs.get["s"]
+        new_sum = observed(obs, "connected_components round probe")["s"]
         prev_sum = label_sum
         label_sum = new_sum
         labels = new_labels
@@ -805,7 +806,7 @@ def connected_components_star(
             ),
             checkpoint_dir,
         )
-        m = obs.get
+        m = observed(obs, "connected_components_star signature")
         return out, (m["n"], m["h"])
 
     e, prev = _mat_sig(e)

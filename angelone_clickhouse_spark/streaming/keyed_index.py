@@ -48,6 +48,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angelone_clickhouse_spark.materialize import observed
 from angelone_clickhouse_spark.streaming.epoch_commit import (
     commit_epoch_partitioned,
     sweep_prefix_partitioned,
@@ -158,7 +159,7 @@ def checkpoint_with_pks(
             for p in range(P_KEYED)
         ]
     ck = df.observe(obs, *metrics).localCheckpoint(eager=True)
-    got = obs.get
+    got = observed(obs, "checkpoint_with_pks bucket occupancy")
     return ck, [p for p in range(P_KEYED) if got[f"p{p}"]]
 
 
