@@ -499,10 +499,18 @@ def _cells_shortlist(
     and slices cells out of the sorted block. Semantics identical:
     the coarse key is a pure function of the cell key, so every cell
     lands whole in exactly one group, and cells are processed
-    independently inside it. Shuffle volume unchanged; per-task
-    memory is bounded by shuffle-partition sizing (AQE advisory)
-    instead of cell size — the same contract, since a hot cell
-    already landed in one task under per-cell grouping."""
+    independently inside it. Shuffle volume unchanged.
+
+    Memory note (ADVICE r16): per-task memory is now ~1/ncoarse of
+    the replicated probe+corpus (densified float64 matrix + a pandas
+    mergesort copy), NOT the largest cell as under per-cell grouping
+    — a strict increase whenever cells are smaller than coarse
+    groups. ncoarse scales with the configured shuffle-partition
+    count, so a deployment keeps per-task footprint bounded by
+    raising spark.sql.shuffle.partitions with the corpus (the same
+    knob every shuffle already needs); if a profile shows group-size
+    pressure with wide embeddings, chunk rows by cell boundaries
+    inside ``part`` before densifying."""
     s = KNN_K + KNN_CELL_MARGIN
     both = probe.unionByName(corpus)
     try:

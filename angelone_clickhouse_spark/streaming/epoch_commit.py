@@ -122,7 +122,15 @@ def commit_epoch_flat2(
     superset schema (unionByName(allowMissingColumns)); safe because
     both datasets are read back with EXPLICIT schemas, so the
     null-padded foreign columns are never scanned. Retry contract
-    unchanged: both sweeps run before any rename."""
+    unchanged: both sweeps run before any rename.
+
+    CHANGED INVARIANT vs commit_epoch_flat (ADVICE r16): the staging
+    write partitions by ``_dest``, so a side with ZERO rows produces
+    NO epoch part file in its dataset — per-epoch file PRESENCE is no
+    longer a marker for a committed-but-empty epoch. Every current
+    reader scans whole directories with an explicit schema, so this
+    is benign; do not key future logic off epoch-file existence for
+    sinks committed through this path."""
     _dest = "_dest"
     staging = os.path.join(dir_a + ".stage", f"epoch-{epoch_id}-fused2")
     shutil.rmtree(staging, ignore_errors=True)
@@ -148,8 +156,11 @@ def commit_epoch_flat2(
                         os.path.join(src, name),
                         os.path.join(out_dir, prefix + name),
                     )
+    # remove only THIS epoch's staging subdir (ADVICE r16): wiping the
+    # shared .stage root would delete any concurrent/leftover staging
+    # under it (e.g. a commit_epoch_flat call for the same sink) if
+    # the serial-epoch assumption is ever relaxed
     shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(dir_a + ".stage", ignore_errors=True)
 
 
 def commit_epoch_partitioned(
