@@ -72,6 +72,8 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
 
     # warm-up: JIT, codegen, parquet footer caches
     t0 = time.time()
@@ -126,6 +128,7 @@ def main() -> None:
 
     run_arrays: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
+    query_task_counts: dict[str, int] = {}
     failures: dict[str, str] = {}
     registry = list(entrymod.queries().items())
     # interleaved passes: every query once per pass (see module doc)
@@ -142,6 +145,13 @@ def main() -> None:
                 _canary_sample()
             if name in failures:
                 continue
+            # job group per run: lets the scheduler's own job/stage
+            # records prove how many TASKS each query actually ran —
+            # the CPU-contract evidence the driver's scaling check
+            # needs (VERDICT r16 #2). Group bookkeeping is driver-side
+            # and O(1); the timed region is unchanged in kind.
+            group = f"bench-{name}-{_pass}"
+            sc.setJobGroup(group, name)
             t0 = time.time()
             try:
                 df = fn(spark, SF_DIR)
@@ -151,6 +161,19 @@ def main() -> None:
                 )
             except Exception as e:  # noqa: BLE001 — record, keep benching
                 failures[name] = f"{type(e).__name__}: {e}"
+            finally:
+                sc.setJobGroup(None, None)
+                if _pass == 0:
+                    n_tasks = 0
+                    for j in tracker.getJobIdsForGroup(group):
+                        ji = tracker.getJobInfo(j)
+                        if ji is None:
+                            continue
+                        for sid in ji.stageIds:
+                            si = tracker.getStageInfo(sid)
+                            if si is not None and si.numTasks > 0:
+                                n_tasks += si.numTasks
+                    query_task_counts[name] = n_tasks
         canary_runs.append(_canary_sample())  # one point per pass end
     # a query is either timed (all runs succeeded) or failed — never
     # both, so the summary total and n_failures stay disjoint
@@ -445,6 +468,15 @@ def main() -> None:
         # loadavg at sample time (VERDICT r14 #8): mid-run load
         # spikes are attributable to the query group they overlapped
         "canary_samples": canary_samples,
+        # CPU-contract proof (VERDICT r16 #2): the effective master,
+        # the scheduler's parallelism, and per-query total task counts
+        # from the first pass's job groups — so the driver's
+        # suspect_cpus_ignored heuristic can verify $SPARK_GRAFT_CPUS
+        # took effect instead of inferring from wall-clock ratios on
+        # an overhead-bound fixture
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "query_task_counts": query_task_counts,
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         # queries whose interleaved runs spread > VARIANCE_RATIO: their
@@ -508,6 +540,9 @@ def main() -> None:
         "skew_secs": skew_secs,
         "canary_median": canary_median,
         "canary_ratio_vs_last": full.get("canary_ratio_vs_last"),
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "tasks_total": sum(query_task_counts.values()),
         "n_failures": len(failures),
         "n_high_variance": len(high_variance),
         "detail_file": "bench_full.json",
