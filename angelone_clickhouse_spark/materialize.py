@@ -87,3 +87,53 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
             sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+# Default rows-per-partition target for checkpoint_sized: small enough
+# that a partition is real work (thousands of rows), large enough that
+# fixture-scale frames collapse to a handful of tasks. A deployment
+# tunes this with spark.sql.shuffle.partitions; at 10^9+ rows the
+# clamp below keeps every shuffle partition anyway, so the knob only
+# ever REMOVES empty-ish tasks.
+ROWS_PER_TASK = 8192
+
+
+def sized(
+    df: DataFrame, n_rows: int, rows_per_task: int = ROWS_PER_TASK
+) -> DataFrame:
+    """Narrow coalesce of an already-materialized frame down to a
+    row-count-derived partition count (see :func:`checkpoint_sized`;
+    use this form when the row count already rides another
+    observation). Clamped to [1, current] — can only remove
+    partitions, so large frames are untouched."""
+    cur = df.rdd.getNumPartitions()
+    target = max(1, min(cur, -(-int(n_rows) // rows_per_task)))
+    return df.coalesce(target) if target < cur else df
+
+
+def checkpoint_sized(
+    df: DataFrame, what: str = "checkpoint", rows_per_task: int = ROWS_PER_TASK
+) -> DataFrame:
+    """Eager ``localCheckpoint`` + SCALE-ADAPTIVE narrow coalesce
+    (guide §2.3): a checkpointed frame inherits its producer's
+    partition count (the session shuffle width), so a tiny
+    materialized mid-tier table fans every downstream map stage out
+    to shuffle-width near-empty tasks — pure scheduling overhead at
+    fixture scale, and at any scale once a collapse/aggregation has
+    shrunk the data. The row count rides the CHECKPOINT JOB as an
+    observed metric (no extra job, no driver scan), and the returned
+    frame is coalesced — a NARROW transformation over the already-
+    materialized RDD, so the checkpoint itself still computed at full
+    parallelism — down to ceil(rows / rows_per_task) partitions,
+    clamped to [1, current]. Large frames keep every partition (the
+    clamp can only remove partitions, never add), so this is AQE-style
+    coalescing for checkpoint boundaries, derived from data size, not
+    a constant tuned to any box."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    ck = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    n = int(observed(obs, what)["n"] or 0)
+    return sized(ck, n, rows_per_task)

@@ -117,7 +117,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
     # persisted/written shingle table; every consumer (jaccard's
     # self-join, minhash's signature agg) also reuses it instead of
     # re-deriving the lineage.
-    sh = sh.localCheckpoint(eager=True)
+    sh = _checkpoint_sized(sh, "shingle sets")
     return sh.select("doc_id", F.explode("shingles").alias("shingle"))
 
 
@@ -160,7 +160,9 @@ def _pairwise_jaccard(docs: DataFrame) -> DataFrame:
     # OUTPUT row (see _shingles), and the verify join reads `sets`
     # twice more. At cluster scale this is the persisted sorted-
     # shingle-set table every PPJoin implementation stages first.
-    sets = sets.localCheckpoint(eager=True)
+    # checkpoint_sized (r17): consumers read it through a row-count-
+    # derived partition count instead of shuffle-width near-empty tasks
+    sets = _checkpoint_sized(sets, "ppjoin sets")
     prefix_len = F.col("n_shingles") - F.ceil(
         F.col("n_shingles") * F.lit(JACCARD_THRESHOLD)
     ).cast("int") + 1
@@ -220,7 +222,16 @@ def _pairwise_jaccard(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    # Two-stage verification. Stage 1 SCREENS on the long hash arrays:
+    # Two-stage verification IN ONE JOIN PASS (r17, guide §2.4: the
+    # r16 spelling joined `sets` back onto the pairs TWICE — once for
+    # the hash screen, once for the exact verify — 4 shuffle joins;
+    # carrying hashes and shingles through a single pair of joins
+    # drops 2 exchanges and reads `sets` half as often, while the
+    # FILTER between the screen and the exact projection keeps the
+    # evaluation order: Catalyst's CombineFilters preserves child-
+    # predicate-first order, so the hash screen still short-circuits
+    # and the expensive string intersect never runs on the raw
+    # candidate volume). Stage 1 SCREENS on the long hash arrays:
     # nch = |hashes_a ∩ hashes_b| >= true overlap PROVIDED no two
     # DISTINCT shingles within one document collide at xxhash64 — an
     # intra-doc collision would merge two hash-array elements and could
@@ -234,42 +245,28 @@ def _pairwise_jaccard(docs: DataFrame) -> DataFrame:
     # value upper-bounds the true jaccard and the filter never drops a
     # qualifying pair. Stage 2 computes the EXACT jaccard from the
     # string sets for the screen's survivors only (~0.1% of
-    # candidates here) — the expensive string intersect never runs on
-    # the raw candidate volume. Output identical to a one-stage exact
-    # verify; measured ~30% off the whole op at sf0.1.
-    ha = sets.select(
+    # candidates here). Output identical to a one-stage exact verify;
+    # the screen measured ~30% off the whole op at sf0.1.
+    wa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hashes").alias("h_a"),
+        F.col("shingles").alias("sh_a"),
         F.col("n_shingles").alias("na"),
     )
-    hb = sets.select(
+    wb = sets.select(
         F.col("doc_id").alias("doc_b"),
         F.col("hashes").alias("h_b"),
+        F.col("shingles").alias("sh_b"),
         F.col("n_shingles").alias("nb"),
     )
-    screened = (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
+    verified = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
         .withColumn("nch", F.size(F.array_intersect("h_a", "h_b")))
         .filter(
             F.col("nch") / (F.col("na") + F.col("nb") - F.col("nch"))
             >= t
         )
-        .select("doc_a", "doc_b")
-    )
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n_shingles").alias("na"),
-    )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n_shingles").alias("nb"),
-    )
-    verified = (
-        screened.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -330,6 +327,15 @@ def _grouped_pairwise(
     quadratic in DISTINCT texts; expansion linear in OUTPUT pairs
     with per-task fan-out capped by ``bound`` on the shallow branches
     and by 1 on the deep ones."""
+    # NOTE (r17, measured-keep of the r16 shape): deriving `groups`
+    # and `members` from ONE checkpointed `keyed` frame was tried and
+    # measured WORSE (fuzzy twin 22 -> 32 stages, ngram +1s warm):
+    # column pruning pushes a different aggregate-expression set into
+    # each consumer's partial agg, so the agg exchanges canonicalize
+    # differently and AQE stage reuse never fires — every consumer
+    # re-aggregated the corpus. The two explicit checkpoints below
+    # stay: they are what makes the 4-5 consumers share one
+    # computation each.
     keyed = docs.select("doc_id", F.md5("text").alias("tkey"), "text")
     groups = keyed.groupBy("tkey").agg(
         F.min("doc_id").alias("rep"),
@@ -339,10 +345,16 @@ def _grouped_pairwise(
     # Materialize once: feeds the pairwise pass, the rep->group-key
     # maps, and both within branches. Fixed-width rows (no member
     # arrays) — a group's size costs 8 bytes here no matter how deep.
-    groups = groups.localCheckpoint(eager=True)
+    # checkpoint_sized (r17): both mid-tier tables are read by 4-5
+    # consumers each; sizing their partition count to their row count
+    # turns shuffle-width near-empty map stages into a handful of
+    # real tasks (scale-adaptive — large frames keep every partition).
+    groups = _checkpoint_sized(groups, "ngram groups")
     # members feeds exp_a, cross, and both within branches; without
     # materialization every branch re-scans the corpus and re-hashes
-    members = keyed.select("tkey", "doc_id").localCheckpoint(eager=True)
+    members = _checkpoint_sized(
+        keyed.select("tkey", "doc_id"), "ngram members"
+    )
     rep_pairs = _pairwise_jaccard(
         groups.select(F.col("rep").alias("doc_id"), "text")
     )
@@ -509,7 +521,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize signatures once: bands AND both sides of the verify
     # join re-derive this plan (3x shingle+hash recompute otherwise).
     # At cluster scale this is persist(DISK) / a signatures table.
-    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    sig = _checkpoint_sized(minhash_signatures(docs), "minhash sigs")
     bands = _band_keys(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -591,7 +603,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing-vs-existing candidate is ever generated. Cost per day is
     O(new x bucket collision), independent of corpus pair count."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    sig = _checkpoint_sized(minhash_signatures(docs), "minhash sigs")
     is_new = (F.col("doc_id") % NEW_DOC_MOD) == 0
     matches = _incremental_verdicts(sig.filter(is_new), sig.filter(~is_new))
     newdocs = docs.filter(is_new).select("doc_id")
@@ -664,6 +676,9 @@ def _incremental_verdicts(
 # reliable checkpoint when a checkpoint_dir is threaded through — the
 # shared helper all materializing operators use (materialize.py)
 from angelone_clickhouse_spark.materialize import materialize as _materialize
+from angelone_clickhouse_spark.materialize import (
+    checkpoint_sized as _checkpoint_sized,
+)
 from angelone_clickhouse_spark.materialize import observed
 
 
@@ -688,14 +703,27 @@ def connected_components(
     loop only inspects a convergence COUNT per round, never data.
     ``checkpoint_dir`` selects reliable checkpointing between rounds
     (see :func:`_materialize`)."""
+    from pyspark.sql import Observation
+
+    from angelone_clickhouse_spark.materialize import sized as _sized
+
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     # Materialize the edge list ONCE: it is referenced by every
     # propagation round, and its lineage (candidate-pair generation)
     # is the expensive part — without this the full pair pipeline
-    # re-executes per round (measured 4x cost at sf0.1).
-    both = _materialize(both, checkpoint_dir)
+    # re-executes per round (measured 4x cost at sf0.1). r17: the
+    # edge count rides the materialization job and sizes the frame's
+    # partition count (see materialize.checkpoint_sized) — every
+    # propagation round reads the edges, so shuffle-width near-empty
+    # map stages would otherwise recur per round.
+    obs_e = Observation()
+    both = _materialize(
+        both.observe(obs_e, F.count(F.lit(1)).alias("n")), checkpoint_dir
+    )
+    n_edges = int(observed(obs_e, "connected_components edges")["n"] or 0)
+    both = _sized(both, n_edges)
     labels = both.select("u").distinct().select(
         "u", F.col("u").alias("label")
     )
@@ -720,18 +748,21 @@ def connected_components(
         # materialization job itself as an observed metric (guide
         # §1.2/§5 — ONE job per round instead of materialize + a
         # separate aggregate scan; observed metrics fire on both
-        # localCheckpoint and reliable checkpoint actions).
-        from pyspark.sql import Observation
-
+        # localCheckpoint and reliable checkpoint actions). r17: the
+        # node count rides the same observation and sizes the label
+        # frame read by the next round (n is the fixed node set size).
         obs = Observation()
         new_labels = _materialize(
             new_labels.observe(
                 obs,
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
             ),
             checkpoint_dir,
         )
-        new_sum = observed(obs, "connected_components round probe")["s"]
+        m = observed(obs, "connected_components round probe")
+        new_sum = m["s"]
+        new_labels = _sized(new_labels, int(m["n"] or 0))
         prev_sum = label_sum
         label_sum = new_sum
         labels = new_labels
@@ -1024,10 +1055,9 @@ def split_leakage_audit(
     # input), so both the straddle join and the clustering consume
     # the same materialized pairs instead of re-running
     # shingle->minhash->band twice.
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+    pairs = _checkpoint_sized(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+        "lsh pairs",
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     comp = (

@@ -17,6 +17,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from angelone_clickhouse_spark.materialize import (
+    checkpoint_sized as _checkpoint_sized,
+)
 from angelone_clickhouse_spark.operators.dedup import DEEP_GROUP_BOUND
 from angelone_clickhouse_spark.functions.exact import avg_fixed
 from angelone_clickhouse_spark.sources.tables import load_table
@@ -474,23 +477,33 @@ def _fuzzy_grouped(docs: DataFrame, bound: int = DEEP_GROUP_BOUND) -> DataFrame:
         )
         .withColumn("gkey", F.md5(F.concat_ws("\x1f", "lang", "lb", "pfx")))
     )
-    groups = (
-        t.groupBy("gkey")
-        .agg(
+    # NOTE (r17, measured-keep): deriving groups/members from one
+    # checkpointed keyed frame was tried and measured WORSE (22 -> 32
+    # stages here) — column pruning gives each consumer a different
+    # partial-agg expression set, the exchanges canonicalize
+    # differently, and AQE stage reuse never fires. See
+    # dedup._grouped_pairwise for the full note.
+    groups = _checkpoint_sized(
+        t.groupBy("gkey").agg(
             F.min("doc_id").alias("rep"),
             F.first("lang").alias("lang"),
             F.first("lb").alias("lb"),
             F.first("pfx").alias("pfx"),
             F.count(F.lit(1)).alias("n"),
-        )
+        ),
         # one materialization feeds the core, the rep->gkey maps, and
-        # both within branches; fixed-width rows regardless of depth
-        .localCheckpoint(eager=True)
+        # both within branches; fixed-width rows regardless of depth;
+        # checkpoint_sized (r17) sizes the partition count to the row
+        # count so the many consumers stop paying shuffle-width
+        # near-empty map stages
+        "fuzzy groups",
     )
     # materialized: feeds exp_a, cross, and both within branches —
     # without this every join branch re-scans documents and recomputes
     # the key (4-5 extra corpus scans at the scale this rewrite targets)
-    members = t.select("gkey", "doc_id").localCheckpoint(eager=True)
+    members = _checkpoint_sized(
+        t.select("gkey", "doc_id"), "fuzzy members"
+    )
     rep_pairs = _fuzzy_pairs_core(
         groups.select(F.col("rep").alias("doc_id"), "lang", "lb", "pfx")
     )
@@ -607,8 +620,9 @@ def _fp_sets(docs: DataFrame) -> DataFrame:
         ).alias("fp"),
     ).withColumn("n_fp", F.size("fp"))
     # feeds both join sides + sizes in the core (and the collapse's
-    # within-group branch)
-    return fps.localCheckpoint(eager=True)
+    # within-group branch); checkpoint_sized (r17): row-count-derived
+    # partition count for the consumers
+    return _checkpoint_sized(fps, "fingerprint sets")
 
 
 def _containment_core(docs: DataFrame) -> DataFrame:
@@ -706,19 +720,22 @@ def _containment_grouped(
     the core on all docs — the driver's NAIVE DuckDB oracle stays an
     independent differential; deep branches are pinned by
     tests/test_text.py's bound=2 deep-fixture test."""
+    # NOTE (r17, measured-keep): the one-checkpoint derivation was
+    # tried and measured worse — see dedup._grouped_pairwise.
     keyed = docs.select("doc_id", F.md5("text").alias("tkey"), "text")
-    groups = (
-        keyed.groupBy("tkey")
-        .agg(
+    groups = _checkpoint_sized(
+        keyed.groupBy("tkey").agg(
             F.min("doc_id").alias("rep"),
             F.min_by("text", "doc_id").alias("text"),
             F.count(F.lit(1)).alias("n"),
-        )
-        .localCheckpoint(eager=True)  # feeds core + all expansions
+        ),
+        "containment groups",  # feeds core + all expansions
     )
     # materialized for the same reason as _fuzzy_grouped's members:
     # it feeds exp_s, cross, and both within branches
-    members = keyed.select("tkey", "doc_id").localCheckpoint(eager=True)
+    members = _checkpoint_sized(
+        keyed.select("tkey", "doc_id"), "containment members"
+    )
     rep_fps = _fp_sets(groups.select(F.col("rep").alias("doc_id"), "text"))
     rep_pairs = _containment_from_fps(rep_fps)
     rp = rep_pairs.join(

@@ -52,6 +52,9 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angelone_clickhouse_spark.materialize import (
+    checkpoint_sized as _checkpoint_sized,
+)
 from angelone_clickhouse_spark.streaming.workdirs import owned_tmpdir
 from angelone_clickhouse_spark.operators.dedup import (
     N_MINHASH,
@@ -107,7 +110,7 @@ def dedup_epoch(
     row: they are trivially kept and contribute nothing to the index
     — consistent, since an empty set can never clear the threshold
     against anything."""
-    sig = minhash_signatures(batch_docs).localCheckpoint(eager=True)
+    sig = _checkpoint_sized(minhash_signatures(batch_docs), "epoch sigs")
     return _dedup_epoch_from_sig(batch_docs, sig, index_sig)
 
 
@@ -352,7 +355,7 @@ def make_docdedup_epoch_writer(
             expire_epochs_keyed(index_dir, epoch_id - retention_epochs)
         from angelone_clickhouse_spark.operators.dedup import _band_keys
 
-        sig = minhash_signatures(batch).localCheckpoint(eager=True)
+        sig = _checkpoint_sized(minhash_signatures(batch), "epoch sigs")
         # one banding pass per epoch: the checkpointed banded frame
         # feeds the partition-set collect, the collision probe AND
         # the keyed commit (it used to be recomputed by all three).

@@ -59,3 +59,38 @@ def test_reliable_checkpoint_path_matches_default(spark, tmp_path, sf_dir):
     finally:
         if prev is not None:
             spark.sparkContext.setCheckpointDir(prev)
+
+
+def test_checkpoint_sized_coalesces_small_frames(spark):
+    """checkpoint_sized (r17): a tiny materialized frame is read back
+    through a row-count-derived partition count (1 here) with content
+    intact; `sized` never INCREASES partitions and respects the
+    rows_per_task knob."""
+    from pyspark.sql import functions as F
+
+    from angelone_clickhouse_spark.materialize import (
+        checkpoint_sized,
+        sized,
+    )
+
+    df = (
+        spark.range(100)
+        .repartition(16)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+    )
+    ck = checkpoint_sized(df, "test tiny")
+    assert ck.rdd.getNumPartitions() == 1
+    assert sorted((r.id, r.v) for r in ck.collect()) == [
+        (i, 2 * i) for i in range(100)
+    ]
+    # explicit knob: 100 rows at 10 rows/task -> 10 partitions
+    ck10 = checkpoint_sized(df, "test tiny", rows_per_task=10)
+    assert ck10.rdd.getNumPartitions() == 10
+    # sized clamps to [1, current]: never adds partitions
+    base = spark.range(50).repartition(4).localCheckpoint(eager=True)
+    assert sized(base, 10**9).rdd.getNumPartitions() == 4
+    assert sized(base, 0).rdd.getNumPartitions() == 1
+    # empty frame: still one partition, still collects empty
+    empty = spark.range(0).repartition(8)
+    cke = checkpoint_sized(empty, "test empty")
+    assert cke.rdd.getNumPartitions() == 1 and cke.collect() == []
