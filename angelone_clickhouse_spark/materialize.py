@@ -105,7 +105,12 @@ def sized(
     use this form when the row count already rides another
     observation). Clamped to [1, current] — can only remove
     partitions, so large frames are untouched."""
-    cur = df.rdd.getNumPartitions()
+    # partition count off the frame's own queryExecution — no Python
+    # RDD conversion, no second plan compile (see
+    # dedup.spread_low_parallelism, r17); `df` here is always a
+    # just-materialized checkpoint (LogicalRDD leaf), so this runs no
+    # jobs
+    cur = df._jdf.queryExecution().toRdd().getNumPartitions()
     target = max(1, min(cur, -(-int(n_rows) // rows_per_task)))
     return df.coalesce(target) if target < cur else df
 

@@ -81,7 +81,17 @@ def spread_low_parallelism(
     (3.8 s; 0.4 s with the barrier). At cluster scale the barrier
     is the staged/persisted narrow table the filter then reads."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Partition probe WITHOUT a Python RDD conversion (r17, VERDICT
+    # r16 #7): ``df.rdd`` built a separate Python-serializer plan and
+    # compiled a second QueryExecution per call (~50 ms each);
+    # reading the partition count off ``df``'s OWN queryExecution
+    # costs nothing extra in the no-repartition case — the follow-up
+    # action reuses the same compiled plan. Call sites pass narrow
+    # scan-/checkpoint-derived frames (no exchanges), so finalizing
+    # the adaptive plan here runs no jobs — the same property the old
+    # df.rdd spelling already relied on.
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts < target:
         df = df.repartition(target, key)
         if barrier:
             df = df.localCheckpoint(eager=True)

@@ -233,7 +233,10 @@ def _rows_topk(src_ids, src_m, dst_ids, dst_m, s, exclude_self):
 
 
 def knn_graph(
-    spark: SparkSession, sf_dir: str, n_vecs: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n_vecs: int | None = None,
+    vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact corpus self-kNN graph: every vector's ``KNN_K`` nearest
     neighbors by cosine — the structure SemDeDup-style pruning,
@@ -298,7 +301,7 @@ def knn_graph(
         .applyInPandas(cell, schema=KNN_SHORTLIST_SCHEMA)
         .select("src_id", "neighbor_id")
     )
-    return _rescore_rank_edges(spark, sf_dir, shortlist, KNN_K)
+    return _rescore_rank_edges(spark, sf_dir, shortlist, KNN_K, vecs=vecs)
 
 
 def _rescore_rank_edges(
@@ -307,6 +310,7 @@ def _rescore_rank_edges(
     edges: DataFrame,
     k: int,
     neighbor_filter=None,
+    vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared exact tail of every kNN-graph path: re-score candidate
     (src_id, neighbor_id) edges with the exact JVM cosine (the
@@ -325,7 +329,8 @@ def _rescore_rank_edges(
     filtered candidate set, exactly like the SQL twin."""
     from angelone_clickhouse_spark.operators.similarity import _cos, _vectors
 
-    vecs = _vectors(spark, sf_dir)
+    if vecs is None:
+        vecs = _vectors(spark, sf_dir)
     a = vecs.select(
         F.col("vec_id").alias("src_id"),
         F.col("v").alias("av"),
@@ -402,6 +407,8 @@ def knn_graph_ann_impl(
     n_flips: int,
     n_tables: int,
     n_planes: int | None = None,
+    vecs: DataFrame | None = None,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate self-kNN graph.
 
@@ -431,11 +438,25 @@ def knn_graph_ann_impl(
         _vectors,
     )
 
-    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    # ``vecs`` / ``bucketed`` let a composite caller (knn_ann_recall)
+    # thread ONE materialized corpus projection and ONE bucket pass
+    # through several arms (r17, VERDICT r16 #4). ``bucketed`` must be
+    # a _bucket_cols frame for the SAME n_planes with >= n_tables
+    # bucket columns — table t's bucket id depends only on (n_planes,
+    # t), so a max-tables pass is a superset of every smaller arm.
+    vecs_full = vecs  # full projection (with nrm) for the rescore tail
+    if vecs is None:
+        vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    else:
+        vecs = vecs.select("vec_id", "v")
     if n_planes is None:
         n_planes = _adaptive_planes(vecs.count())
     n_flips = min(n_flips, n_planes)
-    b = _bucket_cols(vecs, n_planes, n_tables)
+    b = (
+        _bucket_cols(vecs, n_planes, n_tables)
+        if bucketed is None
+        else bucketed
+    )
     tb = b.select(
         "vec_id",
         F.col("v").alias("embedding"),
@@ -471,7 +492,7 @@ def knn_graph_ann_impl(
         ).alias("bucket"),
     ).withColumn("side", F.lit(0))
     cells = _cells_shortlist(probe, corpus, ["t", "bucket"])
-    return _shortlist_rescore_rank(spark, sf_dir, cells, KNN_K)
+    return _shortlist_rescore_rank(spark, sf_dir, cells, KNN_K, vecs=vecs_full)
 
 
 # Distinct coarse cell-group keys per shuffle partition (guide §2.5:
@@ -576,7 +597,11 @@ def _cells_shortlist(
 
 
 def _shortlist_rescore_rank(
-    spark: SparkSession, sf_dir: str, cells: DataFrame, k: int
+    spark: SparkSession,
+    sf_dir: str,
+    cells: DataFrame,
+    k: int,
+    vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared tail of the ANN self-graph family: dedup candidate
     edges across cells, trim to a per-source numpy shortlist
@@ -596,10 +621,12 @@ def _shortlist_rescore_rank(
         .filter(F.col("_r") <= s)
         .select("src_id", "neighbor_id")
     )
-    return _rescore_rank_edges(spark, sf_dir, cand, k)
+    return _rescore_rank_edges(spark, sf_dir, cand, k, vecs=vecs)
 
 
-def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_graph_ivf(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+) -> DataFrame:
     """IVF-bucketed ANN self-kNN graph — the inverted-file sibling of
     :func:`knn_graph_ann` (the other classic shortlist structure,
     completing the LSH/IVF pair the exact graph's scale story names):
@@ -625,7 +652,10 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vectors,
     )
 
-    vecs = _vectors(spark, sf_dir).select("vec_id", "v", "nrm")
+    vecs_full = vecs  # threaded through to the rescore tail (r17)
+    if vecs is None:
+        vecs = _vectors(spark, sf_dir)
+    vecs = vecs.select("vec_id", "v", "nrm")
     cents = vecs.filter(
         (F.col("vec_id") >= N_QUERIES)
         & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
@@ -652,7 +682,7 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("v").alias("embedding"), "cent_id"
     ).withColumn("side", F.lit(0))
     cells = _cells_shortlist(probes, members, ["cent_id"])
-    return _shortlist_rescore_rank(spark, sf_dir, cells, KNN_K)
+    return _shortlist_rescore_rank(spark, sf_dir, cells, KNN_K, vecs=vecs_full)
 
 
 # The floor the scale-shaped default must clear at the driver's gate
@@ -1287,14 +1317,45 @@ def knn_ann_recall(
     spelling (exchange reuse is an optimizer courtesy, not a
     contract, and a cluster-side plan change or AQE re-plan can drop
     it; with the cut the O(n²) matmul provably runs once)."""
-    from angelone_clickhouse_spark.materialize import materialize
+    from angelone_clickhouse_spark.materialize import (
+        checkpoint_sized,
+        materialize,
+    )
+    from angelone_clickhouse_spark.operators.similarity import (
+        _bucket_cols,
+        _vectors,
+    )
 
     # one corpus count feeds the exact arm's blocking AND every
     # LSH arm's adaptive plane count (r16: each arm used to pay its
-    # own count job — 5 extra driver round-trips per run)
+    # own count job — 5 extra driver round-trips per run); one
+    # MATERIALIZED corpus projection feeds every arm's bucket pass
+    # and rescore tail, and the adaptive-plane arms share ONE
+    # max-tables bucket pass (r17, VERDICT r16 #4 — table t's bucket
+    # id depends only on (n_planes, t), so the 10-table frame is a
+    # superset of the 4-table arm's)
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    vecs = checkpoint_sized(_vectors(spark, sf_dir), "recall vectors")
+    planes_adaptive = _adaptive_planes(n_vecs)
+    adaptive_tables = [
+        tables
+        for _, _, tables, planes in KNN_ANN_AUDIT_SETTINGS
+        if planes is None
+    ]
+    b_shared = (
+        checkpoint_sized(
+            _bucket_cols(
+                vecs.select("vec_id", "v"),
+                planes_adaptive,
+                max(adaptive_tables),
+            ),
+            "recall buckets",
+        )
+        if adaptive_tables
+        else None
+    )
     exact = materialize(
-        knn_graph(spark, sf_dir, n_vecs=n_vecs).select(
+        knn_graph(spark, sf_dir, n_vecs=n_vecs, vecs=vecs).select(
             "src_id", "neighbor_id"
         ),
         checkpoint_dir,
@@ -1307,12 +1368,14 @@ def knn_ann_recall(
                 sf_dir,
                 flips,
                 tables,
-                planes if planes is not None else _adaptive_planes(n_vecs),
+                planes if planes is not None else planes_adaptive,
+                vecs=vecs,
+                bucketed=b_shared if planes is None else None,
             ),
         )
         for setting, flips, tables, planes in KNN_ANN_AUDIT_SETTINGS
     ]
-    arms.append(("ivf", knn_graph_ivf(spark, sf_dir)))
+    arms.append(("ivf", knn_graph_ivf(spark, sf_dir, vecs=vecs)))
     out = None
     for setting, graph in arms:
         approx = graph.select(

@@ -73,9 +73,18 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def exact_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
-    """Exact top-k: query vectors broadcast against the corpus."""
-    vecs = _vectors(spark, sf_dir)
+def exact_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    vecs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k: query vectors broadcast against the corpus.
+    ``vecs`` lets a composite caller (ann_recall_audit) thread ONE
+    materialized corpus projection through every arm (r17, the
+    n_vecs-threading pattern)."""
+    if vecs is None:
+        vecs = _vectors(spark, sf_dir)
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -223,6 +232,7 @@ def lsh_topk(
     n_flips: int | None = None,
     k: int = TOP_K,
     n_tables: int = 1,
+    vecs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucketed top-k with multi-probe and multi-TABLE
     amplification: score corpus vectors that share a bucket with the
@@ -260,7 +270,8 @@ def lsh_topk(
         raise ValueError(
             f"n_flips={n_flips} out of range [0, n_planes={n_planes}]"
         )
-    vecs = _vectors(spark, sf_dir)
+    if vecs is None:
+        vecs = _vectors(spark, sf_dir)
     vecs = _bucket_cols(vecs, n_planes, n_tables)
     tb = vecs.select(
         "vec_id",
@@ -894,11 +905,20 @@ def ann_recall_audit(
     union branches get no common-subplan elimination, so without
     the materialization every setting would re-run the O(|Q|·N)
     scan."""
-    from angelone_clickhouse_spark.materialize import materialize
+    from angelone_clickhouse_spark.materialize import (
+        checkpoint_sized,
+        materialize,
+    )
 
+    # ONE corpus projection feeds the exact arm AND every LSH arm
+    # (r17, VERDICT r16 #4 — the n_vecs-threading pattern): each arm
+    # used to rebuild _vectors (scan + cast + interpreted norm fold)
+    # inside its own subplan; union branches get no common-subplan
+    # elimination, so the projection ran once per arm.
+    vecs = checkpoint_sized(_vectors(spark, sf_dir), "audit vectors")
     max_k = max(k for _, _, k, _ in AUDIT_SETTINGS)
     exact_all = materialize(
-        exact_topk(spark, sf_dir, max_k).select(
+        exact_topk(spark, sf_dir, max_k, vecs=vecs).select(
             "query_id", "neighbor_id", "rank"
         ),
         checkpoint_dir,
@@ -909,7 +929,7 @@ def ann_recall_audit(
             "query_id", "neighbor_id"
         )
         approx = lsh_topk(
-            spark, sf_dir, n_planes, n_flips, k, n_tables
+            spark, sf_dir, n_planes, n_flips, k, n_tables, vecs=vecs
         ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
         per_setting.append(
             exact.join(approx, ["query_id", "neighbor_id"], "left")

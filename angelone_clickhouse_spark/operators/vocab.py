@@ -250,7 +250,9 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
        symbol array. No UDF anywhere.
 
     The loop state is ``localCheckpoint``-ed per round so round N's
-    plan does not replay rounds 1..N-1. If merges exhaust (every word
+    plan does not replay rounds 1..N-1 (every-other-round
+    checkpointing measured WORSE — see the note in _bpe_step). If
+    merges exhaust (every word
     one symbol), later iterations contribute zero rows — graceful,
     and mirrored by the oracle's empty CTE chain.
 
@@ -403,6 +405,17 @@ def _bpe_step(wt: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy("p.a", "p.b")
         .agg(F.sum("freq").alias("n_occ"))
     )
+    # MEASURED KEEP (r17, VERDICT r16 #5 tried and REJECTED): spelling
+    # this argmax as a global min_by struct aggregate (with an
+    # isNotNull filter restoring the empty frame) measured 36 -> 52
+    # jobs / 53 -> 101 stages for bpe_train — the global aggregate
+    # adds a partial/final exchange pair per iteration, while
+    # orderBy().limit(1) compiles to TakeOrderedAndProject, which
+    # merges per-partition top-1s driver-side inside the broadcast
+    # build with NO extra shuffle stage. Every-other-round
+    # checkpointing was rejected in the same experiment (stage count
+    # doubles: each un-checkpointed round re-derives its predecessor
+    # in both the next round AND the final union plan).
     top1 = pairs.orderBy(F.desc("n_occ"), F.asc("a"), F.asc("b")).limit(1)
     empty_out = F.expr("CAST(array() AS ARRAY<STRING>)")
     null_carry = F.lit(None).cast("string")
