@@ -42,21 +42,58 @@ EXCHANGE_TYPE_MAP = {
 }
 
 
+def _quote(s: str) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def load_token_config(
     spark: SparkSession, path: str | None = None
 ) -> DataFrame:
+    """Token-config universe as a DataFrame.
+
+    r17 (guide §5/§6): the DEFAULT repo-committed config is parsed
+    DRIVER-side — exactly the reference's startup load
+    (main.go:168-177 reads the file once into memory) — and enters
+    the plan as a VALUES LocalRelation: zero scan tasks, broadcast-
+    ready, constant-foldable. The old ``spark.read.json`` spelling
+    scheduled a defaultParallelism-wide stage of near-empty tasks for
+    the 33-row multiLine file on EVERY execution (~1.4 s of the
+    enrichment queries' cost at local[32], measured). An explicit
+    ``path`` keeps the executor file-scan spelling — streaming
+    callers point it at runtime-generated configs, and at a scale
+    where the config were data-sized the scan is the right plan."""
+    if path is None:
+        import json
+
+        with open(DEFAULT_CONFIG_PATH) as f:
+            cfg = json.load(f)
+        rows = ", ".join(
+            f"({_quote(r['symbol'])}, {_quote(r['token'])},"
+            f" {_quote(r['exchange'])})"
+            for r in cfg
+        )
+        return spark.sql(
+            f"SELECT * FROM (VALUES {rows}) AS t(symbol, token, exchange)"
+        )
     # the reference config is one JSON array (config/tokens.json:1-33),
     # not JSON-lines -> multiLine
     return (
         spark.read.schema(TOKEN_CONFIG_SCHEMA)
         .option("multiLine", "true")
-        .json(path or DEFAULT_CONFIG_PATH)
+        .json(path)
     )
 
 
 def exchange_type_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        list(EXCHANGE_TYPE_MAP.items()), "exchange string, exchange_type int"
+    # VALUES LocalRelation for the 7-row static map (r17): the
+    # createDataFrame spelling parallelized 7 rows into a
+    # defaultParallelism-slice RDD stage per execution
+    rows = ", ".join(
+        f"({_quote(name)}, {code})" for name, code in EXCHANGE_TYPE_MAP.items()
+    )
+    return spark.sql(
+        f"SELECT exchange, CAST(exchange_type AS INT) AS exchange_type"
+        f" FROM (VALUES {rows}) AS m(exchange, exchange_type)"
     )
 
 
