@@ -127,7 +127,14 @@ def _shingles(docs: DataFrame) -> DataFrame:
     # persisted/written shingle table; every consumer (jaccard's
     # self-join, minhash's signature agg) also reuses it instead of
     # re-deriving the lineage.
-    sh = _checkpoint_sized(sh, "shingle sets")
+    # NOT checkpoint_sized (r17, measured regression): this checkpoint
+    # feeds the explode + 16-md5 MinHash partial aggregation — CPU-
+    # heavy MAP-side work whose parallelism is capped by the reader's
+    # partition count (the spread_low_parallelism story). Sizing it to
+    # the row count coalesced the hot stage onto ~3 cores and took the
+    # minhash family 2-3x slower in the mid-round bench
+    # (dedup_minhash_lsh 2.3 -> 4.8 s); width here IS the point.
+    sh = sh.localCheckpoint(eager=True)
     return sh.select("doc_id", F.explode("shingles").alias("shingle"))
 
 

@@ -245,7 +245,6 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leading sort key (zb in zval; xb in x), so a bucket's rows are
     # contiguous in the layout's global order
     zspan_b = ((1 << (2 * Z_BITS)) + PRUNE_BUCKETS - 1) // PRUNE_BUCKETS
-    obs2 = Observation()
     zrows = (
         keyed.select(
             "x",
@@ -266,33 +265,29 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" div cast({x1 - x0 + 1} as bigint)"
             ).alias("xb"),
         )
-        .observe(
-            obs2,
-            *[
-                F.sum((F.col(c) == F.lit(p)).cast("long")).alias(f"{c}{p}")
-                for c in ("zb", "xb")
-                for p in range(PRUNE_BUCKETS)
-            ],
-        )
         .localCheckpoint(eager=True)
     )
-    m2 = observed(obs2, "zorder bucket histogram")
-
-    def _bases(col: str) -> list[int]:
-        # cumulative per-bucket bases: base[p] = rows in buckets < p
-        out, acc = [], 0
-        for p in range(PRUNE_BUCKETS):
-            out.append(acc)
-            acc += int(m2[f"{col}{p}"] or 0)
-        return out
 
     # BOTH layouts ride ONE window exchange and ONE stats aggregation:
     # the frame is tagged (layout, bucket, unified sort key), windowed
     # by (layout, bucket) — parallel across 2 x PRUNE_BUCKETS
-    # partitions — and aggregated by (layout, fid); the per-layout
-    # cumulative bases are PRUNE_BUCKETS-long array literals indexed
-    # by bucket. Fuses 2 single-partition windows + 2 separate stats
-    # aggregations into one parallel pass each.
+    # partitions — and aggregated by (layout, fid). The cumulative
+    # per-bucket BASES are computed DISTRIBUTEDLY inside the same
+    # query (pack_sequences' triangular-join device): per-bucket
+    # counts (a tiny aggregate over the checkpoint), a broadcast
+    # triangular self-join summing strictly-lower buckets, and a
+    # broadcast lookup join onto the windowed frame. No driver
+    # round-trip, no per-row bucket-array literals. Two rejected
+    # spellings, both measured at sf0.1: (1) riding the histogram on
+    # the checkpoint as 2 x PRUNE_BUCKETS observed metrics cost
+    # ~1.5 s — CollectMetrics aggregates through an INTERPRETED
+    # accumulator, so the per-row conditional sums cost ~50x their
+    # codegen price and scale with ROWS; (2) a separate codegen
+    # histogram job + element_at(CASE ...) array literals re-built
+    # the 2 x 32-element arrays per row — warm 3.8-4.7 s vs the r16
+    # single-partition spelling's 2.1-2.7 s. Fuses 2 single-partition
+    # windows + 2 separate stats aggregations into one parallel pass
+    # each, at no driver synchronization.
     def _tag(layout: str, bcol: str, k1: str, k2: str, k3) -> DataFrame:
         return zrows.select(
             F.lit(layout).alias("layout"),
@@ -307,26 +302,35 @@ def zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = _tag("z", "zb", "zval", "rid", F.lit(0).cast("bigint")).unionByName(
         _tag("x", "xb", "x", "y", F.col("rid"))
     )
-    zarr = "array(" + ",".join(
-        f"cast({v} as bigint)" for v in _bases("zb")
-    ) + ")"
-    xarr = "array(" + ",".join(
-        f"cast({v} as bigint)" for v in _bases("xb")
-    ) + ")"
+    counts = tagged.groupBy("layout", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # base[layout, b] = rows of the same layout in strictly lower
+    # buckets; a bucket with no lower non-empty bucket gets 0 (its
+    # rows start the global order). 2 x PRUNE_BUCKETS rows — bounded
+    # by config, broadcast by construction.
+    bases = (
+        counts.alias("hi")
+        .join(
+            counts.alias("lo"),
+            (F.col("hi.layout") == F.col("lo.layout"))
+            & (F.col("lo.b") < F.col("hi.b")),
+            "left",
+        )
+        .groupBy(F.col("hi.layout").alias("layout"), F.col("hi.b").alias("b"))
+        .agg(F.coalesce(F.sum("lo.cnt"), F.lit(0)).alias("base"))
+    )
     rn = F.row_number().over(
         Window.partitionBy("layout", "b").orderBy("k1", "k2", "k3")
     )
     file_stats = (
         tagged.withColumn("_rn", rn)
+        .join(F.broadcast(bases), ["layout", "b"])
         .select(
             "layout",
             "x",
             "y",
-            F.expr(
-                f"(element_at(CASE WHEN layout = 'z' THEN {zarr}"
-                f" ELSE {xarr} END, cast(b as int) + 1)"
-                f" + _rn - 1) div {rpf}"
-            ).alias("fid"),
+            F.expr(f"(base + _rn - 1) div {rpf}").alias("fid"),
         )
         .groupBy("layout", "fid")
         .agg(
