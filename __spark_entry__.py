@@ -32,74 +32,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # their value-parity guarantee via tests/test_full_parity.py at
 # sf0.001 and tools/check_parity.py runs at larger SFs.
 _PRIORITY = [
-    # r16 window, recomposed by the OPTIMIZATION phase of the round:
-    # (a) the build phase's 8 changed/new/owed entries, (b) the 3
-    # r16-new ops, (c) the 24 ops whose CODE changed in the
-    # optimization phase (result-identical by oracle proof, but
-    # changed code must re-earn its driver row — the standing
-    # convention), (d) the head of the r12-stale cohort fills the
-    # remaining 15 slots in rotation_audit order. 8+3+24+15 = 50.
-    # The 16 cohort names the optimization-changed set displaced
-    # (pii_redact .. tick_interval_join) join r17's rotation debt;
-    # they keep the full-registry sf0.001 differential meanwhile.
-    # (a) code changed in the r16 BUILD phase, plus the owed
-    # dedup_survivors row (whose components core ALSO changed in the
-    # optimization phase — double reason for its slot)
-    "knn_label_purity",         # build: broadcasts removed; opt: knn cells stage
-    "salted_user_stats",        # _content_salt extraction (ADVICE r15)
-    "skewed_hot_user_stats",    # _content_salt extraction (ADVICE r15)
-    "dataset_split",            # shared split_bucket device (ADVICE r15)
-    "dataset_split_clustered",  # build: shared device; opt: components probe
-    "split_leakage_audit",      # build: empty-pair guard; opt: components probe
-    "pack_sequences_write",     # NEW: materialized sequences table
-    "dedup_survivors",          # owed r15 debt + opt: components probe
-    # (b) the three r16-new ops (first driver rows)
-    "pack_sequences_incremental",   # NEW: append-batch packing
-    "repeated_substring_spans",     # NEW: ExactSubstr accounting
-    "repeated_substring_rewrite",   # NEW: ExactSubstr rewrite
-    # (c) code changed in the r16 OPTIMIZATION phase (see
-    # OPTIMIZATION_r16.md for the change each name re-earns a row
-    # under; every change is oracle-proved result-identical)
-    "bpe_train",                # map-side fold rebuild
-    "bpe_encode",               # map-side fold rebuild
-    "dedup_clusters",           # observed-metric convergence probe
-    "dedup_clusters_minhash",   # observed-metric convergence probe
-    "stream_dedup_docs",        # checkpoint_with_pks epoch fusion
-    "stream_novelty_docs",      # checkpoint_with_pks epoch fusion
-    "stream_semdedup",          # one-collect batch + fused flat commit
-    "stream_semdedup_lsh",      # checkpoint_with_pks + _bucket_cols
-    "knn_graph",                # vectorized cell shortlist
-    "knn_graph_ivf",            # coarse-grouped cells stage
-    "knn_graph_ann",            # _bucket_cols + cells stage
-    "knn_graph_ann_bucketed",   # _bucket_cols index build
-    "knn_graph_ann_incremental",  # _bucket_cols index build
-    "knn_graph_ann_amplified",  # _bucket_cols + cells stage
-    "knn_ann_recall",           # all arms + single-count threading
-    "ann_lsh_topk",             # _bucket_cols
-    "ann_lsh_topk_amplified",   # _bucket_cols
-    "ann_topk_bucketed",        # _bucket_cols index build
-    "ann_topk_filtered",        # _bucket_cols index build
-    "ann_index_stats",          # _bucket_cols index build
-    "ann_recall_audit",         # _bucket_cols arms
-    "knn_pagerank",             # knn_graph edge input changed
-    "knn_triangles",            # knn_graph edge input changed
-    "zorder_prune_stats",       # observed-bounds restructure
-    # (d) r12-stale cohort head (rotation_audit order), 15 slots
-    "customer_order_ranks",
-    "customer_balance_quartiles",
-    "semdedup",
-    "ann_topk_pq",
-    "text_langid",
-    "weekly_retention",
-    "json_extract_events",
-    "value_dispersion",
-    "multimodal_meta",
-    "multimodal_features",
-    "audio_features",
-    "decontaminate_bloom",
-    "sample_stratified",
-    "quality_quantile_gate",
-    "sequence_pack",
+    # r17 window (optimization round 2): (a) the 16-name r12-stale
+    # rotation debt the r16 window displaced — paid FIRST, as the r16
+    # verdict prescribed (after this round no registry name's latest
+    # green driver row predates r13); (b) the 31 ops whose CODE
+    # changed in r17 (result-identical by oracle proof, but changed
+    # code must re-earn its driver row — the standing convention);
+    # (c) the head of the r13-stale cohort fills the remaining 3
+    # slots in rotation_audit order. 16+31+3 = 50. Everything outside
+    # the window keeps the full-registry sf0.001 differential
+    # (tests/test_full_parity.py) and the sf0.01 check_parity runs
+    # recorded in OPTIMIZATION_r17.md.
+    # (a) r12-stale rotation debt (rotation_audit order)
+    "pii_redact",
+    "dsir_weights",
+    "resample_ffill",
+    "vwap_daily",
+    "ewma_price",
+    "twap_hourly",
+    "price_histogram",
+    "price_outliers",
+    "scalar_functions",
+    "map_functions",
+    "price_percentiles",
+    "sql_grouping_sets",
+    "minute_bars",
+    "hourly_bars_rollup",
+    "ingest_load_shed",
+    "tick_interval_join",
+    # (b) code changed in r17 (see OPTIMIZATION_r17.md section per
+    # name; every change oracle-proved result-identical at sf0.01)
+    "zorder_prune_stats",       # two-level prefix-sum file ids (#1)
+    "dedup_ngram_jaccard",      # fused screen+verify + sized ckpts (#2,#3)
+    "dedup_clusters",           # sized CC edges/labels (#3)
+    "dedup_clusters_minhash",   # sized sigs + CC (#3)
+    "dedup_survivors",          # sized sigs + CC (#3)
+    "dedup_minhash_lsh",        # sized signature ckpt (#3)
+    "dedup_incremental",        # sized signature ckpt (#3)
+    "dataset_split_clustered",  # sized lsh pairs + CC (#3)
+    "split_leakage_audit",      # sized lsh pairs + CC (#3)
+    "fuzzy_prefix_pairs",       # sized groups/members (#3)
+    "doc_containment",          # sized groups/members/fps (#3)
+    "text_fingerprint",         # spread probe via own queryExecution (#6)
+    "stream_dedup_docs",        # sized epoch sigs + observed() wait (#3)
+    "stream_novelty_docs",      # observed() bounded wait
+    "stream_semdedup",          # scoped epoch staging cleanup
+    "stream_semdedup_lsh",      # sized epoch sigs + observed() wait
+    "decode_ticks_enriched",    # VALUES LocalRelation config (#5)
+    "knn_ann_recall",           # shared vecs + bucket pass (#4)
+    "ann_recall_audit",         # shared vecs threading (#4)
+    "knn_graph",                # vecs parameter (default path) (#4)
+    "knn_graph_ivf",            # vecs parameter + rescore thread (#4)
+    "knn_graph_ann",            # impl vecs/bucketed params (#4)
+    "knn_graph_ann_bucketed",   # impl vecs/bucketed params (#4)
+    "knn_graph_ann_incremental",  # impl vecs/bucketed params (#4)
+    "knn_graph_ann_amplified",  # impl vecs/bucketed params (#4)
+    "ann_lsh_topk",             # lsh_topk vecs parameter (#4)
+    "ann_lsh_topk_amplified",   # lsh_topk vecs parameter (#4)
+    "ann_topk_cosine",          # exact_topk vecs parameter (#4)
+    "knn_label_purity",         # knn_graph signature change (#4)
+    "knn_pagerank",             # knn_graph signature change (#4)
+    "knn_triangles",            # knn_graph signature change (#4)
+    # (c) r13-stale cohort head (rotation_audit order), 3 slots
+    "q2_daily_stats",
+    "q3_recency_check",
+    "q4_latest_prices",
     # exactly 50 entries above — the driver gate stops there.
 ]
 
